@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
+JSON line with per-query and total wall-clock seconds.
+
+Materialization is a `noop` datasource write — full execution of the
+plan (scan -> shuffle -> agg) with no driver-side collect, which is the
+honest way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from ecommerce_dataengineering_project_spark import get_spark
+    from ecommerce_dataengineering_project_spark.queries import registry
+
+    spark = get_spark(app_name="ecommerce-dataengineering-project-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry()
+
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

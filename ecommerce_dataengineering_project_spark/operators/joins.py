@@ -1,0 +1,110 @@
+"""Joins (SURVEY §2c: J1, J2, J3).
+
+The reference carries join semantics procedurally (producer.py:138-161
+dimension lookup; producer.py:131-134 nearest-value match); here they
+are relational operators:
+
+- ``broadcast_enrich`` — J1/J3 equi-join with an explicit broadcast of
+  the dimension side. At 100 TB the fact side never shuffles: each
+  executor hash-probes a replicated dim table (the reference's dim is
+  27 rows; anything up to ~1 GB broadcast beats a shuffle join).
+- ``asof_join`` — J2 as-of/nearest-key join, implemented with the
+  union-sentinel + window trick: ONE shuffle on the join key, no
+  range-explosion, no per-row subquery. This is the standard scalable
+  as-of pattern (cf. pandas merge_asof semantics, Flink temporal join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_enrich(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join fact->dim with the dim side broadcast (J1/J3).
+
+    Explicit ``F.broadcast`` rather than relying on the auto threshold:
+    at 100 TB a missed broadcast is a full fact-table shuffle.
+    """
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` for the same key (J2's nearest-match,
+    generalized; ``direction="forward"`` takes the earliest
+    ``right_ts >= left_ts``).
+
+    Implementation: tag both sides, union by name, and take
+    ``last(value, ignoreNulls)`` over a per-key window ordered by
+    (ts, side-tag). Cost is one shuffle on ``on`` plus a per-key sort —
+    the same cost profile as a single sort-merge join, with no range
+    cross-product. Right rows with equal (key, ts) are deterministically
+    resolved by ordering on the value columns last (greatest wins).
+
+    Returns the left rows plus ``value_cols`` from the matched right row
+    (null when no match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    # Normalize both sides to a common shape: key, ts, tag, payloads.
+    l_tag, r_tag = (1, 0) if direction == "backward" else (0, 1)
+    left_cols = [c for c in left.columns]
+    l_norm = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(l_tag).alias("__tag"),
+        F.struct(*left_cols).alias("__left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_norm = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(r_tag).alias("__tag"),
+        F.lit(None).cast(l_norm.schema["__left"].dataType).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_norm.unionByName(r_norm)
+
+    order = [F.col("__ts"), F.col("__tag")] + [F.col(f"__r_{c}") for c in value_cols]
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols
+        ]
+    else:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(*[c.desc() for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        picked = [
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols
+        ]
+
+    return (
+        unioned.select("*", *picked)
+        .where(F.col("__left").isNotNull())
+        .select(
+            *[F.col(f"__left.{c}").alias(c) for c in left_cols],
+            *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -1,0 +1,561 @@
+"""Core reference-parity queries (SURVEY §2a-2h) on the fixture tables.
+
+Domain mapping (purchases fact -> lineitem): price=l_extendedprice,
+quantity=l_quantity, member_discount=l_discount,
+supplement_price=l_tax, transaction_time=l_shipdate. The operator
+semantics (and where relevant the exact arithmetic) are the
+reference's; the tables are the driver's fixtures.
+
+Float-reproducibility policy: per-row expressions are left exact (same
+IEEE expression tree evaluates bit-equal in Spark and DuckDB);
+aggregated doubles are rounded on output (double addition is not
+associative across partition orders).
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.functions.revenue import final_amount, total_purchase
+from ecommerce_dataengineering_project_spark.functions.scalars import (
+    round_half_up,
+    sql_round_half_up,
+    stable_id,
+    starts_with_any,
+)
+from ecommerce_dataengineering_project_spark.operators.aggregates import (
+    daily_sales,
+    dedup_keep_first,
+    high_watermark,
+    incremental_filter,
+)
+from ecommerce_dataengineering_project_spark.operators.joins import asof_join, broadcast_enrich
+from ecommerce_dataengineering_project_spark.operators.windows import (
+    running_sum,
+    top_k_per_group,
+    with_lag_lead,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+# Column mapping lineitem -> purchase semantics (SURVEY §2b).
+def _amount():
+    return final_amount("l_extendedprice", "l_quantity", "l_discount", "l_tax")
+
+
+_AMOUNT_SQL = "l_extendedprice*l_quantity*(1-l_discount)+l_tax"
+_REVENUE_SQL = "l_extendedprice*(1-l_discount)"
+
+
+def q_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A1+O1+P5+P7): daily revenue + txn count.
+
+    The reference's one real analytical query
+    (anomaly_detection.py:25-33) over the lineitem fact.
+    """
+    return daily_sales(
+        load_table(spark, sf_dir, "lineitem"),
+        ts_col="l_shipdate",
+        amount=_amount(),
+        id_col="l_orderkey",
+    )
+
+
+def q_fct_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold-model projection (P5/P6/P7/P10, fct_purchases.sql:30-47)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("transaction_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_partkey").cast("string").alias("product_id"),
+        F.to_date("l_shipdate").alias("purchase_date"),
+        _amount().alias("final_amount"),
+        (F.col("l_returnflag") == F.lit("R")).alias("is_member"),
+    )
+
+
+def q_total_purchase_producer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer-variant revenue (P8, models/purchase.py:23-25) — kept
+    distinct from P7 on purpose (they disagree; SURVEY §7 risk 3)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        total_purchase("l_extendedprice", "l_quantity", "l_discount", "l_tax").alias(
+            "total_purchase"
+        ),
+    )
+
+
+def q_conditional_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional discount/supplement pricing (P15/P16,
+    producer.py:128-141)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit(0.10)).otherwise(F.lit(0.0)).alias(
+            "member_discount"
+        ),
+        F.when(F.col("o_orderpriority").startswith("1"), F.lit(1.99))
+        .otherwise(F.lit(0.0))
+        .alias("supplement_price"),
+    )
+
+
+def q_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface (P13/P14/§2h): lower, prefix-set membership,
+    money formatting (models/purchase.py:27-43)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.col("p_name")).alias("name_lower"),
+        starts_with_any("p_name", ["s", "c"]).alias("has_sc_prefix"),
+        F.format_string("$%.2f", F.col("p_retailprice")).alias("price_display"),
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math/hash sweep (§2h): abs, round, log1p, sha2 stable id
+    (producer.py:145's txn-id hash, made deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        round_half_up(F.col("l_extendedprice") / 7.0, 3).alias("price_seventh"),
+        round_half_up(F.log1p(F.col("l_extendedprice")), 6).alias("log_price"),
+        stable_id("l_orderkey", "l_linenumber").alias("txn_id"),
+    )
+
+
+def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental only-new-rows filter (P9/A2, fct_purchases.sql:24-27):
+    rows newer than (MAX watermark - 30 days)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wm = high_watermark(li, "l_shipdate") - timedelta(days=30)
+    return incremental_filter(li, "l_shipdate", wm).select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment join (J1/J3): fact x broadcast dim, revenue
+    per brand. The fact side never shuffles for the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        broadcast_enrich(li, part, on=[li.l_partkey == part.p_partkey])
+        .groupBy("p_brand")
+        .agg(
+            round_half_up(F.sum(F.expr(_REVENUE_SQL)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (J3 generalization): revenue by region x
+    nation — exercises Catalyst join reordering + broadcasts."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            round_half_up(F.sum(F.expr(_REVENUE_SQL)), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority (§2f, dashboard rankings)."""
+    o = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        partition_by=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+def q_running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key balance (A4 expressed relationally,
+    producer.py:157-181): cumulative shipped quantity per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return running_sum(
+        li.select("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"),
+        partition_by=["l_partkey"],
+        order_by=[F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")],
+        value="l_quantity",
+        out_col="running_qty",
+    ).select("l_partkey", "l_orderkey", "l_linenumber", "running_qty")
+
+
+def q_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead per user over the event stream (§2f)."""
+    e = load_table(spark, sf_dir, "events")
+    out = with_lag_lead(
+        e.select("event_id", "user_id", "ts", "value"),
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        value="value",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "prev_value",
+        "next_value",
+        (F.col("value") - F.col("prev_value")).alias("delta"),
+    )
+
+
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic key dedup (A3, dbt unique_key intent,
+    fct_purchases.sql:7): first line per order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is not unique in the synthetic fixture,
+    # so the ordering includes l_quantity to stay a total order over the
+    # projected columns — deterministic survivor on any engine.
+    return dedup_keep_first(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        key_cols=["l_orderkey"],
+        order_by=[F.col("l_linenumber").asc(), F.col("l_quantity").asc()],
+    )
+
+
+def q_except_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2g): positive-balance customers who never
+    ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("custkey"))
+        .subtract(o.select(F.col("o_custkey").alias("custkey")))
+    )
+
+
+def q_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union-distinct (§2g) of two customer cohorts."""
+    c = load_table(spark, sf_dir, "customer")
+    rich = c.where(F.col("c_acctbal") > 1000).select(F.col("c_custkey").alias("custkey"))
+    sampled = c.where(F.col("c_custkey") % 7 == 0).select(F.col("c_custkey").alias("custkey"))
+    return rich.union(sampled).distinct()
+
+
+def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window agg (T6's batch shape): hourly event
+    counts + value sums."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-enforced JSON parse (P2/P3, streaming_consumer.py:69-71):
+    from_json on the props payload, then flatten."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("data", F.from_json(F.col("props"), "k INT"))
+    return parsed.select("event_id", F.col("data.k").alias("prop_k"))
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-sales anomaly scoring, SQL-native (P11/P12 +
+    anomaly_detection.py:25-52 re-expressed without sklearn): global
+    z-score over the daily aggregate; |z| > 3 flags an anomaly.
+
+    Stats are a 1-row broadcast cross join, not an unpartitioned
+    window — the daily aggregate is |days| rows, the stats join adds
+    no shuffle at any scale.
+    """
+    daily = q_daily_sales(spark, sf_dir)
+    stats = daily.agg(
+        F.avg("daily_total_sales").alias("mu"),
+        F.stddev_samp("daily_total_sales").alias("sigma"),
+    )
+    z = (F.col("daily_total_sales") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .select(
+            "purchase_date",
+            "daily_total_sales",
+            round_half_up(F.log1p("daily_total_sales"), 6).alias("log_sales"),
+            round_half_up(z, 4).alias("z_score"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+def q_order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT top-k (O1 + top-k; Spark plans this as
+    TakeOrderedAndProject — no full sort at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J2's nearest-match, scalable form): each event picks
+    the user's latest order at-or-before the event time. Single shuffle
+    on the key via the union-sentinel window pattern."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    # Right side deduped to one row per (key, ts) so tie-breaking is
+    # engine-independent.
+    o_uniq = dedup_keep_first(
+        o, key_cols=["user_id", "o_orderdate"], order_by=[F.col("o_orderkey").desc()]
+    )
+    joined = asof_join(
+        e,
+        o_uniq,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide analytics surface): quantity by linestatus x
+    returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(round_half_up(F.sum("l_quantity"), 2))
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping id (OLAP surface): revenue at (flag,status),
+    (flag), and grand-total levels."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum(F.expr(_REVENUE_SQL)), 2).alias("revenue"),
+            F.grouping_id().cast("int").alias("g_id"),
+        )
+    )
+
+
+QUERIES = {
+    "daily_sales": q_daily_sales,
+    "fct_purchases": q_fct_purchases,
+    "total_purchase_producer": q_total_purchase_producer,
+    "conditional_pricing": q_conditional_pricing,
+    "string_predicates": q_string_predicates,
+    "scalar_functions": q_scalar_functions,
+    "incremental_watermark": q_incremental_watermark,
+    "broadcast_enrich": q_broadcast_enrich,
+    "multi_join_revenue": q_multi_join_revenue,
+    "window_topk": q_window_topk,
+    "running_inventory": q_running_inventory,
+    "lag_lead_events": q_lag_lead_events,
+    "dedup_keep_first": q_dedup_keep_first,
+    "except_antijoin": q_except_antijoin,
+    "union_segments": q_union_segments,
+    "tumbling_window_events": q_tumbling_window_events,
+    "json_extract_events": q_json_extract_events,
+    "anomaly_zscore": q_anomaly_zscore,
+    "order_limit_topk": q_order_limit_topk,
+    "asof_join_events": q_asof_join_events,
+    "pivot_returnflag": q_pivot_returnflag,
+    "rollup_revenue": q_rollup_revenue,
+}
+
+ORACLES = {
+    "daily_sales": f"""
+        SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+               FLOOR((SUM({_AMOUNT_SQL})) * 100.0 + 0.5) / 100.0 AS daily_total_sales,
+               COUNT(l_orderkey) AS daily_transaction_count
+        FROM lineitem GROUP BY 1
+    """,
+    "fct_purchases": f"""
+        SELECT CAST(l_orderkey AS VARCHAR) AS transaction_id,
+               l_linenumber AS line_number,
+               CAST(l_partkey AS VARCHAR) AS product_id,
+               CAST(l_shipdate AS DATE) AS purchase_date,
+               {_AMOUNT_SQL} AS final_amount,
+               l_returnflag = 'R' AS is_member
+        FROM lineitem
+    """,
+    "total_purchase_producer": """
+        SELECT l_orderkey, l_linenumber,
+               FLOOR((l_quantity*(l_extendedprice+l_tax)*(1-l_discount)) * 100.0 + 0.5) / 100.0 AS total_purchase
+        FROM lineitem
+    """,
+    "conditional_pricing": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN CAST(0.10 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS member_discount,
+               CASE WHEN o_orderpriority LIKE '1%' THEN CAST(1.99 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS supplement_price
+        FROM orders
+    """,
+    "string_predicates": """
+        SELECT p_partkey,
+               LOWER(p_name) AS name_lower,
+               SUBSTR(p_name, 1, 1) IN ('s', 'c') AS has_sc_prefix,
+               PRINTF('$%.2f', p_retailprice) AS price_display
+        FROM part
+    """,
+    "scalar_functions": """
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05) AS abs_disc_delta,
+               FLOOR((l_extendedprice / 7.0) * 1000.0 + 0.5) / 1000.0 AS price_seventh,
+               FLOOR((LN(1 + l_extendedprice)) * 1000000.0 + 0.5) / 1000000.0 AS log_price,
+               SHA256(CONCAT_WS(CHR(31), CAST(l_orderkey AS VARCHAR),
+                                CAST(l_linenumber AS VARCHAR))) AS txn_id
+        FROM lineitem
+    """,
+    "incremental_watermark": """
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate > (SELECT MAX(l_shipdate) - INTERVAL 30 DAY FROM lineitem)
+    """,
+    "broadcast_enrich": f"""
+        SELECT p_brand,
+               FLOOR((SUM({_REVENUE_SQL})) * 100.0 + 0.5) / 100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    "multi_join_revenue": f"""
+        SELECT r_name, n_name,
+               FLOOR((SUM({_REVENUE_SQL})) * 100.0 + 0.5) / 100.0 AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """,
+    "window_topk": """
+        SELECT * FROM (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "running_inventory": """
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               SUM(l_quantity) OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        FROM lineitem
+    """,
+    "lag_lead_events": """
+        SELECT event_id, user_id, value,
+               LAG(value)  OVER w AS prev_value,
+               LEAD(value) OVER w AS next_value,
+               value - LAG(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "dedup_keep_first": """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM (
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_linenumber ASC, l_quantity ASC) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    "except_antijoin": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders
+    """,
+    "union_segments": """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 1000
+        UNION
+        SELECT c_custkey AS custkey FROM customer WHERE c_custkey % 7 = 0
+    """,
+    "tumbling_window_events": """
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               FLOOR((SUM(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events GROUP BY 1
+    """,
+    "json_extract_events": """
+        SELECT event_id,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS prop_k
+        FROM events
+    """,
+    "anomaly_zscore": f"""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+                   FLOOR((SUM({_AMOUNT_SQL})) * 100.0 + 0.5) / 100.0 AS daily_total_sales
+            FROM lineitem GROUP BY 1
+        ), stats AS (
+            SELECT AVG(daily_total_sales) AS mu,
+                   STDDEV_SAMP(daily_total_sales) AS sigma
+            FROM daily
+        )
+        SELECT purchase_date, daily_total_sales,
+               FLOOR((LN(1 + daily_total_sales)) * 1000000.0 + 0.5) / 1000000.0 AS log_sales,
+               FLOOR(((daily_total_sales - mu) / sigma) * 10000.0 + 0.5) / 10000.0 AS z_score,
+               ABS((daily_total_sales - mu) / sigma) > 3.0 AS is_anomaly
+        FROM daily, stats
+    """,
+    "order_limit_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "asof_join_events": """
+        WITH o_uniq AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   MAX_BY(o_orderkey, o_orderkey) AS o_orderkey,
+                   MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               o.o_orderkey AS last_orderkey,
+               o.o_totalprice AS last_order_total
+        FROM events e
+        ASOF LEFT JOIN o_uniq o
+          ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+    "pivot_returnflag": """
+        SELECT l_linestatus,
+               FLOOR((SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS "A",
+               FLOOR((SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS "N",
+               FLOOR((SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END)) * 100.0 + 0.5) / 100.0 AS "R"
+        FROM lineitem GROUP BY 1
+    """,
+    "rollup_revenue": f"""
+        SELECT l_returnflag, l_linestatus,
+               FLOOR((SUM({_REVENUE_SQL})) * 100.0 + 0.5) / 100.0 AS revenue,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS g_id
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+}

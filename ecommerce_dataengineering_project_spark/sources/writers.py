@@ -1,0 +1,56 @@
+"""Batch sinks (SURVEY §2a: K3-batch, K4, K5).
+
+The reference's gold sink is a create-or-append DataFrameWriterV2 into
+Iceberg partitioned by purchase_date (delta_to_iceberg.py:36-52); the
+silver sink is a partitioned Delta append (streaming_consumer.py:81-88).
+Spark-native equivalents below keep the two properties that matter at
+100 TB: (1) partition-by-date layout so downstream date predicates prune
+whole files, and (2) idempotent create-or-append semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "append",
+) -> None:
+    """Partitioned columnar write (K3's batch shape).
+
+    Hive-style layout: each partition column value becomes a directory,
+    so scans with equality/range predicates on those columns prune at
+    the metadata level before any IO.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def create_or_append_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Create-or-append managed table (K4, delta_to_iceberg.py:36-52).
+
+    Same probe-then-branch shape as the reference, against the session
+    catalog instead of Glue/Iceberg. DataFrameWriterV2 keeps this a
+    single atomic catalog commit per batch.
+    """
+    if spark.catalog.tableExists(table):
+        df.writeTo(table).append()
+    else:
+        writer = df.writeTo(table).using("parquet")
+        if partition_cols:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        writer.create()
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV results sink (K5, anomaly_detection.py:56-60)."""
+    df.write.mode(mode).option("header", True).csv(path)

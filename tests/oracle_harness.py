@@ -1,0 +1,92 @@
+"""Local replica of the driver's correctness gate: run each registered
+query in Spark AND its oracle SQL in DuckDB, compare row count, column
+names, and (order-insensitively) values.
+
+Floats compare with a small relative tolerance here; the driver hashes
+values exactly, so queries are written to be exactly reproducible (see
+queries/core.py float policy) — the tolerance only localizes a failure
+to "value drift" vs "wrong rows".
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _sort_key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def compare(spark_df, con, sql: str, float_rel: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errors: list[str] = []
+    oracle = con.sql(sql)
+    s_cols = sorted(spark_df.columns)
+    o_cols = sorted(oracle.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        return [f"column mismatch: spark={s_cols} oracle={o_cols}"]
+
+    s_rows = [tuple(_norm(r[c]) for c in s_cols) for r in spark_df.collect()]
+    o_idx = {c.lower(): i for i, c in enumerate(oracle.columns)}
+    o_rows = [
+        tuple(_norm(t[o_idx[c.lower()]]) for c in s_cols) for t in oracle.fetchall()
+    ]
+    if len(s_rows) != len(o_rows):
+        errors.append(f"row count: spark={len(s_rows)} oracle={len(o_rows)}")
+        return errors
+
+    s_rows.sort(key=_sort_key)
+    o_rows.sort(key=_sort_key)
+    n_bad = 0
+    for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
+        for c, sv, ov in zip(s_cols, sr, orow):
+            if sv is None and ov is None:
+                continue
+            ok = sv == ov
+            if not ok and isinstance(sv, float) and isinstance(ov, float):
+                ok = math.isclose(sv, ov, rel_tol=float_rel, abs_tol=1e-9)
+            if not ok:
+                n_bad += 1
+                if n_bad <= 5:
+                    errors.append(f"row {i} col {c}: spark={sv!r} oracle={ov!r}")
+    if n_bad > 5:
+        errors.append(f"... {n_bad} mismatched cells total")
+    return errors
