@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2k
+X1/X2).
+
+Scale design (the whole point of these ops is the 100 TB case):
+
+- exact dedup: hash-groupBy on a 256-bit content fingerprint — one
+  shuffle keyed by the hash, map-side combined, no text comparison.
+- MinHash-LSH near-dup: shingle -> 16 minhashes -> 4 bands -> band
+  bucket self-join. The candidate join is on band hashes (tiny keys),
+  so the cross-product only materializes within buckets; exact Jaccard
+  verification then runs only on candidates. This is the standard
+  sub-quadratic pipeline (Broder '97 resemblance sketches; LSH banding
+  per Mining of Massive Datasets ch.3).
+- SimHash: 60-bit per-doc signature via per-bit vote aggregation
+  (Charikar '02) — one groupBy, signatures join/band cheaply.
+- n-gram Jaccard: the exact (quadratic-within-bucket) baseline used to
+  verify the sketch pipelines.
+
+Hashing is deliberately engine-portable: sha-256 -> 60-bit integer
+prefix -> universal hashing ((a*h + b) mod M61) in int64 arithmetic.
+No JVM-private hash (xxhash64/murmur) appears in any semantic result,
+so every operator is oracle-checkable bit-for-bit on any SQL engine.
+All expressions are built-in column ops — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+# Universal-hash parameters: h_i(x) = (A[i]*x31 + B[i]) mod M61.
+# x31 < 2^31 keeps A[i]*x31 < 2^62, inside signed-int64 range on every
+# engine. Constants are arbitrary fixed odd numbers (seeded once).
+M61 = (1 << 61) - 1
+M31 = (1 << 31) - 1
+MINHASH_A = [
+    1099511627, 405031865, 871782911, 297121507,
+    662083089, 815124493, 428625201, 903066725,
+    154858673, 324528437, 499796871, 678679671,
+    860281219, 104395301, 122949829, 141650939,
+]
+MINHASH_B = [
+    12820163, 402653189, 201326611, 805306457,
+    1610612741, 1073741827, 644245093, 128849019,
+    257698037, 515396075, 103079215, 206158423,
+    412316861, 824633727, 164926743, 329853487,
+]
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+def content_hash(text: str | Column) -> Column:
+    """256-bit content fingerprint (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(c, 256)
+
+
+def hash60(col: Column) -> Column:
+    """Portable 60-bit integer hash of a string column (sha-256 hex
+    prefix -> base-16 parse). Avoids engine-private hash functions."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("bigint")
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """X1: group identical content; keep the smallest id as survivor.
+
+    One shuffle on the 256-bit hash; duplicate text never compares
+    byte-wise. Output: fingerprint, keep_id, dup_count.
+    """
+    return (
+        df.select(F.col(id_col), content_hash(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (one row each)."""
+    toks = F.split(F.col(text_col), " ")
+    # Guard: F.sequence(1, 0) would generate a DESCENDING [1, 0], not
+    # an empty list — docs shorter than n shingle to nothing instead.
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(gram)).alias("shingle")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
+    """16 minhash values per document over its shingle set.
+
+    Plain groupBy/agg: the per-shingle hash arithmetic is codegen'd,
+    the mins combine map-side, one shuffle on the doc id.
+    """
+    x31 = (hash60(F.col("shingle")) % M31).alias("x31")
+    base = sh.select(F.col(id_col), x31)
+    sigs = [
+        F.min((F.lit(MINHASH_A[i]) * F.col("x31") + F.lit(MINHASH_B[i])) % F.lit(M61)).alias(
+            f"sig_{i}"
+        )
+        for i in range(NUM_HASHES)
+    ]
+    return base.groupBy(id_col).agg(*sigs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures and self-join on band hashes.
+
+    Docs agreeing on all rows of any band become a candidate pair.
+    The join key is (band_id, band_hash) — candidate generation never
+    touches text and the shuffle is by bucket, so skew is bounded by
+    bucket size, not corpus size.
+    """
+    band_rows = []
+    for b in range(BANDS):
+        cols = [F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.sha2(F.concat_ws("_", *[c.cast("string") for c in cols]), 256).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_id") == F.col(f"b.band_id"))
+            & (F.col(f"a.band_hash") == F.col(f"b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the sketch filtered the
+    quadratic blowup; this join is candidates x shingles)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.8
+) -> DataFrame:
+    """X2 end-to-end: shingle -> minhash -> LSH bands -> verified pairs."""
+    sh = shingles(df, id_col, text_col)
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(sig, id_col)
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+def exact_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the verification baseline
+    for the sketch pipelines): candidates are pairs sharing >= 1
+    shingle, so disjoint docs never pair. Quadratic only within
+    shingle-collision groups."""
+    sh = shingles(df, id_col, text_col)
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, id_col, threshold)
+
+
+SIMHASH_BITS = 60
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document: per-bit +1/-1 token votes, bit set
+    where the vote is positive. One explode + one groupBy; the 60 vote
+    sums are map-side combined."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).select(F.col(id_col), hash60(F.col("token")).alias("h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold.
+
+    Brute-force all-pairs (correctness baseline; the ANN path for
+    scale lives in operators/similarity.py). The fold is a sequential
+    JVM higher-order function — reproducible summation order.
+    """
+    from ecommerce_dataengineering_project_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = round_half_up(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -1,4 +1,191 @@
-"""Placeholder — filled in as operators land."""
+"""Dedup queries over the documents/embeddings tables (SURVEY §2k
+X1/X2). Oracle SQL mirrors the exact same portable hashing arithmetic
+(sha-256 prefix -> int64 universal hashing), so even the MinHash-LSH
+pipeline is checked bit-for-bit.
+"""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_dataengineering_project_spark.operators.dedup import (
+    BANDS,
+    M61,
+    M31,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    exact_jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash,
+    SIMHASH_BITS,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+JACCARD_THRESHOLD = 0.8
+NGRAM_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.4
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, "doc_id", threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs, "doc_id", threshold=NGRAM_THRESHOLD)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id")
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=COSINE_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+
+def _r6(expr: str) -> str:
+    return f"FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+_SHINGLES = """
+    t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM t, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS s(i)
+    )
+"""
+
+_SIG_EXPRS = ",\n            ".join(
+    f"MIN(({MINHASH_A[i]} * x31 + {MINHASH_B[i]}) % {M61}) AS sig_{i}"
+    for i in range(NUM_HASHES)
+)
+
+_BAND_SELECTS = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {b} AS band_id, SHA256(CONCAT_WS('_', {cols})) AS band_hash FROM sig".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(sig_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+
+_JACCARD_TAIL = """
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.id_a
+        JOIN sh s2 ON s2.doc_id = c.id_b AND s2.shingle = s1.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT i.id_a, i.id_b,
+               {r6} AS jaccard
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {thr}
+""".format(
+    r6=_r6("i.n_inter * 1.0 / (na.n + nb.n - i.n_inter)"), thr="{thr}"
+)
+
+_VOTE_EXPRS = ",\n            ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+    for b in range(SIMHASH_BITS)
+)
+_BIT_SUM = " + ".join(
+    f"CASE WHEN v_{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(SIMHASH_BITS)
+)
+
+_COS = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 SQRT(LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)) AS nrm
+          FROM e)
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT SHA256(text) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES},
+        hx AS (
+            SELECT doc_id,
+                   CAST(CONCAT('0x', SUBSTR(SHA256(shingle), 1, 15)) AS BIGINT) % {M31} AS x31
+            FROM sh
+        ),
+        sig AS (
+            SELECT doc_id,
+            {_SIG_EXPRS}
+            FROM hx GROUP BY doc_id
+        ),
+        bands AS (
+{_BAND_SELECTS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                        AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_TAIL.format(thr=JACCARD_THRESHOLD)}
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_TAIL.format(thr=NGRAM_THRESHOLD)}
+    """,
+    "dedup_simhash": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(CONCAT('0x', SUBSTR(SHA256(w), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        ),
+        votes AS (
+            SELECT doc_id,
+            {_VOTE_EXPRS}
+            FROM toks GROUP BY doc_id
+        )
+        SELECT doc_id, {_BIT_SUM} AS simhash FROM votes
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH {_COS},
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_r6("LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(a.v, b.v), x -> x[1] * x[2]), (x, y) -> x + y) / (a.nrm * b.nrm)")} AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {COSINE_THRESHOLD}
+    """,
+}

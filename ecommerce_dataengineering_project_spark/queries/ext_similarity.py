@@ -1,4 +1,97 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search queries over the embeddings table (SURVEY §2k X3).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The brute-force top-k and the LSH bucket assignment are oracle-checked
+bit-for-bit (hyperplane coefficients are sha-derived literals injected
+into both the Spark plan and the SQL). The ANN top-k itself is
+rows-only for the driver; its recall against brute force is
+regression-tested in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.operators.similarity import (
+    NUM_PLANES,
+    brute_force_topk,
+    hyperplane,
+    lsh_bucket,
+    lsh_topk,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+EMBEDDING_DIM = 64
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") < N_QUERY_VECS)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", lsh_bucket(F.col("embedding"), EMBEDDING_DIM).alias("bucket")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(_queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K)
+
+
+QUERIES = {
+    "similarity_topk": q_similarity_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,  # rows-only: ANN, no SQL oracle
+}
+
+_COS_CTE = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT vec_id, v,
+                 SQRT(LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)) AS nrm
+          FROM e)
+"""
+
+
+def _plane_literal(j: int) -> str:
+    return "[" + ", ".join(repr(c) for c in hyperplane(j, EMBEDDING_DIM)) + "]"
+
+
+_BUCKET_EXPR = " + ".join(
+    f"CASE WHEN LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v, {_plane_literal(j)}), "
+    f"x -> x[1] * x[2]), (x, y) -> x + y) >= 0.0 THEN {1 << j} ELSE 0 END"
+    for j in range(NUM_PLANES)
+)
+
+ORACLES = {
+    "similarity_topk": f"""
+        WITH {_COS_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.v, c.v), x -> x[1] * x[2]),
+                                      (x, y) -> x + y) / (q.nrm * c.nrm)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS cosine
+            FROM n q JOIN n c ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "ann_lsh_buckets": f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT vec_id, CAST({_BUCKET_EXPR} AS INTEGER) AS bucket FROM e
+    """,
+}

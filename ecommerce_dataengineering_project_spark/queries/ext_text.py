@@ -1,4 +1,104 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the documents table (SURVEY §2k X4)."""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_dataengineering_project_spark.operators.text import (
+    STOPWORDS,
+    token_histogram,
+    with_fingerprint,
+    with_language_id,
+    with_text_stats,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id", "text_len", "token_count", "avg_token_len", "stopword_ratio", "quality_score"
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_language_id(docs).select("doc_id", "lang", "predicted_lang", "lang_score")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_fingerprint(docs).select("doc_id", "fingerprint", "fingerprint_bucket")
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_histogram(docs)
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "token_histogram": q_token_histogram,
+}
+
+ORACLES = {
+    "text_stats": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   LENGTH(text) AS text_len,
+                   LEN(STRING_SPLIT(text, ' ')) AS token_count,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   w -> w IN ({_STOP_SQL}))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(text_len AS BIGINT) AS text_len,
+               CAST(token_count AS BIGINT) AS token_count,
+               FLOOR(((text_len - (token_count - 1)) * 1.0 / token_count) * 1000000.0 + 0.5) / 1000000.0
+                   AS avg_token_len,
+               FLOOR((n_stop * 1.0 / token_count) * 1000000.0 + 0.5) / 1000000.0
+                   AS stopword_ratio,
+               FLOOR((LEAST(1.0, token_count / 100.0)
+                      * (1.0 - n_stop * 1.0 / token_count)) * 1000000.0 + 0.5) / 1000000.0
+                   AS quality_score
+        FROM t
+    """,
+    "language_id": """
+        WITH t AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS ws,
+                   LEN(STRING_SPLIT(text, ' ')) AS n
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and'))) * 1.0 / n AS s_en,
+                LEN(LIST_FILTER(ws, w -> w IN ('der','die','das','und'))) * 1.0 / n AS s_de,
+                LEN(LIST_FILTER(ws, w -> w IN ('el','la','de','y'))) * 1.0 / n AS s_es,
+                LEN(LIST_FILTER(ws, w -> w IN ('le','la','de','et'))) * 1.0 / n AS s_fr
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) <= 0.0 THEN 'zh'
+                    WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr' END AS predicted_lang,
+               FLOOR(GREATEST(s_en, s_de, s_es, s_fr) * 1000000.0 + 0.5) / 1000000.0 AS lang_score
+        FROM s
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               SHA256(LOWER(TRIM(text))) AS fingerprint,
+               CAST(CONCAT('0x', SUBSTR(SHA256(LOWER(TRIM(text))), 1, 15)) AS BIGINT)
+                   AS fingerprint_bucket
+        FROM documents
+    """,
+    "token_histogram": """
+        SELECT w AS token, COUNT(*) AS total_count
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        GROUP BY 1
+    """,
+}
