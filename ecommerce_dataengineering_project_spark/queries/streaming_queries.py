@@ -1,4 +1,297 @@
-"""Placeholder — filled in as operators land."""
+"""Streaming queries (SURVEY §2i) — real Structured Streaming runs,
+bounded with availableNow, oracle-checked against batch SQL.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Each query stages the ``events`` table as an ordered multi-file stream
+(time-partitioned so the watermark never drops an in-order row), runs
+the streaming plan through a checkpointed parquet sink, and returns the
+sink. Because every pipeline is deterministic, batch SQL over the same
+rows is an exact oracle — the strongest possible check of streaming
+semantics (window assignment, watermark finalization, state
+transitions).
+
+Flush rows: append-mode windowed aggregations only emit a window after
+the watermark passes its end, so two far-future flush rows are staged
+as the last two micro-batches (see harness docstring). Flush rows are
+synthetic (`user_id=-1`) and their own windows are provably never
+finalized, so the sink contains exactly the real windows.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+from ecommerce_dataengineering_project_spark.streaming.bronze_silver import parse_with_drift, to_kafka_shape
+from ecommerce_dataengineering_project_spark.streaming.event_windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from ecommerce_dataengineering_project_spark.streaming.harness import (
+    run_bounded_stream,
+    stage_source_tagged,
+    staged_source,
+)
+from ecommerce_dataengineering_project_spark.streaming.stateful import (
+    INITIAL_LEVEL,
+    MIN_LEVEL,
+    RESTOCK_AMOUNT,
+    inventory_restock_stream,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+# Lossless timestamp round-trip through JSON (default to_json format
+# truncates to milliseconds; events carry microseconds).
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _tagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a micro-batch id column: three time-ordered 10-day
+    ranges, so the bounded replay is multi-batch and in event-time
+    order (the watermark never drops an on-time row)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    d11 = F.lit("2024-01-11").cast("timestamp")
+    d21 = F.lit("2024-01-21").cast("timestamp")
+    tag = F.when(F.col("ts") < d11, 0).when(F.col("ts") < d21, 1).otherwise(2)
+    return ev.withColumn("__batch", tag.cast("int"))
+
+
+def _flush_rows(n_flush: int):
+    """Far-future watermark-flush rows as a pyarrow Table (one trailing
+    micro-batch each; see harness docstring)."""
+    import pyarrow as pa
+
+    base = _dt.datetime(2024, 3, 1)
+    return pa.table(
+        {
+            "event_id": pa.array([-1 - i for i in range(n_flush)], pa.int64()),
+            "ts": pa.array(
+                [base + _dt.timedelta(days=i) for i in range(n_flush)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([-1] * n_flush, pa.int64()),
+            "event_type": pa.array(["__flush"] * n_flush),
+            "value": pa.array([0.0] * n_flush, pa.float64()),
+            "props": pa.array([None] * n_flush, pa.string()),
+        }
+    )
+
+
+def _sf_key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
+def _events_source(spark: SparkSession, sf_dir: str, n_flush: int):
+    def stage(source_dir: str):
+        tagged = _tagged_events(spark, sf_dir)
+        stage_source_tagged(
+            tagged, 3, source_dir, _flush_rows(n_flush) if n_flush else None
+        )
+        return EVENT_SCHEMA
+
+    return staged_source(spark, f"events_{_sf_key(sf_dir)}_f{n_flush}", stage)
+
+
+def q_stream_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1-P3 end-to-end: events -> JSON 'value' strings (Kafka
+    shape) -> streaming from_json parse with drift-tolerant schema ->
+    append sink. Stateless, so no flush rows needed."""
+    opts = {"timestampFormat": _TS_FMT}
+    aliases = {"value": ["value", "amount"]}  # drift-alias demo (cf. add_supplement(s))
+
+    def stage(source_dir: str):
+        tagged = _tagged_events(spark, sf_dir)
+        data_cols = [c for c in tagged.columns if c != "__batch"]
+        kafka = tagged.select(
+            F.to_json(F.struct(*data_cols), opts).alias("value"), "__batch"
+        )
+        stage_source_tagged(kafka, 3, source_dir)
+        return kafka.drop("__batch").schema
+
+    src = staged_source(spark, f"events_kafka_{_sf_key(sf_dir)}", stage)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return parse_with_drift(stream, EVENT_SCHEMA, aliases, options=opts)
+
+    return run_bounded_stream(spark, "bronze_silver", None, transform, source=src)
+
+
+def q_stream_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 tumbling: daily revenue/count per event_type, watermarked."""
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return tumbling_agg(stream, "ts", "1 day", ["event_type"], "value")
+
+    # Flush rows are removed AFTER the stream: a filter on the group key
+    # inside the streaming plan would be pushed down into the scan by
+    # Catalyst, and the watermark would never see the flush timestamps.
+    return run_bounded_stream(
+        spark, "tumbling_revenue", None, transform, source=src
+    ).where(F.col("event_type") != "__flush")
+
+
+def q_stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sliding: 24 h window every 12 h per event_type."""
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return sliding_agg(stream, "ts", "1 day", "12 hours", ["event_type"], "value")
+
+    return run_bounded_stream(
+        spark, "sliding_activity", None, transform, source=src
+    ).where(F.col("event_type") != "__flush")
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 session: per-user sessions closed by 6 h of silence."""
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return session_agg(stream, "ts", "6 hours", ["user_id"], "value")
+
+    return run_bounded_stream(
+        spark, "session_windows", None, transform, source=src
+    ).where(F.col("user_id") >= 0)
+
+
+def q_stream_inventory_restock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/T7: per-user stateful inventory scan with restock rule,
+    state carried across three micro-batches via GroupState."""
+    def stage(source_dir: str):
+        qty = _tagged_events(spark, sf_dir).select(
+            "event_id",
+            "ts",
+            "user_id",
+            (F.col("event_id") % 3 + 1).cast("int").alias("qty"),
+            "__batch",
+        )
+        stage_source_tagged(qty, 3, source_dir)
+        return qty.drop("__batch").schema
+
+    src = staged_source(spark, f"events_qty_{_sf_key(sf_dir)}", stage)
+    return run_bounded_stream(
+        spark, "inventory_restock", None, inventory_restock_stream, source=src
+    )
+
+
+QUERIES = {
+    "stream_bronze_silver": q_stream_bronze_silver,
+    "stream_tumbling_revenue": q_stream_tumbling_revenue,
+    "stream_sliding_activity": q_stream_sliding_activity,
+    "stream_session_windows": q_stream_session_windows,
+    "stream_inventory_restock": q_stream_inventory_restock,
+}
+
+_REV = sql_round_half_up("SUM(value)", 2)
+
+ORACLES = {
+    # Round-trip parse returns the rows unchanged (ts serialized with
+    # microsecond precision; drift alias coalesces to the same value).
+    "stream_bronze_silver": """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
+    "stream_tumbling_revenue": f"""
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               {_REV} AS window_revenue,
+               COUNT(*) AS window_events
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # Every event lands in exactly two 24h/12h windows: the one starting
+    # at its 12 h bucket and the one 12 h earlier.
+    "stream_sliding_activity": f"""
+        WITH w AS (
+            SELECT e.*,
+                   TO_TIMESTAMP(FLOOR(EPOCH(ts) / 43200) * 43200
+                                - offs.i * 43200) AS window_start
+            FROM events e, (SELECT UNNEST([0, 1]) AS i) offs
+        )
+        SELECT window_start,
+               window_start + INTERVAL 24 HOUR AS window_end,
+               event_type,
+               {_REV} AS window_revenue,
+               COUNT(*) AS window_events
+        FROM w
+        GROUP BY 1, 2, 3
+    """,
+    # Gaps-and-islands: a new session starts when the per-user gap is
+    # >= 6 h (Spark session windows are [start, last+gap)).
+    "stream_session_windows": f"""
+        WITH o AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM o
+        )
+        SELECT MIN(ts) AS window_start,
+               MAX(ts) + INTERVAL 6 HOUR AS window_end,
+               user_id,
+               {_REV} AS session_revenue,
+               COUNT(*) AS session_events
+        FROM s GROUP BY user_id, sess_id
+    """,
+    # The restock scan is non-associative, so the oracle replays it as
+    # a per-key recursive CTE over row_number order.
+    "stream_inventory_restock": f"""
+        WITH RECURSIVE e AS (
+            SELECT event_id, user_id,
+                   CAST(event_id % 3 + 1 AS INT) AS qty,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, rn, event_id, qty,
+                   CAST({INITIAL_LEVEL} - qty
+                        + CASE WHEN {INITIAL_LEVEL} - qty <= {MIN_LEVEL}
+                               THEN {RESTOCK_AMOUNT} ELSE 0 END AS INT)
+                       AS level_after,
+                   ({INITIAL_LEVEL} - qty <= {MIN_LEVEL}) AS restocked
+            FROM e WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, e.event_id, e.qty,
+                   CAST(s.level_after - e.qty
+                        + CASE WHEN s.level_after - e.qty <= {MIN_LEVEL}
+                               THEN {RESTOCK_AMOUNT} ELSE 0 END AS INT),
+                   (s.level_after - e.qty <= {MIN_LEVEL})
+            FROM s JOIN e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        )
+        SELECT event_id, user_id, qty, level_after, restocked FROM s
+    """,
+}

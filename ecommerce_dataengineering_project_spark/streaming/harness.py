@@ -1,0 +1,188 @@
+"""Bounded Structured-Streaming harness (SURVEY §2i T1-T5).
+
+The reference runs one unbounded Kafka->Delta streaming job with a 60 s
+micro-batch trigger and a 120 s hard stop (streaming_consumer.py:55-98).
+For deterministic execution the engine runs the *same* dataflow bounded:
+
+- source: file stream (parquet) staged from a batch DataFrame — the
+  testable stand-in for a Kafka topic. ``maxFilesPerTrigger=1`` makes
+  each staged file one micro-batch, so multi-batch behavior (watermark
+  advancement, state carry-over) is exercised, not skipped.
+- trigger: ``availableNow`` — processes everything, then stops (T5's
+  ``awaitTermination(120)`` without the wall-clock dependence).
+- sink: checkpointed parquet append (K3's shape: append mode +
+  ``checkpointLocation``; partitioning is the caller's choice).
+
+Watermark flushing: in append mode a windowed aggregation only emits a
+window after the watermark passes its end, and the watermark advances
+*between* micro-batches. A bounded run therefore stages a final
+``flush`` file whose single far-future row pushes the watermark past
+every real window in the last batch; the flush row's own window is
+dropped by the caller (it is deterministic and known). File order is
+pinned via mtime — the file stream source processes oldest-first.
+
+At 100 TB none of this harness changes the query: swap the staged file
+source for ``readStream.format("kafka")`` and ``availableNow`` for a
+processing-time trigger and the same plan runs unbounded.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
+
+
+def _stream_dirs(name: str) -> tuple[str, str, str]:
+    base = os.path.join(TMP_ROOT, "streams", name)
+    return (
+        os.path.join(base, "source"),
+        os.path.join(base, "sink"),
+        os.path.join(base, "checkpoint"),
+    )
+
+
+def stage_source(
+    batches: list[DataFrame],
+    source_dir: str,
+) -> None:
+    """Write each batch DataFrame as ONE parquet file in ``source_dir``,
+    with strictly increasing mtimes so the file stream source replays
+    them in order (oldest-first), one micro-batch per file.
+
+    All batches go through a single partitioned write job (a per-batch
+    job would pay Spark job-launch overhead once per micro-batch — it
+    dominated the harness wall-clock). The partition column is dropped
+    from the data files by the partitioned write, so the staged schema
+    is exactly the batch schema.
+    """
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(source_dir, ignore_errors=True)
+    os.makedirs(source_dir, exist_ok=True)
+    union = None
+    for i, df in enumerate(batches):
+        tagged = df.withColumn("__batch", F.lit(i))
+        union = tagged if union is None else union.unionByName(tagged)
+    staging = os.path.join(source_dir, "_stage")
+    union.coalesce(1).write.partitionBy("__batch").mode("overwrite").parquet(staging)
+    now = time.time() - 3600.0
+    for i in range(len(batches)):
+        [part] = glob.glob(os.path.join(staging, f"__batch={i}", "part-*.parquet"))
+        dest = os.path.join(source_dir, f"batch-{i:05d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+    shutil.rmtree(staging)
+
+
+_SOURCE_CACHE: dict[str, object] = {}
+
+
+def staged_source(spark: SparkSession, key: str, stage_fn) -> tuple[str, object]:
+    """Stage a named source once per process and reuse it: several
+    bounded queries over the same input stream (e.g. the three window
+    shapes over events) share one staging job. ``stage_fn(source_dir)``
+    writes the files and returns the row schema."""
+    source_dir = os.path.join(TMP_ROOT, "streams", "sources", key)
+    if key not in _SOURCE_CACHE:
+        _SOURCE_CACHE[key] = stage_fn(source_dir)
+    return source_dir, _SOURCE_CACHE[key]
+
+
+def stage_source_tagged(
+    tagged: DataFrame,
+    n_batches: int,
+    source_dir: str,
+    flush_rows=None,
+    batch_col: str = "__batch",
+) -> None:
+    """Single-scan staging: ``tagged`` carries an integer batch-id
+    column (0..n_batches-1); one partitioned write splits it into the
+    ordered micro-batch files. ``flush_rows`` (a pyarrow Table) is
+    appended as one trailing single-file batch per row, written
+    driver-side — a Spark job per 1-row flush file would cost more than
+    the whole stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(source_dir, ignore_errors=True)
+    os.makedirs(source_dir, exist_ok=True)
+    staging = os.path.join(source_dir, "_stage")
+    tagged.coalesce(1).write.partitionBy(batch_col).mode("overwrite").parquet(staging)
+    now = time.time() - 3600.0
+    for i in range(n_batches):
+        [part] = glob.glob(os.path.join(staging, f"{batch_col}={i}", "part-*.parquet"))
+        dest = os.path.join(source_dir, f"batch-{i:05d}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+    shutil.rmtree(staging)
+    if flush_rows is not None:
+        for j in range(flush_rows.num_rows):
+            dest = os.path.join(source_dir, f"batch-{n_batches + j:05d}.parquet")
+            pq.write_table(flush_rows.slice(j, 1), dest)
+            os.utime(dest, (now + n_batches + j, now + n_batches + j))
+
+
+def run_bounded_stream(
+    spark: SparkSession,
+    name: str,
+    batches: list[DataFrame] | None,
+    transform,
+    output_mode: str = "append",
+    partition_by: list[str] | None = None,
+    state_partitions: int = 8,
+    source: tuple[str, object] | None = None,
+) -> DataFrame:
+    """Stage ``batches`` as an ordered file stream (or reuse a
+    ``staged_source`` result passed as ``source``), run ``transform``
+    (streaming DataFrame -> streaming DataFrame) with an availableNow
+    trigger into a checkpointed parquet sink, and return the sink as a
+    batch DataFrame.
+
+    The checkpoint is recreated per run so re-runs are idempotent (a
+    retained checkpoint would mark the staged files already-consumed and
+    no-op — the production behavior, wrong for a test harness).
+    """
+    source_dir, sink_dir, ckpt_dir = _stream_dirs(name)
+    if source is not None:
+        source_dir, schema = source
+    else:
+        stage_source(batches, source_dir)
+        schema = batches[0].schema
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    out = transform(stream)
+    writer = (
+        out.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    # Stateful operators keep one state-store instance per shuffle
+    # partition PER micro-batch; a bounded local run with the batch
+    # engine's partitioning pays ~hundreds of state commits for no
+    # parallelism gain. The partition count is captured in the
+    # checkpoint at first start, so it is scoped here, not session-wide
+    # — on a cluster, size it to executor count before first start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.schema(out.schema).parquet(sink_dir)
