@@ -22,14 +22,24 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from ecommerce_dataengineering_project_spark.queries import (
         core,
         ext_dedup,
+        ext_multimodal,
         ext_similarity,
         ext_text,
+        ml_queries,
         streaming_queries,
     )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (core, ext_dedup, ext_similarity, ext_text, streaming_queries):
+    for mod in (
+        core,
+        ext_dedup,
+        ext_multimodal,
+        ext_similarity,
+        ext_text,
+        ml_queries,
+        streaming_queries,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -36,6 +36,10 @@ _SCALE_CONFS: dict[str, str] = {
     # The events fixture stores TIMESTAMP(NANOS); Spark has no ns
     # timestamp type, so read as long and convert in load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Managed tables live under the gitignored scratch dir.
+    "spark.sql.warehouse.dir": os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "warehouse"
+    ),
 }
 
 

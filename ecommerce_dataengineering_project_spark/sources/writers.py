@@ -37,18 +37,19 @@ def create_or_append_table(
     """Create-or-append managed table (K4, delta_to_iceberg.py:36-52).
 
     Same probe-then-branch shape as the reference, against the session
-    catalog instead of Glue/Iceberg. DataFrameWriterV2 keeps this a
-    single atomic catalog commit per batch.
+    catalog instead of Glue/Iceberg. (The reference uses the
+    DataFrameWriterV2 API against an Iceberg catalog; the session
+    catalog's parquet tables are v1, so the v1 writer applies —
+    ``saveAsTable`` appends resolve columns by name, matching
+    DataFrameWriterV2 semantics.)
     """
+    writer = df.write.format("parquet")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
     if spark.catalog.tableExists(table):
-        df.writeTo(table).append()
+        writer.mode("append").saveAsTable(table)
     else:
-        writer = df.writeTo(table).using("parquet")
-        if partition_cols:
-            from pyspark.sql import functions as F
-
-            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
-        writer.create()
+        writer.saveAsTable(table)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
