@@ -81,7 +81,15 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Da
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (one row each)."""
+    """Distinct word n-gram shingles per document (one row each),
+    emitted as 60-bit integer hashes.
+
+    Hashing at the source keeps every downstream shuffle and join key
+    8 bytes instead of a full n-gram string — at corpus scale the
+    candidate-pair and verification joins move an order of magnitude
+    fewer bytes. The hash is the portable sha-256 prefix (module
+    docstring), so SQL oracles reproduce it exactly.
+    """
     toks = F.split(F.col(text_col), " ")
     # Guard: F.sequence(1, 0) would generate a DESCENDING [1, 0], not
     # an empty list — docs shorter than n shingle to nothing instead.
@@ -95,7 +103,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> 
         ),
     )
     return df.select(
-        F.col(id_col), F.explode(F.array_distinct(gram)).alias("shingle")
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(gram, hash60))).alias("shingle"),
     )
 
 
@@ -105,7 +114,7 @@ def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
     Plain groupBy/agg: the per-shingle hash arithmetic is codegen'd,
     the mins combine map-side, one shuffle on the doc id.
     """
-    x31 = (hash60(F.col("shingle")) % M31).alias("x31")
+    x31 = (F.col("shingle") % M31).alias("x31")
     base = sh.select(F.col(id_col), x31)
     sigs = [
         F.min((F.lit(MINHASH_A[i]) * F.col("x31") + F.lit(MINHASH_B[i])) % F.lit(M61)).alias(
@@ -184,8 +193,14 @@ def jaccard_verify(
 def minhash_lsh_dedup(
     df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.8
 ) -> DataFrame:
-    """X2 end-to-end: shingle -> minhash -> LSH bands -> verified pairs."""
-    sh = shingles(df, id_col, text_col)
+    """X2 end-to-end: shingle -> minhash -> LSH bands -> verified pairs.
+
+    The shingle relation fans out into signatures, sizes, and both
+    sides of the verification join; it is persisted so the tokenize +
+    sha-256 map work runs once, not once per consumer (Spark only
+    reuses identical *exchanges*, not arbitrary subtrees).
+    """
+    sh = shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -198,7 +213,7 @@ def exact_jaccard_pairs(
     for the sketch pipelines): candidates are pairs sharing >= 1
     shingle, so disjoint docs never pair. Quadratic only within
     shingle-collision groups."""
-    sh = shingles(df, id_col, text_col)
+    sh = shingles(df, id_col, text_col).persist()
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (
@@ -236,20 +251,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 
 
 def embedding_near_dup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.4
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold.
 
     Brute-force all-pairs (correctness baseline; the ANN path for
-    scale lives in operators/similarity.py). The fold is a sequential
-    JVM higher-order function — reproducible summation order.
+    scale lives in operators/similarity.py). Norms and the
+    float->double cast are computed once per ROW, below the join, so
+    the O(n^2) inner loop is a single codegen'd dot product per pair
+    (unrolled when ``dim`` is known — same summation order as the
+    fold, see similarity.dot). Values are bit-identical to the naive
+    per-pair formula.
     """
-    from ecommerce_dataengineering_project_spark.operators.similarity import cosine
+    from ecommerce_dataengineering_project_spark.operators.similarity import as_double, dot, norm
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = round_half_up(cosine(F.col("va"), F.col("vb")), 6)
+    base = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vd")
+    ).select("id", "vd", norm("vd" if dim else F.col("vd"), dim).alias("nrm"))
+    # The corpus typically arrives as one small file -> ONE partition,
+    # which would serialize the O(n^2) pair loop into a single task.
+    # Repartitioning the streamed side (a) spreads the loop across the
+    # cluster; the exchange also materializes vd/nrm once per row so
+    # Catalyst's projection collapse can't re-inline the norm into the
+    # per-pair expression. (b) is broadcast, which materializes too.
+    sc_parallelism = emb.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(sc_parallelism).select(
+        F.col("id").alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = round_half_up(
+        dot("va" if dim else F.col("va"), "vb" if dim else F.col("vb"), dim)
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
     return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )

@@ -30,20 +30,69 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def dot(a: Column, b: Column) -> Column:
-    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+def _at(name: str, i: int, cast: bool) -> str:
+    e = f"element_at(`{name}`, {i})"
+    return f"CAST({e} AS DOUBLE)" if cast else e
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+def _dot_sql(a: str, b: str, dim: int, cast: bool) -> str:
+    terms = " + ".join(f"{_at(a, i, cast)} * {_at(b, i, cast)}" for i in range(1, dim + 1))
+    return f"(0.0D + {terms})"
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _norm_sql(a: str, dim: int, cast: bool) -> str:
+    terms = " + ".join(f"{_at(a, i, cast)} * {_at(a, i, cast)}" for i in range(1, dim + 1))
+    return f"SQRT(0.0D + {terms})"
+
+
+def dot(
+    a: Column | str, b: Column | str, dim: int | None = None, cast: bool = False
+) -> Column:
+    """Dot product. With ``dim`` known (pass column NAMES, not Columns),
+    the sum is unrolled into a left-associated
+    ``a[1]*b[1] + ... + a[d]*b[d]`` expression — the SAME IEEE-754
+    evaluation order as the sequential fold (bit-identical result), but
+    it runs inside WholeStageCodegen instead of interpreting 2*d lambda
+    calls per row. The unrolled tree is built as ONE ``F.expr`` SQL
+    string: constructing it Column-by-Column costs thousands of py4j
+    round trips (~10 ms each) before Spark ever sees the plan.
+
+    ``cast=True`` casts each ELEMENT to double at extraction — use it
+    when the input is an un-materialized float array: wrapping the
+    array in ``transform(.., cast)`` and then unrolling would
+    re-materialize the whole casted array once per term after
+    projection collapse."""
+    if dim is None:
+        ad = as_double(a) if cast else a
+        bd = as_double(b) if cast else b
+        return _fold_sum(F.zip_with(ad, bd, lambda x, y: x * y))
+    assert isinstance(a, str) and isinstance(b, str), "unrolled dot takes column names"
+    return F.expr(_dot_sql(a, b, dim, cast))
+
+
+def norm(a: Column | str, dim: int | None = None, cast: bool = False) -> Column:
+    if dim is None:
+        ad = as_double(a) if cast else a
+        return F.sqrt(_fold_sum(F.transform(ad, lambda x: x * x)))
+    assert isinstance(a, str), "unrolled norm takes a column name"
+    return F.expr(_norm_sql(a, dim, cast))
+
+
+def as_double(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity of two array<float|double> columns, computed
-    in double precision."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
-    return dot(ad, bd) / (norm(ad) * norm(bd))
+    in double precision (element-wise casts; bit-identical to casting
+    the arrays first)."""
+    if dim is None:
+        return dot(a, b, cast=True) / (norm(a, cast=True) * norm(b, cast=True))
+    assert isinstance(a, str) and isinstance(b, str)
+    return F.expr(
+        f"{_dot_sql(a, b, dim, True)} / ({_norm_sql(a, dim, True)} * {_norm_sql(b, dim, True)})"
+    )
 
 
 def brute_force_topk(
@@ -52,6 +101,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -66,7 +116,7 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        round_half_up(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        round_half_up(cosine("qv", "cv", dim), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -92,15 +142,19 @@ def hyperplane(plane: int, dim: int) -> list[float]:
     return coeffs
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = NUM_PLANES) -> Column:
-    """Sign-bit bucket id: bit j = (vec . plane_j) >= 0."""
-    vd = F.transform(vec, lambda x: x.cast("double"))
-    bucket = F.lit(0)
+def lsh_bucket(vec: str, dim: int, num_planes: int = NUM_PLANES) -> Column:
+    """Sign-bit bucket id for a named vector column:
+    bit j = (vec . plane_j) >= 0. Plane coefficients are inlined as
+    double literals in one F.expr string (see dot() on why)."""
+    parts = []
     for j in range(num_planes):
-        plane = F.array(*[F.lit(c) for c in hyperplane(j, dim)])
-        bit = F.when(dot(vd, plane) >= 0.0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("int")
+        coeffs = hyperplane(j, dim)
+        dot_txt = " + ".join(
+            f"CAST(element_at(`{vec}`, {i + 1}) AS DOUBLE) * {coeffs[i]!r}D"
+            for i in range(dim)
+        )
+        parts.append(f"CASE WHEN (0.0D + {dot_txt}) >= 0.0D THEN {1 << j} ELSE 0 END")
+    return F.expr("CAST(" + " + ".join(parts) + " AS INT)")
 
 
 def lsh_topk(
@@ -119,12 +173,12 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+        lsh_bucket(vec_col, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(F.col(vec_col), dim).alias("bucket"),
+        lsh_bucket(vec_col, dim).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), on="bucket").where(
         F.col("query_id") != F.col("neighbor_id")
@@ -136,7 +190,7 @@ def lsh_topk(
         scored.select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            round_half_up(cosine("qv", "cv", dim), 6).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -52,7 +52,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=COSINE_THRESHOLD)
+    return embedding_near_dup_pairs(emb, threshold=COSINE_THRESHOLD, dim=64)
 
 
 QUERIES = {
@@ -68,10 +68,13 @@ def _r6(expr: str) -> str:
     return f"FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0"
 
 
+# Shingles are emitted pre-hashed to 60-bit ints (operators/dedup.py
+# shingles()); the oracle applies the identical sha-256-prefix hash.
 _SHINGLES = """
     t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
     sh AS (
-        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        SELECT DISTINCT doc_id,
+               CAST(CONCAT('0x', SUBSTR(SHA256(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15)) AS BIGINT) AS shingle
         FROM t, UNNEST(GENERATE_SERIES(1, LEN(ws) - 2)) AS s(i)
     )
 """
@@ -138,8 +141,7 @@ ORACLES = {
     "dedup_minhash_lsh": f"""
         WITH {_SHINGLES},
         hx AS (
-            SELECT doc_id,
-                   CAST(CONCAT('0x', SUBSTR(SHA256(shingle), 1, 15)) AS BIGINT) % {M31} AS x31
+            SELECT doc_id, shingle % {M31} AS x31
             FROM sh
         ),
         sig AS (

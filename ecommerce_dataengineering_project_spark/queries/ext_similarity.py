@@ -33,13 +33,13 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K)
+    return brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K, dim=EMBEDDING_DIM)
 
 
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
-        "vec_id", lsh_bucket(F.col("embedding"), EMBEDDING_DIM).alias("bucket")
+        "vec_id", lsh_bucket("embedding", EMBEDDING_DIM).alias("bucket")
     )
 
 
