@@ -24,6 +24,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_dedup,
         ext_multimodal,
         ext_similarity,
+        ext_stats,
         ext_text,
         ml_queries,
         streaming_queries,
@@ -36,6 +37,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_dedup,
         ext_multimodal,
         ext_similarity,
+        ext_stats,
         ext_text,
         ml_queries,
         streaming_queries,

@@ -1,0 +1,101 @@
+"""Set-ops, sketch statistics, and the scalar pandas-UDF surface
+(SURVEY §2g, §2j, §2k X5).
+
+- intersect (§2g): the engine's third set operator next to union
+  (union_segments) and except (except_antijoin) — exact oracle.
+- approx_count_distinct / percentile_approx (X5): sketch results are
+  engine-specific (HLL++ / GK parameters), so the query is rows-only
+  for the driver; tests/test_stats.py bounds the sketch error against
+  the exact values instead.
+- exact distinct/percentile twin: the same statistics computed
+  exactly — fully oracle-checked, and the baseline the sketch test
+  compares against.
+- scalar pandas UDF (§2j): the Arrow-vectorized Python path the
+  reference never needed but the UDF surface requires; arithmetic is
+  integer-derived so the oracle matches bit-for-bit — the check
+  covers the Arrow batch plumbing end to end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+
+def q_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with BOTH a fulfilled and an open order (§2g
+    intersect; distinct semantics, one shuffle per side + sort-merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    fulfilled = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    open_ = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return fulfilled.intersect(open_)
+
+
+def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 sketches per return flag: HLL++ distinct orders and GK
+    quantiles of quantity. At 100 TB these are THE way to compute
+    distincts/quantiles — fixed-size sketch state, map-side combined,
+    no sort, no exact-distinct shuffle explosion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.percentile_approx("l_quantity", 0.95).alias("approx_p95_qty"),
+    )
+
+
+def q_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin of the sketch query (oracle-checked)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.median("l_quantity").alias("median_qty"),
+    )
+
+
+@F.pandas_udf(DoubleType())
+def _verbosity_score(text: pd.Series) -> pd.Series:
+    """chars-per-token density, computed vectorized in pandas (Arrow
+    batches in/out; no per-row Python)."""
+    n_chars = text.str.len()
+    n_tokens = text.str.count(" ") + 1
+    return n_chars / n_tokens
+
+
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2j scalar pandas UDF over documents: integer-derived double
+    arithmetic, so DuckDB reproduces it exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _verbosity_score(F.col("text")).alias("verbosity"))
+
+
+QUERIES = {
+    "intersect_segments": q_intersect_segments,
+    "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
+    "exact_distinct_quantiles": q_exact_distinct_quantiles,
+    "pandas_udf_score": q_pandas_udf_score,
+}
+
+ORACLES = {
+    "intersect_segments": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "exact_distinct_quantiles": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               MEDIAN(l_quantity) AS median_qty
+        FROM lineitem GROUP BY 1
+    """,
+    "pandas_udf_score": """
+        SELECT doc_id,
+               LENGTH(text) * 1.0 / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+                   AS verbosity
+        FROM documents
+    """,
+}

@@ -80,6 +80,29 @@ def stage_source(
     shutil.rmtree(staging)
 
 
+def rate_source(spark: SparkSession, rows_per_second: int = 2) -> DataFrame:
+    """T8: the producer's ~2 events/s cadence (producer.py:25-27,163)
+    as a Spark rate source — (timestamp, value) rows for fixtures and
+    load tests."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def console_sink(df: DataFrame, trigger_seconds: int = 60):
+    """K2: the reference's debug console sink, untruncated, on the
+    micro-batch cadence (streaming_consumer.py:75-78,85). Returns the
+    started StreamingQuery; caller stops it."""
+    return (
+        df.writeStream.format("console")
+        .option("truncate", False)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 _SOURCE_CACHE: dict[str, object] = {}
 
 

