@@ -73,11 +73,28 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", _verbosity_score(F.col("text")).alias("verbosity"))
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation over the 3 hot return-flag keys
+    (operators/skew.py): result identical to the plain GROUP BY —
+    l_quantity is integral, so the re-associated double sums are exact.
+    """
+    from ecommerce_dataengineering_project_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li.select("l_returnflag", "l_quantity", "l_orderkey"),
+        keys=["l_returnflag"],
+        sums={"total_qty": "l_quantity", "n_rows": "1"},
+        salt_src=["l_orderkey"],
+    )
+
+
 QUERIES = {
     "intersect_segments": q_intersect_segments,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,
+    "skew_salted_agg": q_skew_salted_agg,
 }
 
 ORACLES = {
@@ -97,5 +114,11 @@ ORACLES = {
                LENGTH(text) * 1.0 / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
                    AS verbosity
         FROM documents
+    """,
+    "skew_salted_agg": """
+        SELECT l_returnflag,
+               SUM(l_quantity) AS total_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1
     """,
 }

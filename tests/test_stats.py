@@ -53,3 +53,17 @@ def test_csv_source_sink_roundtrip(spark, tmp_path):
     # declared-schema casts survive the text round trip (bool/int/double
     # were hand-cast in the reference producer; here the schema does it)
     assert back.where(F.col("inventory_level").isNull()).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """operators/skew.py salted_join produces exactly the plain join."""
+    from ecommerce_dataengineering_project_spark.operators.skew import salted_join
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = ev.join(cust, ["user_id"]).select("event_id", "user_id", "c_name")
+    salted = salted_join(ev, cust, ["user_id"]).select("event_id", "user_id", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
