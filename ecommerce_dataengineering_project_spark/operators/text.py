@@ -101,6 +101,44 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape: alphanumeric runs OR single
+# non-space symbols (the regex survives both Java and RE2 dialects, so
+# oracles reproduce it exactly).
+BPE_PRETOKEN_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+ROLLING_BASE = 31
+ROLLING_MOD = (1 << 31) - 1
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting three ways (the LLM-pipeline staple): whitespace
+    words, BPE-ish pre-token pieces (regex runs), and the chars/4
+    budget heuristic. All codegen'd column ops."""
+    pieces = F.expr(f"regexp_extract_all(`{text_col}`, '{BPE_PRETOKEN_RE}', 0)")
+    return (
+        df.withColumn("word_count", F.size(tokens(text_col)).cast("bigint"))
+        .withColumn("bpe_piece_count", F.size(pieces).cast("bigint"))
+        .withColumn(
+            "token_budget_est",
+            F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("bigint"),
+        )
+    )
+
+
+def with_rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling hash over the character stream:
+    ``h = (h*31 + code(c)) mod (2^31-1)`` folded left. The per-step
+    product stays < 2^36, safe in int64 on any engine — the oracle
+    folds the identical recurrence."""
+    chars = F.split(F.col(text_col), "")
+    h = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )
+    return df.withColumn("rolling_hash", h)
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token frequencies: one shuffle, map-side combined."""
     return (

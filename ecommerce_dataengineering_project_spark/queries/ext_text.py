@@ -5,11 +5,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ecommerce_dataengineering_project_spark.operators.text import (
+    BPE_PRETOKEN_RE,
+    ROLLING_BASE,
+    ROLLING_MOD,
     STOPWORDS,
     token_histogram,
     with_fingerprint,
     with_language_id,
+    with_rolling_hash,
     with_text_stats,
+    with_token_counts,
 )
 from ecommerce_dataengineering_project_spark.sources.readers import load_table
 
@@ -38,11 +43,25 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_histogram(docs)
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_counts(docs).select(
+        "doc_id", "word_count", "bpe_piece_count", "token_budget_est"
+    )
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_rolling_hash(docs).select("doc_id", "rolling_hash")
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
     "token_histogram": q_token_histogram,
+    "token_counts": q_token_counts,
+    "rolling_fingerprint": q_rolling_fingerprint,
 }
 
 ORACLES = {
@@ -100,5 +119,24 @@ ORACLES = {
         SELECT w AS token, COUNT(*) AS total_count
         FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
         GROUP BY 1
+    """,
+    "token_counts": f"""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS word_count,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_PRETOKEN_RE}')) AS BIGINT)
+                   AS bpe_piece_count,
+               CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS token_budget_est
+        FROM documents
+    """,
+    # identical left fold: acc = (acc*B + code) mod M, seeded with 0
+    "rolling_fingerprint": f"""
+        SELECT doc_id,
+               LIST_REDUCE(
+                   LIST_PREPEND(CAST(0 AS BIGINT),
+                       LIST_TRANSFORM(STRING_SPLIT(text, ''),
+                                      c -> CAST(ASCII(c) AS BIGINT))),
+                   (acc, c) -> (acc * {ROLLING_BASE} + c) % {ROLLING_MOD}
+               ) AS rolling_hash
+        FROM documents
     """,
 }
