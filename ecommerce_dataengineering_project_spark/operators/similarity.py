@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -157,30 +159,82 @@ def lsh_bucket(vec: str, dim: int, num_planes: int = NUM_PLANES) -> Column:
     return F.expr("CAST(" + " + ".join(parts) + " AS INT)")
 
 
-def lsh_topk(
+def _cell_assigner(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched cell assignment: per batch, one numpy matmul
+    against the centroid matrix, argsort for the probe list. (An
+    unrolled n_cells x dim codegen expression works but the generated
+    method is large enough to hurt JIT/compile memory — for a trained
+    quantizer the vectorized pandas UDF is the honest scale path.)"""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    half_sq = (C * C).sum(axis=1) / 2.0
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy())  # (batch, dim)
+        scores = X @ C.T - half_sq  # argmax == nearest centroid
+        order = np.argsort(-scores, axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    return probe_cells
+
+
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: seeded KMeans (pyspark.ml) over the
+    corpus. At 100 TB you fit on a sample — centroids are a few KB of
+    driver state either way and ship to executors as plan literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """ANN top-k: score only corpus vectors in the query's bucket.
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid
+    cell; each query probes its ``n_probe`` nearest cells and scores
+    only those vectors. The cell assignment is a map-only codegen'd
+    expression (centroid literals in the plan — no model object, no
+    UDF); the probe join shuffles only by cell id.
 
-    Trades recall for a ~2^planes candidate reduction; recall is
-    regression-tested against brute_force_topk in tests/.
+    vs LSH (lsh_topk): IVF adapts to the data distribution (cells
+    follow density), costs a training pass; LSH is oblivious but free.
+    Both are rows-only for oracles — recall is regression-tested
+    against brute_force_topk.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        lsh_bucket(vec_col, dim).alias("bucket"),
-    )
+    if centroids is None:
+        centroids = fit_ivf_centroids(corpus, dim, n_cells, vec_col)
+    assign_one = _cell_assigner(centroids, 1)
+    assign_probe = _cell_assigner(centroids, n_probe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        lsh_bucket(vec_col, dim).alias("bucket"),
+        F.element_at(assign_one(F.col(vec_col).cast("array<double>")), 1).alias("cell"),
     )
-    scored = c.join(F.broadcast(q), on="bucket").where(
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        assign_probe(F.col(vec_col).cast("array<double>")).alias("probe_cells"),
+    ).select("query_id", "qv", F.explode("probe_cells").alias("cell"))
+    scored = c.join(F.broadcast(q), on="cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -188,6 +242,80 @@ def lsh_topk(
     )
     return (
         scored.select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(cosine("qv", "cv", dim), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _lsh_table_assigner(dim: int, n_tables: int, planes_per_table: int):
+    """Arrow-batched multi-table bucket keys: one sign-bit matmul per
+    batch; key = table * 2^planes + bucket. Planes reuse the
+    sha-derived hyperplane() coefficients, so assignments are
+    deterministic data, not model state."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    P = np.asarray(
+        [hyperplane(j, dim) for j in range(n_tables * planes_per_table)],
+        dtype=np.float64,
+    )  # (tables*planes, dim)
+    weights = np.tile(1 << np.arange(planes_per_table), n_tables)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def table_keys(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (X @ P.T >= 0).astype(np.int64)  # (batch, tables*planes)
+        contrib = (bits * weights).reshape(len(X), n_tables, planes_per_table)
+        buckets = contrib.sum(axis=2)  # (batch, tables)
+        keys = (np.arange(n_tables) << planes_per_table) + buckets
+        return pd.Series(list(keys.astype("int32")))
+
+    return table_keys
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """ANN top-k via multi-table hyperplane LSH: a pair is a candidate
+    if it collides in ANY of ``n_tables`` tables of
+    ``planes_per_table`` sign bits. One table of many planes has
+    near-zero recall for top-k (buckets outnumber vectors); the
+    union-of-tables form is the standard recall/cost dial. Candidates
+    join on the 4-byte table key; recall vs brute_force_topk is
+    regression-tested in tests/test_similarity.py.
+    """
+    assign = _lsh_table_assigner(dim, n_tables, planes_per_table)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assign(F.col(vec_col).cast("array<double>"))).alias("tkey"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.explode(assign(F.col(vec_col).cast("array<double>"))).alias("tkey"),
+    )
+    cand = (
+        c.join(F.broadcast(q), on="tkey")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select(
             "query_id",
             "neighbor_id",
             round_half_up(cosine("qv", "cv", dim), 6).alias("cosine"),

@@ -363,8 +363,59 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped 3-way join: unshipped BUILDING-segment orders by
+    pending revenue. Customer/orders filters push to the scans; the
+    customer side broadcasts; total order (revenue desc, date, key)
+    makes the LIMIT deterministic."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(round_half_up(F.sum(F.expr(_REVENUE_SQL)), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_date"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: local supplier revenue per ASIA
+    nation for one order year. Dims (supplier/nation/region/customer)
+    broadcast; the only large shuffle is lineitem x orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round_half_up(F.sum(F.expr(_REVENUE_SQL)), 2).alias("revenue"))
+    )
+
+
 QUERIES = {
     "daily_sales": q_daily_sales,
+    "segment_top_orders": q_segment_top_orders,
+    "region_revenue": q_region_revenue,
     "fct_purchases": q_fct_purchases,
     "total_purchase_producer": q_total_purchase_producer,
     "conditional_pricing": q_conditional_pricing,
@@ -389,6 +440,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "segment_top_orders": f"""
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               FLOOR((SUM({_REVENUE_SQL})) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_shipdate > TIMESTAMP '1998-06-30'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, order_date, l_orderkey
+        LIMIT 10
+    """,
+    "region_revenue": f"""
+        SELECT n_name,
+               FLOOR((SUM({_REVENUE_SQL})) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
     "daily_sales": f"""
         SELECT CAST(l_shipdate AS DATE) AS purchase_date,
                FLOOR((SUM({_AMOUNT_SQL})) * 100.0 + 0.5) / 100.0 AS daily_total_sales,

@@ -16,6 +16,7 @@ from ecommerce_dataengineering_project_spark.operators.similarity import (
     NUM_PLANES,
     brute_force_topk,
     hyperplane,
+    ivf_topk,
     lsh_bucket,
     lsh_topk,
 )
@@ -48,10 +49,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(_queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K)
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,  # rows-only: ANN, no SQL oracle
+    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: ANN, no SQL oracle
 }
 
 _COS_CTE = """

@@ -23,6 +23,9 @@ from pyspark.sql import SparkSession
 #    the exact number non-critical, which is what you want when the
 #    same job runs at sf0.001 and at 100 TB.
 _SCALE_CONFS: dict[str, str] = {
+    # local[32] drives 32 concurrent tasks through one JVM; the 1g
+    # default heap is the test bottleneck, not a scale setting.
+    "spark.driver.memory": "8g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,34 @@
+"""ANN quality regression (X3): both approximate paths must return a
+full top-k and recall a majority of the exact neighbors."""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+    N_QUERY_VECS,
+    TOP_K,
+    q_ann_ivf_topk,
+    q_ann_lsh_topk,
+    q_similarity_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    return {(r.query_id, r.neighbor_id) for r in q_similarity_topk(spark, sf_dir).collect()}
+
+
+def _check(ann_rows, exact_pairs, min_recall):
+    pairs = {(r.query_id, r.neighbor_id) for r in ann_rows}
+    assert len(pairs) == N_QUERY_VECS * TOP_K  # full top-k per query
+    recall = len(pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= min_recall, f"recall {recall:.2f}"
+
+
+def test_lsh_topk_recall(spark, sf_dir, exact_pairs):
+    _check(q_ann_lsh_topk(spark, sf_dir).collect(), exact_pairs, 0.5)
+
+
+def test_ivf_topk_recall(spark, sf_dir, exact_pairs):
+    _check(q_ann_ivf_topk(spark, sf_dir).collect(), exact_pairs, 0.4)
