@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the cross-engine invariants
+the oracle harness depends on."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ecommerce_dataengineering_project_spark.ml.isolation_forest import IsolationForest
+
+
+def _py_round_half_up(x: float, scale: int) -> float:
+    import math
+
+    p = float(10**scale)
+    return math.floor(x * p + 0.5) / p
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_half_up_matches_duckdb(x, scale):
+    """The engine's portable rounding and its SQL twin are the same
+    function on any IEEE-754 engine (the whole point of round_half_up:
+    Spark's round() and DuckDB's round() disagree on doubles)."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
+
+    expr = sql_round_half_up("?", scale)
+    (duck_val,) = duckdb.execute(f"SELECT {expr}", [x]).fetchone()
+    assert duck_val == _py_round_half_up(x, scale)
+
+
+@given(st.lists(st.floats(-100, 100, allow_nan=False), min_size=2, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_isolation_forest_scores_bounded(xs):
+    import numpy as np
+
+    X = np.array(xs).reshape(-1, 1)
+    s = IsolationForest(n_estimators=10, seed=1).fit(X).score_samples(X)
+    assert ((s > 0.0) & (s <= 1.0)).all()
+
+
+@given(st.integers(min_value=0, max_value=2**61 - 2))
+@settings(max_examples=200, deadline=None)
+def test_minhash_universal_hash_stays_in_int64(x31):
+    """The MinHash universal-hash arithmetic must never overflow int64
+    for any 31-bit input (the portability precondition the dedup
+    module's docstring claims)."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        M31,
+        M61,
+        MINHASH_A,
+        MINHASH_B,
+    )
+
+    x = x31 % M31
+    for a, b in zip(MINHASH_A, MINHASH_B):
+        v = a * x + b
+        assert v < 2**63  # no int64 overflow on any engine
+        assert 0 <= v % M61 < M61
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_shingles_match_duckdb_on_edge_texts(spark, n):
+    """Shingle hashing parity on edge-case texts (short docs, repeated
+    tokens, single char) — the guard paths of the Spark expression."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import shingles
+
+    texts = ["a", "a b", "a b c", "a b c d", "x x x x x", "one two one two one"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {
+        (r.doc_id, r.shingle)
+        for r in shingles(df, "doc_id", n=n).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    joined = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    want = set(
+        con.sql(
+            f"""
+            WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM d)
+            SELECT DISTINCT doc_id,
+                   CAST(CONCAT('0x', SUBSTR(SHA256({joined}), 1, 15)) AS BIGINT)
+            FROM t, UNNEST(GENERATE_SERIES(1, LEN(ws) - {n - 1})) AS s(i)
+            """
+        ).fetchall()
+    )
+    assert got == want
