@@ -199,12 +199,74 @@ def q_stream_inventory_restock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (A3 as a stream): the source replays every
+    event TWICE (adjacent batches), dropDuplicates on the key keeps
+    state per seen id and emits each exactly once. At 100 TB you bound
+    that state with dropDuplicatesWithinWatermark; here the bounded
+    replay checks exact-once emission across batch boundaries."""
+
+    def stage(source_dir: str):
+        ev = _tagged_events(spark, sf_dir)
+        dup = ev.withColumn("__batch", F.col("__batch") + 3)
+        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
+        return EVENT_SCHEMA
+
+    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.dropDuplicates(["event_id"]).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+
+    return run_bounded_stream(spark, "stream_dedup", None, transform, source=src)
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour. Both sides are watermarked so
+    Spark can discard buffered rows once the interval provably passed
+    — the state-bounding condition for stream-stream joins."""
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        clicks = (
+            stream.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            stream.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+        )
+        return joined.select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+
+    return run_bounded_stream(spark, "stream_stream_join", None, transform, source=src)
+
+
 QUERIES = {
     "stream_bronze_silver": q_stream_bronze_silver,
     "stream_tumbling_revenue": q_stream_tumbling_revenue,
     "stream_sliding_activity": q_stream_sliding_activity,
     "stream_session_windows": q_stream_session_windows,
     "stream_inventory_restock": q_stream_inventory_restock,
+    "stream_dedup": q_stream_dedup,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 _REV = sql_round_half_up("SUM(value)", 2)
@@ -265,6 +327,21 @@ ORACLES = {
                {_REV} AS session_revenue,
                COUNT(*) AS session_events
         FROM s GROUP BY user_id, sess_id
+    """,
+    # Double replay in, each event out exactly once.
+    "stream_dedup": """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    "stream_stream_join": """
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.user_id
+        FROM events p
+        JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
     """,
     # The restock scan is non-associative, so the oracle replays it as
     # a per-key recursive CTE over row_number order.
