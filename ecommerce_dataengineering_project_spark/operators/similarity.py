@@ -53,11 +53,17 @@ def dot(
     """Dot product. With ``dim`` known (pass column NAMES, not Columns),
     the sum is unrolled into a left-associated
     ``a[1]*b[1] + ... + a[d]*b[d]`` expression — the SAME IEEE-754
-    evaluation order as the sequential fold (bit-identical result), but
-    it runs inside WholeStageCodegen instead of interpreting 2*d lambda
-    calls per row. The unrolled tree is built as ONE ``F.expr`` SQL
-    string: constructing it Column-by-Column costs thousands of py4j
-    round trips (~10 ms each) before Spark ever sees the plan.
+    evaluation order as the sequential fold (bit-identical result).
+    The unrolled tree is built as ONE ``F.expr`` SQL string:
+    constructing it Column-by-Column costs thousands of py4j round
+    trips before Spark ever sees the plan.
+
+    Choose by context, values are identical either way: the unrolled
+    form avoids HOF/array re-materialization when composed over
+    narrow source columns (bucket assignment, per-row norms); on a
+    high-volume pair loop the FOLD (dim=None) is measurably faster —
+    a 129-term generated method exceeds the JIT huge-method limit and
+    deoptimizes to interpreted bytecode (see dedup.py).
 
     ``cast=True`` casts each ELEMENT to double at extraction — use it
     when the input is an un-materialized float array: wrapping the
