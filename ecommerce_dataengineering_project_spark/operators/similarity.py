@@ -200,7 +200,10 @@ def fit_ivf_centroids(
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    # A coarse quantizer needs rough cells, not convergence: 5
+    # iterations is standard IVF practice and halves the fit cost
+    # (each Lloyd iteration is a full Spark job).
+    model = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

@@ -49,9 +49,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K)
 
 
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_dataengineering_project_spark.operators.similarity import fit_ivf_centroids
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(_queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K)
+    if sf_dir not in _IVF_CENTROIDS:  # train once per corpus per process
+        _IVF_CENTROIDS[sf_dir] = fit_ivf_centroids(emb, EMBEDDING_DIM)
+    return ivf_topk(
+        _queries_df(spark, sf_dir),
+        emb,
+        EMBEDDING_DIM,
+        k=TOP_K,
+        centroids=_IVF_CENTROIDS[sf_dir],
+    )
 
 
 QUERIES = {
