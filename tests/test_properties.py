@@ -5,10 +5,16 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from ecommerce_dataengineering_project_spark.ml.isolation_forest import IsolationForest
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark
 
 
 def _py_round_half_up(x: float, scale: int) -> float:
@@ -91,3 +97,47 @@ def test_shingles_match_duckdb_on_edge_texts(spark, n):
         ).fetchall()
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=30
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark_global, left_rows, right_rows):
+    """asof_join (union-sentinel + window) agrees with pandas
+    merge_asof(backward, by=key) on random keyed time series."""
+    import pandas as pd
+
+    from ecommerce_dataengineering_project_spark.operators.joins import asof_join
+
+    spark = spark_global
+    # dedupe right on (key, ts): merge_asof picks the LAST among equal
+    # ts while the operator resolves by greatest value — align inputs
+    right_rows = list({(k, ts): v for k, ts, v in right_rows}.items())
+    right_rows = [(k, ts, v) for (k, ts), v in right_rows]
+    left = spark.createDataFrame(
+        [(k, ts * 1000000) for k, ts in left_rows], "k int, lts long"
+    ).select("k", F.timestamp_micros(F.col("lts")).alias("lts"))
+    right = spark.createDataFrame(
+        [(k, ts * 1000000, v) for k, ts, v in right_rows], "k int, rts long, v int"
+    ).select("k", F.timestamp_micros(F.col("rts")).alias("rts"), "v")
+    got = {
+        (r.k, r.lts): r.v
+        for r in asof_join(left, right, "k", "lts", "rts", ["v"]).collect()
+    }
+    lp = pd.DataFrame([(k, pd.Timestamp(ts, unit="s")) for k, ts in left_rows], columns=["k", "ts"]).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(ts, unit="s"), v) for k, ts, v in right_rows],
+        columns=["k", "ts", "v"],
+    ).sort_values(["ts", "v"], kind="stable")
+    want_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in want_df.iterrows():
+        v = None if pd.isna(row.v) else int(row.v)
+        assert got[(row.k, row.ts.to_pydatetime())] == v
