@@ -412,10 +412,41 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: priority counts over orders having at
+    least one line shipped after 2000-01-01 — a left-semi join (the
+    relational form of EXISTS; no row duplication, one shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): every subtotal combination
+    in one pass (§2d beyond rollup; GROUPING SETS expansion is
+    map-side, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 QUERIES = {
     "daily_sales": q_daily_sales,
     "segment_top_orders": q_segment_top_orders,
     "region_revenue": q_region_revenue,
+    "exists_late_orders": q_exists_late_orders,
+    "cube_revenue": q_cube_revenue,
     "fct_purchases": q_fct_purchases,
     "total_purchase_producer": q_total_purchase_producer,
     "conditional_pricing": q_conditional_pricing,
@@ -440,6 +471,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "exists_late_orders": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate >= TIMESTAMP '2000-01-01'
+        )
+        GROUP BY 1
+    """,
+    "cube_revenue": """
+        SELECT l_returnflag, l_linestatus,
+               FLOOR((SUM(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "segment_top_orders": f"""
         SELECT l_orderkey,
                CAST(o_orderdate AS DATE) AS order_date,

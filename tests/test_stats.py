@@ -67,3 +67,43 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     plain = ev.join(cust, ["user_id"]).select("event_id", "user_id", "c_name")
     salted = salted_join(ev, cust, ["user_id"]).select("event_id", "user_id", "c_name")
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_kafka_builders_configured(spark):
+    """S1/K1 builders carry the reference's exact options (no broker in
+    this environment — construction only, load()/save() deferred)."""
+    from ecommerce_dataengineering_project_spark.streaming.bronze_silver import to_kafka_shape
+    from ecommerce_dataengineering_project_spark.streaming.kafka_io import (
+        kafka_batch_writer,
+        kafka_stream_reader,
+    )
+
+    class FakeReader:
+        def __init__(self):
+            self.opts = {}
+            self.fmt = None
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+    class FakeSession:
+        readStream = FakeReader()
+
+    reader = kafka_stream_reader(
+        FakeSession(), "broker:9092", "demo.purchases", sasl_jaas="jaas-config"
+    )
+    assert reader.fmt == "kafka"
+    assert reader.opts["subscribe"] == "demo.purchases"
+    assert reader.opts["startingOffsets"] == "earliest"
+    assert reader.opts["failOnDataLoss"] == "false"
+    assert reader.opts["kafka.security.protocol"] == "SASL_SSL"
+
+    shaped = to_kafka_shape(spark.createDataFrame([(1, "x")], "a int, b string"))
+    assert shaped.columns == ["value"]
+    writer = kafka_batch_writer(shaped, "broker:9092", "demo.purchases")
+    assert writer is not None
