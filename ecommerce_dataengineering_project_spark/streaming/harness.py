@@ -80,6 +80,44 @@ def stage_source(
     shutil.rmtree(staging)
 
 
+def run_bounded_foreach(
+    spark: SparkSession,
+    name: str,
+    batches: list[DataFrame] | None,
+    transform,
+    batch_fn,
+    source: tuple[str, object] | None = None,
+) -> None:
+    """Bounded streaming run into a ``foreachBatch`` sink — the
+    production pattern for sinks Structured Streaming can't write
+    directly (MERGE/upsert into a table, multi-table fan-out, JDBC).
+    ``batch_fn(batch_df, batch_id)`` runs once per micro-batch with a
+    BATCH DataFrame, so any batch operator (e.g.
+    sources.maintenance.merge_upsert) becomes a streaming sink;
+    exactly-once comes from the checkpoint + an idempotent batch_fn.
+    """
+    source_dir, _, ckpt_dir = _stream_dirs(name)
+    if source is not None:
+        source_dir, schema = source
+    else:
+        stage_source(batches, source_dir)
+        schema = batches[0].schema
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 2) -> DataFrame:
     """T8: the producer's ~2 events/s cadence (producer.py:25-27,163)
     as a Spark rate source — (timestamp, value) rows for fixtures and
