@@ -73,6 +73,35 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", _verbosity_score(F.col("text")).alias("verbosity"))
 
 
+def q_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2j grouped-map applyInPandas: per-event-type stats computed in
+    a pandas batch per group (the reference's IsolationForest shape —
+    SURVEY §2j — generalized). Median arithmetic ((a+b)/2 on doubles)
+    is exact in IEEE-754, so even this pandas path oracle-checks
+    bit-for-bit. Keys here are low-cardinality; for high-cardinality
+    keys the same call scales per-group across executors."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [len(v)],
+                "median_value": [float(np.median(v))],
+                "value_range": [float(v.max() - v.min())],
+            }
+        )
+
+    return ev.select("event_type", "value").groupBy("event_type").applyInPandas(
+        stats,
+        "event_type string, n_events long, median_value double, value_range double",
+    )
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-stage aggregation over the 3 hot return-flag keys
     (operators/skew.py): result identical to the plain GROUP BY —
@@ -94,6 +123,7 @@ QUERIES = {
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,
+    "grouped_pandas_stats": q_grouped_pandas_stats,
     "skew_salted_agg": q_skew_salted_agg,
 }
 
@@ -114,6 +144,13 @@ ORACLES = {
                LENGTH(text) * 1.0 / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
                    AS verbosity
         FROM documents
+    """,
+    "grouped_pandas_stats": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               MEDIAN(value) AS median_value,
+               MAX(value) - MIN(value) AS value_range
+        FROM events GROUP BY 1
     """,
     "skew_salted_agg": """
         SELECT l_returnflag,

@@ -141,3 +141,48 @@ def test_asof_join_matches_pandas_merge_asof(spark_global, left_rows, right_rows
     for _, row in want_df.iterrows():
         v = None if pd.isna(row.v) else int(row.v)
         assert got[(row.k, row.ts.to_pydatetime())] == v
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=20
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 99)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_asof_join_forward_matches_pandas(spark_global, left_rows, right_rows):
+    """forward direction: earliest right row with rts >= lts."""
+    import pandas as pd
+
+    from ecommerce_dataengineering_project_spark.operators.joins import asof_join
+
+    spark = spark_global
+    right_rows = [(k, ts, v) for (k, ts), v in
+                  {(k, ts): v for k, ts, v in right_rows}.items()]
+    left = spark.createDataFrame(
+        [(k, ts * 1000000) for k, ts in left_rows], "k int, lts long"
+    ).select("k", F.timestamp_micros(F.col("lts")).alias("lts"))
+    right = spark.createDataFrame(
+        [(k, ts * 1000000, v) for k, ts, v in right_rows], "k int, rts long, v int"
+    ).select("k", F.timestamp_micros(F.col("rts")).alias("rts"), "v")
+    got = {
+        (r.k, r.lts): r.v
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(ts, unit="s")) for k, ts in left_rows], columns=["k", "ts"]
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(ts, unit="s"), v) for k, ts, v in right_rows],
+        columns=["k", "ts", "v"],
+    ).sort_values(["ts", "v"], ascending=[True, False], kind="stable")
+    want_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="forward")
+    for _, row in want_df.iterrows():
+        v = None if pd.isna(row.v) else int(row.v)
+        assert got[(row.k, row.ts.to_pydatetime())] == v
