@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
-import math
 import random
 
 from pyspark.sql import DataFrame, SparkSession

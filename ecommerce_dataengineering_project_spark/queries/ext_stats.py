@@ -118,7 +118,53 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel: a user converts at each stage
+    only if the stage's FIRST event follows the previous stage's first
+    event (ordered funnel, min-ts semantics). One conditional-agg
+    shuffle by user, then a global rollup — no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    staged = per_user.select(
+        F.col("t_view").isNotNull().alias("s1"),
+        (F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+            & (F.col("t_buy") > F.col("t_click"))
+        ).alias("s3"),
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("n_viewed"),
+        F.sum(F.col("s2").cast("long")).alias("n_clicked_after_view"),
+        F.sum(F.col("s3").cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per subsequent active week. distinct(user, week) ->
+    min-week cohort join -> count; the classic retention matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.weekofyear("ts").alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
     "intersect_segments": q_intersect_segments,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
@@ -128,6 +174,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_conversion": """
+        WITH u AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY 1
+        )
+        SELECT COUNT(*) AS n_users,
+               SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+               SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
+               SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
+                   AS n_purchased_after_click
+        FROM u
+    """,
+    "cohort_retention": """
+        WITH w AS (SELECT DISTINCT user_id, WEEKOFYEAR(ts) AS week FROM events),
+        c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1)
+        SELECT c.cohort_week, w.week, COUNT(DISTINCT w.user_id) AS n_active
+        FROM w JOIN c ON w.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
     "intersect_segments": """
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         INTERSECT

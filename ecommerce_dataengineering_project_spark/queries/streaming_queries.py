@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
 from ecommerce_dataengineering_project_spark.sources.readers import load_table
-from ecommerce_dataengineering_project_spark.streaming.bronze_silver import parse_with_drift, to_kafka_shape
+from ecommerce_dataengineering_project_spark.streaming.bronze_silver import parse_with_drift
 from ecommerce_dataengineering_project_spark.streaming.event_windows import (
     session_agg,
     sliding_agg,

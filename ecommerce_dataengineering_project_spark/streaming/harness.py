@@ -168,7 +168,6 @@ def stage_source_tagged(
     appended as one trailing single-file batch per row, written
     driver-side — a Spark job per 1-row flush file would cost more than
     the whole stream."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     shutil.rmtree(source_dir, ignore_errors=True)

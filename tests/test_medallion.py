@@ -8,7 +8,6 @@ README.md:51) and a DuckDB cross-check of the revenue arithmetic.
 
 from __future__ import annotations
 
-import json
 
 import duckdb
 import pytest
