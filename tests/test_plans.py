@@ -1,0 +1,76 @@
+"""Physical-plan regression tests — the 100 TB properties, asserted.
+
+Correctness tests prove the right ROWS; these prove the right PLAN:
+filters reach the parquet scan, projections prune the read schema,
+dimension joins broadcast, and date partitioning prunes files. A
+regression here is invisible at sf0.01 and catastrophic at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.queries.core import (
+    q_daily_sales,
+    q_incremental_watermark,
+    q_multi_join_revenue,
+    q_region_revenue,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_daily_sales(spark, sf_dir):
+    plan = _plan(q_daily_sales(spark, sf_dir))
+    # the scan must read only the 6 needed columns, not all 11
+    scan = [ln for ln in plan.splitlines() if "FileScan parquet" in ln][0]
+    assert "l_extendedprice" in scan and "l_shipdate" in scan
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_filter_pushdown_incremental(spark, sf_dir):
+    plan = _plan(q_incremental_watermark(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for q in (q_multi_join_revenue, q_region_revenue):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        assert "SortMergeJoin" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_partition_pruning_on_gold_layout(spark, tmp_path):
+    """The medallion gold layout (partitionBy purchase_date) must prune
+    non-matching date partitions at the metadata level."""
+    path = str(tmp_path / "gold_part")
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 10).cast("int")).alias(
+            "purchase_date"
+        ),
+    )
+    df.write.partitionBy("purchase_date").parquet(path)
+    read = spark.read.parquet(path).where(F.col("purchase_date") == "2024-01-03")
+    plan = _plan(read)
+    assert "PartitionFilters" in plan
+    # only one of the ten date directories is scanned
+    assert read.count() == 100
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "purchase_date" in plan[plan.index("PartitionFilters") :][:200]
+
+
+def test_no_python_udf_in_core_plans(spark, sf_dir):
+    """Core relational queries must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes — Python belongs only in the explicitly
+    pandas-based operators)."""
+    for q in (q_daily_sales, q_multi_join_revenue, q_incremental_watermark):
+        plan = _plan(q(spark, sf_dir))
+        assert "EvalPython" not in plan, q.__name__
