@@ -260,11 +260,18 @@ def ivf_topk(
     )
 
 
-def _lsh_table_assigner(dim: int, n_tables: int, planes_per_table: int):
+def _lsh_table_assigner(
+    dim: int, n_tables: int, planes_per_table: int, multiprobe: bool = False
+):
     """Arrow-batched multi-table bucket keys: one sign-bit matmul per
     batch; key = table * 2^planes + bucket. Planes reuse the
     sha-derived hyperplane() coefficients, so assignments are
-    deterministic data, not model state."""
+    deterministic data, not model state.
+
+    ``multiprobe``: also emit every one-bit-flipped bucket per table
+    (query side only) — near-boundary neighbors land one sign flip
+    away, so probing Hamming-1 buckets buys most of the recall a
+    whole extra table would, at zero index cost."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     P = np.asarray(
@@ -279,7 +286,11 @@ def _lsh_table_assigner(dim: int, n_tables: int, planes_per_table: int):
         bits = (X @ P.T >= 0).astype(np.int64)  # (batch, tables*planes)
         contrib = (bits * weights).reshape(len(X), n_tables, planes_per_table)
         buckets = contrib.sum(axis=2)  # (batch, tables)
-        keys = (np.arange(n_tables) << planes_per_table) + buckets
+        base = (np.arange(n_tables) << planes_per_table) + buckets
+        if not multiprobe:
+            return pd.Series(list(base.astype("int32")))
+        probes = [base] + [base ^ (1 << j) for j in range(planes_per_table)]
+        keys = np.concatenate(probes, axis=1)
         return pd.Series(list(keys.astype("int32")))
 
     return table_keys
@@ -294,20 +305,24 @@ def lsh_topk(
     k: int = 10,
     n_tables: int = 8,
     planes_per_table: int = 4,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """ANN top-k via multi-table hyperplane LSH: a pair is a candidate
     if it collides in ANY of ``n_tables`` tables of
     ``planes_per_table`` sign bits. One table of many planes has
     near-zero recall for top-k (buckets outnumber vectors); the
-    union-of-tables form is the standard recall/cost dial. Candidates
-    join on the 4-byte table key; recall vs brute_force_topk is
-    regression-tested in tests/test_similarity.py.
+    union-of-tables form is the standard recall/cost dial, and
+    Hamming-1 multiprobe on the query side raises recall further
+    without growing the index. Candidates join on the 4-byte table
+    key; recall vs brute_force_topk is regression-tested in
+    tests/test_similarity.py.
     """
     assign = _lsh_table_assigner(dim, n_tables, planes_per_table)
+    assign_q = _lsh_table_assigner(dim, n_tables, planes_per_table, multiprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        F.explode(assign(F.col(vec_col).cast("array<double>"))).alias("tkey"),
+        F.explode(assign_q(F.col(vec_col).cast("array<double>"))).alias("tkey"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -27,7 +27,8 @@ def _check(ann_rows, exact_pairs, min_recall):
 
 
 def test_lsh_topk_recall(spark, sf_dir, exact_pairs):
-    _check(q_ann_lsh_topk(spark, sf_dir).collect(), exact_pairs, 0.5)
+    # multi-table + Hamming-1 multiprobe: near-exhaustive on this corpus
+    _check(q_ann_lsh_topk(spark, sf_dir).collect(), exact_pairs, 0.8)
 
 
 def test_ivf_topk_recall(spark, sf_dir, exact_pairs):
