@@ -207,15 +207,37 @@ def minhash_lsh_dedup(
 
 
 def exact_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the verification baseline
     for the sketch pipelines): candidates are pairs sharing >= 1
     shingle, so disjoint docs never pair. Quadratic only within
-    shingle-collision groups."""
+    shingle-collision groups.
+
+    ``max_doc_freq``: the scale dial — exclude shingles appearing in
+    more than this many documents from CANDIDATE GENERATION (a shingle
+    in f docs contributes f^2 candidate pairs; stopword-like shingles
+    dominate the quadratic cost while contributing least evidence).
+    Verification still uses ALL shingles, so the Jaccard VALUES are
+    exact; only pairs whose every shared shingle is hot can be missed.
+    None = fully exact (the default baseline).
+    """
     sh = shingles(df, id_col, text_col).persist()
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    cand_src = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        cand_src = sh.join(rare, "shingle")
+    sa = cand_src.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = cand_src.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (
         sa.join(sb, "shingle")
         .where(F.col("id_a") < F.col("id_b"))

@@ -45,6 +45,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(docs, "doc_id", threshold=NGRAM_THRESHOLD)
 
 
+DF_CAP = 50
+
+
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped scale variant: hot shingles (document frequency
+    > 50) are excluded from candidate generation only; Jaccard values
+    stay exact. The oracle replicates the cap, so this is checked
+    bit-for-bit too."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(
+        docs, "doc_id", threshold=NGRAM_THRESHOLD, max_doc_freq=DF_CAP
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id")
@@ -59,6 +73,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -165,6 +180,18 @@ ORACLES = {
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_TAIL.format(thr=NGRAM_THRESHOLD)}
+    """,
+    "dedup_ngram_capped": f"""
+        WITH {_SHINGLES},
+        rare AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+        ),
+        cs AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM cs a JOIN cs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         ),
         {_JACCARD_TAIL.format(thr=NGRAM_THRESHOLD)}
     """,
