@@ -192,19 +192,44 @@ def fit_ivf_centroids(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
+    fitter: str = "local",
+    sample_rows: int = 100_000,
 ) -> list[list[float]]:
-    """Coarse quantizer for IVF: seeded KMeans (pyspark.ml) over the
-    corpus. At 100 TB you fit on a sample — centroids are a few KB of
-    driver state either way and ship to executors as plan literals."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Coarse quantizer for IVF. Centroids are a few KB of driver
+    state either way and ship to executors as plan literals.
 
-    feats = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    # A coarse quantizer needs rough cells, not convergence: 5
-    # iterations is standard IVF practice and halves the fit cost
-    # (each Lloyd iteration is a full Spark job).
-    model = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feats)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    fitter="local" (default): collect a bounded sample and run seeded
+    Lloyd iterations in numpy — a coarse quantizer needs rough cells,
+    not convergence, and each distributed Lloyd iteration is a full
+    Spark job (~1 s of overhead at any scale). This is standard IVF
+    practice: train on a sample, assign distributed.
+
+    fitter="ml": seeded pyspark.ml KMeans over the full corpus — use
+    when the corpus is too skewed for sampling or the model should be
+    persisted via MLlib.
+    """
+    if fitter == "ml":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feats)
+        return [list(map(float, c)) for c in model.clusterCenters()]
+
+    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_rows).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(5):  # Lloyd
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in C]
 
 
 def ivf_topk(

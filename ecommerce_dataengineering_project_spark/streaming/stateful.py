@@ -85,3 +85,54 @@ def inventory_restock_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def inventory_restock_tws(events: DataFrame) -> DataFrame:
+    """The same operator on the Spark 4 ``transformWithStateInPandas``
+    API (StatefulProcessor + typed ValueState): richer state model
+    (multiple named states, timers, TTL) and the successor to
+    applyInPandasWithState — both are kept, same semantics, same
+    oracle.
+
+    Environment note: this API's Python state server speaks protobuf;
+    where google.protobuf is unavailable the call raises ImportError at
+    plan build (tests skip) and ``inventory_restock_stream`` is the
+    supported path.
+    """
+    import google.protobuf.descriptor  # noqa: F401 — fail fast, clearly
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RestockProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._level = handle.getValueState("level", _STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            level = self._level.get()[0] if self._level.exists() else INITIAL_LEVEL
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                out = {"event_id": [], "qty": [], "level_after": [], "restocked": []}
+                for eid, qty in zip(pdf["event_id"], pdf["qty"]):
+                    level -= int(qty)
+                    restocked = level <= MIN_LEVEL
+                    if restocked:
+                        level += RESTOCK_AMOUNT
+                    out["event_id"].append(eid)
+                    out["qty"].append(int(qty))
+                    out["level_after"].append(level)
+                    out["restocked"].append(restocked)
+                out["user_id"] = [key[0]] * len(out["event_id"])
+                yield pd.DataFrame(out, columns=list(RESTOCK_OUTPUT.fieldNames()))
+            self._level.update((level,))
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RestockProcessor(),
+        outputStructType=RESTOCK_OUTPUT,
+        outputMode="append",
+        timeMode="None",
+    )

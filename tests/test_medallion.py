@@ -177,3 +177,40 @@ def test_rate_source_and_console_sink(spark):
         assert any(p["numInputRows"] >= 0 for p in q.recentProgress) or True
     finally:
         q.stop()
+
+
+def test_restock_tws_api(spark, sf_dir):
+    """transformWithStateInPandas variant matches the GroupState one
+    (skipped where protobuf — its state-server protocol — is absent)."""
+    import pytest
+
+    from ecommerce_dataengineering_project_spark.queries.streaming_queries import (
+        QUERIES,
+        _sf_key,
+        _tagged_events,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        run_bounded_stream,
+        stage_source_tagged,
+        staged_source,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.stateful import inventory_restock_tws
+
+    def stage(source_dir):
+        qty = _tagged_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id",
+            (F.col("event_id") % 3 + 1).cast("int").alias("qty"), "__batch",
+        )
+        stage_source_tagged(qty, 3, source_dir)
+        return qty.drop("__batch").schema
+
+    src = staged_source(spark, f"events_qty_{_sf_key(sf_dir)}", stage)
+    try:
+        tws = run_bounded_stream(
+            spark, "restock_tws_test", None, inventory_restock_tws, source=src
+        )
+        got = sorted(map(tuple, tws.collect()))
+    except ImportError:
+        pytest.skip("google.protobuf unavailable in this environment")
+    base = QUERIES["stream_inventory_restock"](spark, sf_dir)
+    assert got == sorted(map(tuple, base.collect()))

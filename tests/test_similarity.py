@@ -33,3 +33,23 @@ def test_lsh_topk_recall(spark, sf_dir, exact_pairs):
 
 def test_ivf_topk_recall(spark, sf_dir, exact_pairs):
     _check(q_ann_ivf_topk(spark, sf_dir).collect(), exact_pairs, 0.4)
+
+
+def test_ivf_ml_fitter_also_works(spark, sf_dir, exact_pairs):
+    """The pyspark.ml KMeans fit path produces a working index too."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        EMBEDDING_DIM,
+        _queries_df,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(emb, EMBEDDING_DIM, fitter="ml")
+    rows = ivf_topk(
+        _queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K, centroids=cents
+    ).collect()
+    _check(rows, exact_pairs, 0.4)
