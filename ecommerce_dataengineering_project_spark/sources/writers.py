@@ -11,6 +11,7 @@ whole files, and (2) idempotent create-or-append semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned_parquet(
@@ -55,3 +56,45 @@ def create_or_append_table(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV results sink (K5, anomaly_detection.py:56-60)."""
     df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: rows hash-partitioned into fixed buckets
+    by key AT WRITE TIME. Joins/aggregations between tables bucketed on
+    the same key with the same count need NO shuffle at read — at
+    100 TB this moves the fact-join shuffle from every query to the
+    (once) write. Pair with ``sortBy`` so the merge side needs no sort
+    either."""
+    writer = df.write.format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("overwrite").saveAsTable(table)
+
+
+def write_sorted_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned write with rows sorted WITHIN each file: parquet
+    row-group min/max stats become narrow and selective, so point and
+    range predicates on ``sort_cols`` skip whole row groups at scan
+    time (data skipping — the poor man's Z-order for one key)."""
+    # Sort by partition cols FIRST: the dynamic-partition writer
+    # requires that ordering and would otherwise insert its own
+    # (non-stable) sort, destroying the data-skipping order.
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
