@@ -191,7 +191,11 @@ def jaccard_verify(
 
 
 def minhash_lsh_dedup(
-    df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """X2 end-to-end: shingle -> minhash -> LSH bands -> verified pairs.
 
@@ -200,7 +204,8 @@ def minhash_lsh_dedup(
     sha-256 map work runs once, not once per consumer (Spark only
     reuses identical *exchanges*, not arbitrary subtrees).
     """
-    sh = shingles(df, id_col, text_col).persist()
+    if sh is None:
+        sh = shingles(df, id_col, text_col).persist()
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -212,6 +217,7 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the verification baseline
     for the sketch pipelines): candidates are pairs sharing >= 1
@@ -226,7 +232,8 @@ def exact_jaccard_pairs(
     exact; only pairs whose every shared shingle is hot can be missed.
     None = fully exact (the default baseline).
     """
-    sh = shingles(df, id_col, text_col).persist()
+    if sh is None:
+        sh = shingles(df, id_col, text_col).persist()
     cand_src = sh
     if max_doc_freq is not None:
         rare = (

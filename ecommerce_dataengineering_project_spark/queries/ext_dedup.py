@@ -29,6 +29,22 @@ JACCARD_THRESHOLD = 0.8
 NGRAM_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.4
 
+# The shingle relation feeds three queries; persist once per (session,
+# corpus) so the tokenize+hash map work and its cache are shared across
+# them. Keyed on the session too: a DataFrame outliving its (stopped)
+# SparkSession must not be served to a new one.
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ecommerce_dataengineering_project_spark.operators.dedup import shingles
+
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _SHINGLE_CACHE[key] = shingles(docs, "doc_id").persist()
+    return _SHINGLE_CACHE[key]
+
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -37,12 +53,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(docs, "doc_id", threshold=JACCARD_THRESHOLD)
+    return minhash_lsh_dedup(
+        docs, "doc_id", threshold=JACCARD_THRESHOLD, sh=_shingles_for(spark, sf_dir)
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return exact_jaccard_pairs(docs, "doc_id", threshold=NGRAM_THRESHOLD)
+    return exact_jaccard_pairs(
+        docs, "doc_id", threshold=NGRAM_THRESHOLD, sh=_shingles_for(spark, sf_dir)
+    )
 
 
 DF_CAP = 50
@@ -55,7 +75,11 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit too."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_jaccard_pairs(
-        docs, "doc_id", threshold=NGRAM_THRESHOLD, max_doc_freq=DF_CAP
+        docs,
+        "doc_id",
+        threshold=NGRAM_THRESHOLD,
+        max_doc_freq=DF_CAP,
+        sh=_shingles_for(spark, sf_dir),
     )
 
 
