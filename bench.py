@@ -29,9 +29,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry()
 
-    # Warm the JVM/scan path once so the alphabetically-first query
-    # doesn't absorb session startup in its timing.
+    # Warm the JVM/scan path and the Python-worker/Arrow path once so
+    # the alphabetically-first queries don't absorb session startup or
+    # worker-pool spawn in their timings.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import pandas as pd  # noqa: F401
+
+    def _warm(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, 10_000, 1, 32).mapInPandas(_warm, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -195,7 +195,7 @@ def run_bounded_stream(
     transform,
     output_mode: str = "append",
     partition_by: list[str] | None = None,
-    state_partitions: int = 8,
+    state_partitions: int = 4,
     source: tuple[str, object] | None = None,
 ) -> DataFrame:
     """Stage ``batches`` as an ordered file stream (or reuse a
