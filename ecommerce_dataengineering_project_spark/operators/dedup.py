@@ -306,6 +306,74 @@ def exact_jaccard_pairs(
     return _jaccard_from_inter(inter, sh, id_col, threshold)
 
 
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into CLUSTERS: connected components of
+    the undirected pair graph, labeled by the minimum member id. The
+    missing last stage of every dedup pipeline — pairs say "these two
+    match", the pipeline needs "keep one representative per group",
+    and match relations are not transitive-closed by construction.
+
+    Min-label propagation: each round every node takes the smallest
+    label among itself and its neighbors (one join + one map-side-
+    combined groupBy per round — no driver-side graph state; labels
+    are per-edge messages, so a 100 TB edge set just shuffles by key).
+    Rounds needed = graph diameter, which for near-dup clusters is
+    small (components are quasi-cliques of rewrites of one document —
+    LSH/Jaccard candidates share shingles, so most members pair
+    directly). For adversarial long-chain graphs the alternating
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") converges in O(log n) rounds; the
+    per-round dataflow below is the same shape.
+
+    Convergence is detected via the sum of labels: a round either
+    strictly decreases some label or changes nothing, so an unchanged
+    sum IS the fixpoint (one scalar per round to the driver — the
+    loop is driver-side but the data never is). ``localCheckpoint``
+    truncates each round's lineage so the plan doesn't grow with the
+    round count.
+
+    Returns (id_col, cluster_id); singleton docs keep their own id.
+    """
+    und = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        nbr_min = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 SIMHASH_BITS = 60
 
 

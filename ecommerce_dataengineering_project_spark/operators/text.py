@@ -146,3 +146,47 @@ def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("total_count"))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    The idf is the RATIONAL form ``n_docs / doc_freq`` (no logarithm):
+    transcendental functions are not bit-reproducible across engines,
+    rational arithmetic is — and for RANKING terms within a document
+    the monotone transform changes nothing. score = tf * n_docs / df.
+
+    Dataflow at scale: tf is one groupBy over exploded tokens
+    (map-side combined); doc_freq one more over distinct (doc, token);
+    n_docs rides in as a broadcast scalar; the top-k window partitions
+    by doc — no skew (per-doc token counts are bounded by doc length).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = (
+        tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            round_half_up(
+                F.col("tf") * F.col("n_docs") / F.col("doc_freq"), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )

@@ -16,6 +16,7 @@ from ecommerce_dataengineering_project_spark.operators.dedup import (
     MINHASH_B,
     NUM_HASHES,
     ROWS_PER_BAND,
+    connected_components,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     exact_jaccard_pairs,
@@ -83,6 +84,17 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair -> cluster collapse: connected components over the n-gram
+    Jaccard near-dup pair graph (threshold 0.5); every doc labeled
+    with its component's minimum doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(
+        docs, "doc_id", threshold=NGRAM_THRESHOLD, sh=_shingles_for(spark, sf_dir)
+    ).select("id_a", "id_b")
+    return connected_components(pairs, docs.select("doc_id"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id")
@@ -98,6 +110,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -218,6 +231,36 @@ ORACLES = {
             FROM cs a JOIN cs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         ),
         {_JACCARD_TAIL.format(thr=NGRAM_THRESHOLD)}
+    """,
+    # Pairs >= 0.5 from the same shingle arithmetic, then min-label
+    # transitive closure as a recursive CTE (the engine's iterative
+    # label propagation reaches the same fixpoint).
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes na ON na.doc_id = i.id_a
+            JOIN sizes nb ON nb.doc_id = i.id_b
+            WHERE {_r6("i.n_inter * 1.0 / (na.n + nb.n - i.n_inter)")} >= {NGRAM_THRESHOLD}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
     """,
     "dedup_simhash": f"""
         WITH toks AS (

@@ -162,8 +162,29 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATES = {"A": 100, "N": 50, "R": 200}  # permille per return flag
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified hash sampling (map-only, reproducible,
+    engine-portable — see operators/sampling.py). Downsample per
+    return flag at 10% / 5% / 20%."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return stratified_hash_sample(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag"),
+        key_cols=["l_orderkey", "l_linenumber"],
+        strata_col="l_returnflag",
+        permille_by_stratum=SAMPLE_RATES,
+    )
+
+
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
+    "sample_stratified": q_sample_stratified,
     "cohort_retention": q_cohort_retention,
     "intersect_segments": q_intersect_segments,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
@@ -173,7 +194,18 @@ QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
 }
 
+_SAMPLE_RATE_CASE = "CASE l_returnflag " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
 ORACLES = {
+    "sample_stratified": f"""
+        SELECT l_orderkey, l_linenumber, l_returnflag
+        FROM lineitem
+        WHERE CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'sample',
+                  CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
+                  1, 15)) AS BIGINT) % 1000 < {_SAMPLE_RATE_CASE}
+    """,
     "funnel_conversion": """
         WITH u AS (
             SELECT user_id,

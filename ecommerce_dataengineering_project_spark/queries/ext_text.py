@@ -9,6 +9,7 @@ from ecommerce_dataengineering_project_spark.operators.text import (
     ROLLING_BASE,
     ROLLING_MOD,
     STOPWORDS,
+    tfidf_top_terms,
     token_histogram,
     with_fingerprint,
     with_language_id,
@@ -55,6 +56,14 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rolling_hash(docs).select("doc_id", "rolling_hash")
 
 
+TFIDF_K = 5
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=TFIDF_K)
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -62,6 +71,7 @@ QUERIES = {
     "token_histogram": q_token_histogram,
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -127,6 +137,29 @@ ORACLES = {
                    AS bpe_piece_count,
                CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS token_budget_est
         FROM documents
+    """,
+    # rational idf (n_docs / doc_freq) — no log, so values are exact
+    "tfidf_top_terms": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS doc_freq
+               FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   FLOOR((tf.tf * nd.n_docs * 1.0 / df.doc_freq) * 1000000.0 + 0.5)
+                       / 1000000.0 AS tfidf
+            FROM tf JOIN df USING (token) CROSS JOIN nd
+        )
+        SELECT doc_id, token, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, token ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """,
     # identical left fold: acc = (acc*B + code) mod M, seeded with 0
     "rolling_fingerprint": f"""

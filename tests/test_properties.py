@@ -186,3 +186,24 @@ def test_asof_join_forward_matches_pandas(spark_global, left_rows, right_rows):
     for _, row in want_df.iterrows():
         v = None if pd.isna(row.v) else int(row.v)
         assert got[(row.k, row.ts.to_pydatetime())] == v
+
+
+def test_connected_components_shapes(spark):
+    """Chain (worst-case diameter), two components, and singletons all
+    converge to min-member labels."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5, triangle 10-11-12 (with redundant edge), singletons 20, 21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21]], "doc_id long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
