@@ -345,8 +345,14 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Iterate only over nodes that appear in some edge: in a dedup
+    # graph nearly every doc is a singleton, and singletons are their
+    # own fixpoint — keeping them out shrinks every round's join and
+    # state by orders of magnitude at corpus scale.
     labels = (
-        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -371,7 +377,12 @@ def connected_components(
             break
         prev_sum = cur_sum
     und.unpersist()
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    out = nodes.select(F.col(id_col)).join(
+        labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col), F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id")
+    )
 
 
 SIMHASH_BITS = 60

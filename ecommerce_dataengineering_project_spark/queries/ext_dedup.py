@@ -47,6 +47,22 @@ def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SHINGLE_CACHE[key]
 
 
+# The scored n-gram pair relation likewise feeds two queries (the
+# near-dup report and the cluster collapse); persist once per
+# (session, corpus).
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ngram_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _PAIRS_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _PAIRS_CACHE[key] = exact_jaccard_pairs(
+            docs, "doc_id", threshold=NGRAM_THRESHOLD, sh=_shingles_for(spark, sf_dir)
+        ).persist()
+    return _PAIRS_CACHE[key]
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return exact_dedup_groups(docs, "doc_id")
@@ -60,10 +76,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return exact_jaccard_pairs(
-        docs, "doc_id", threshold=NGRAM_THRESHOLD, sh=_shingles_for(spark, sf_dir)
-    )
+    return _ngram_pairs_for(spark, sf_dir)
 
 
 DF_CAP = 50
@@ -89,9 +102,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard near-dup pair graph (threshold 0.5); every doc labeled
     with its component's minimum doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(
-        docs, "doc_id", threshold=NGRAM_THRESHOLD, sh=_shingles_for(spark, sf_dir)
-    ).select("id_a", "id_b")
+    pairs = _ngram_pairs_for(spark, sf_dir).select("id_a", "id_b")
     return connected_components(pairs, docs.select("doc_id"))
 
 

@@ -194,8 +194,16 @@ def q_stream_inventory_restock(spark: SparkSession, sf_dir: str) -> DataFrame:
         return qty.drop("__batch").schema
 
     src = staged_source(spark, f"events_qty_{_sf_key(sf_dir)}", stage)
+    # Unlike the commit-bound aggregations, the restock scan does real
+    # per-group Python work — give it parallelism, not fewer commits
+    # (measured sf0.1: 16 partitions ~30% faster than 4).
     return run_bounded_stream(
-        spark, "inventory_restock", None, inventory_restock_stream, source=src
+        spark,
+        "inventory_restock",
+        None,
+        inventory_restock_stream,
+        state_partitions=16,
+        source=src,
     )
 
 
