@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.operators.text import (
     BPE_PRETOKEN_RE,
@@ -64,6 +65,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=TFIDF_K)
 
 
+QUALITY_MIN = 0.5
+CORPUS_PERMILLE = 500
+
+
+def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data reduction, composed from the
+    pipeline's own operators: quality filter -> exact-dedup keep-first
+    -> deterministic hash downsample. Every stage is an exact,
+    engine-portable transformation, so the full composition
+    oracle-checks bit-for-bit. At scale: quality + sampling are
+    map-only and run in the scan stage; the only shuffle is the
+    dedup's fingerprint window."""
+    from pyspark.sql import Window
+
+    from ecommerce_dataengineering_project_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = with_text_stats(docs)
+    kept = stats.where(F.col("quality_score") >= QUALITY_MIN)
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        F.col("doc_id").asc()
+    )
+    first = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sampled = hash_sample(first, ["doc_id"], CORPUS_PERMILLE, salt="corpus")
+    return sampled.select("doc_id", "lang", "token_count", "quality_score")
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -72,6 +104,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "training_corpus": q_training_corpus,
 }
 
 ORACLES = {
@@ -137,6 +170,34 @@ ORACLES = {
                    AS bpe_piece_count,
                CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS token_budget_est
         FROM documents
+    """,
+    # quality filter -> keep-first dedup -> hash downsample, composed
+    "training_corpus": f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   LEN(STRING_SPLIT(text, ' ')) AS token_count,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   w -> w IN ({_STOP_SQL}))) AS n_stop
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, lang, text, token_count,
+                   FLOOR((LEAST(1.0, token_count / 100.0)
+                          * (1.0 - n_stop * 1.0 / token_count)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS quality_score
+            FROM t
+        ),
+        k AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY SHA256(LOWER(TRIM(text))) ORDER BY doc_id) AS rn
+            FROM q WHERE quality_score >= 0.5
+        )
+        SELECT doc_id, lang, CAST(token_count AS BIGINT) AS token_count,
+               quality_score
+        FROM k
+        WHERE rn = 1
+          AND CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'corpus',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 < 500
     """,
     # rational idf (n_docs / doc_freq) — no log, so values are exact
     "tfidf_top_terms": """

@@ -74,3 +74,26 @@ def test_no_python_udf_in_core_plans(spark, sf_dir):
     for q in (q_daily_sales, q_multi_join_revenue, q_incremental_watermark):
         plan = _plan(q(spark, sf_dir))
         assert "EvalPython" not in plan, q.__name__
+
+
+def test_hash_sample_is_map_only(spark, sf_dir):
+    """Deterministic sampling must stay a narrow map-only op: no
+    Exchange anywhere in the plan — at 100 TB the sample runs inside
+    the scan stage."""
+    from ecommerce_dataengineering_project_spark.queries.ext_stats import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_training_corpus_single_shuffle(spark, sf_dir):
+    """Quality filter and downsample are map-side; the only exchange
+    in the corpus reduction is the dedup window's fingerprint
+    partitioning."""
+    from ecommerce_dataengineering_project_spark.queries.ext_text import q_training_corpus
+
+    plan = _plan(q_training_corpus(spark, sf_dir))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "EvalPython" not in plan
