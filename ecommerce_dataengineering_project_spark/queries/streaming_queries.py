@@ -230,6 +230,36 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded_stream(spark, "stream_dedup", None, transform, source=src)
 
 
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state twin of stream_dedup:
+    ``dropDuplicatesWithinWatermark`` keys state by event_id but EVICTS
+    entries once the watermark passes them — at 100 TB this is the only
+    viable streaming dedup (plain dropDuplicates keeps every key ever
+    seen). The watermark delay here (40 days) covers the fixture's whole
+    event-time span, so the double replay still dedups exactly-once and
+    the batch oracle holds; in production the delay is the dedup
+    horizon SLA."""
+
+    def stage(source_dir: str):
+        ev = _tagged_events(spark, sf_dir)
+        dup = ev.withColumn("__batch", F.col("__batch") + 3)
+        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
+        return EVENT_SCHEMA
+
+    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "40 days")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "ts", "user_id", "event_type", "value")
+        )
+
+    return run_bounded_stream(
+        spark, "stream_dedup_watermarked", None, transform, source=src
+    )
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same
     user's clicks in the preceding hour. Both sides are watermarked so
@@ -274,6 +304,7 @@ QUERIES = {
     "stream_session_windows": q_stream_session_windows,
     "stream_inventory_restock": q_stream_inventory_restock,
     "stream_dedup": q_stream_dedup,
+    "stream_dedup_watermarked": q_stream_dedup_watermarked,
     "stream_stream_join": q_stream_stream_join,
 }
 
@@ -338,6 +369,10 @@ ORACLES = {
     """,
     # Double replay in, each event out exactly once.
     "stream_dedup": """
+        SELECT event_id, ts, user_id, event_type, value FROM events
+    """,
+    # Same contract; the watermark delay covers the replay span.
+    "stream_dedup_watermarked": """
         SELECT event_id, ts, user_id, event_type, value FROM events
     """,
     "stream_stream_join": """
