@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.sources.maintenance import (
     compact,
+    create_or_append,
     evolve_append,
     merge_upsert,
 )
@@ -90,3 +91,19 @@ def test_streaming_upsert_via_foreach_batch(spark, clean_table):
     rows = {r.k: r.v for r in spark.table(t).collect()}
     assert rows == {"a": 1, "b": 20, "c": 300, "d": 400}
     spark.sql(f"DROP TABLE {t}")
+
+
+def test_create_or_append(spark, clean_table):
+    """K4: DataFrameWriterV2 create()-with-partitioning on first call,
+    append() after (delta_to_iceberg.py:36-52 flow)."""
+    t = clean_table("t_k4")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string")
+    out1 = create_or_append(spark, t, b1, partition_cols=["grp"])
+    assert out1.count() == 2
+    b2 = spark.createDataFrame([(3, "a")], "id long, grp string")
+    out2 = create_or_append(spark, t, b2, partition_cols=["grp"])
+    assert sorted(r.id for r in out2.collect()) == [1, 2, 3]
+    # partitioned layout materialized (one dir per grp value)
+    import os
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert os.path.isdir(os.path.join(wh, t, "grp=a"))
