@@ -109,6 +109,87 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
+FEATURE_DIM = 8
+_U32 = float(0xFFFFFFFF)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Binary payload -> fixed-size feature vector via mapInPandas
+    (the embedding-model hook; at scale this is where the GPU batch
+    inference call goes). The stub derives each component from the
+    payload's sha-256 (8 hex chars per dim, scaled to [0,1]) — the
+    fake is pure integer arithmetic, so SQL oracles reproduce the
+    vectors bit-for-bit and the Arrow plumbing (binary in, array out,
+    payload dropped before any shuffle) is checked end to end.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media_kind", StringType()),
+            StructField("feature", ArrayType(DoubleType())),
+        ]
+    )
+
+    def batches(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, kinds, feats = [], [], []
+            for doc_id, payload, kind in zip(pdf["doc_id"], pdf["media"], pdf["media_kind"]):
+                sha = hashlib.sha256(bytes(payload)).hexdigest()
+                feats.append(
+                    [int(sha[8 * i : 8 * i + 8], 16) / _U32 for i in range(dim)]
+                )
+                ids.append(doc_id)
+                kinds.append(kind)
+            yield pd.DataFrame({"doc_id": ids, "media_kind": kinds, "feature": feats})
+
+    return media.mapInPandas(batches, out_schema)
+
+
+RESIZE_W = 224
+RESIZE_H = 224
+
+
+def resize_media(media: DataFrame, width: int = RESIZE_W, height: int = RESIZE_H) -> DataFrame:
+    """Payload-transform plumbing: binary in -> binary out through an
+    Arrow batch, metadata updated to the target dims. The stub
+    "resize" is a passthrough of the payload (no codecs here); the
+    returned sha proves which bytes traversed the pipe. Production
+    swaps the body for PIL/ffmpeg — the dataflow (batch signature,
+    byte-based partition sizing, metadata beside payload) is the part
+    under test."""
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("media", BinaryType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("out_sha", StringType()),
+        ]
+    )
+
+    def batches(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in parts:
+            ids, payloads, shas = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                resized = bytes(payload)  # codec stub: passthrough
+                ids.append(doc_id)
+                payloads.append(resized)
+                shas.append(hashlib.sha256(resized).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": payloads,
+                    "out_width": [width] * len(ids),
+                    "out_height": [height] * len(ids),
+                    "out_sha": shas,
+                }
+            )
+
+    return media.mapInPandas(batches, out_schema)
+
+
 def sample_frames(decoded: DataFrame, every_nth: int = 30) -> DataFrame:
     """Frame-sampling plan for video payloads: explode the sampled frame
     indices (0, n, 2n, ...) per item — pure built-in sequence/explode,

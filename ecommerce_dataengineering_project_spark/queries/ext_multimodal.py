@@ -10,9 +10,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ecommerce_dataengineering_project_spark.operators.multimodal import (
+    FEATURE_DIM,
     attach_fake_media,
     decode_media,
+    extract_features,
+    resize_media,
     sample_frames,
 )
 from ecommerce_dataengineering_project_spark.sources.readers import load_table
@@ -28,9 +33,25 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(decode_media(attach_fake_media(docs)), every_nth=30)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_fake_media(docs))
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the payload column stays executor-side; only metadata + proof-sha
+    # come back for comparison
+    return resize_media(attach_fake_media(docs)).select(
+        "doc_id", "out_width", "out_height", "out_sha"
+    )
+
+
 QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 _SHA_INT = "CAST(CONCAT('0x', SUBSTR(SHA256(text), {a}, 4)) AS BIGINT)"
@@ -53,5 +74,22 @@ ORACLES = {
         SELECT doc_id, CAST(f AS INT) AS frame_idx
         FROM (SELECT doc_id, {_N_FRAMES} AS nf FROM documents),
              UNNEST(GENERATE_SERIES(0, nf - 1, 30)) AS t(f)
+    """,
+    "multimodal_features": f"""
+        SELECT doc_id,
+               'image/fake' AS media_kind,
+               [{", ".join(
+                   f"CAST(CONCAT('0x', SUBSTR(SHA256(text), {8 * i + 1}, 8)) AS BIGINT)"
+                   f" / 4294967295.0"
+                   for i in range(FEATURE_DIM)
+               )}] AS feature
+        FROM documents
+    """,
+    "multimodal_resize": """
+        SELECT doc_id,
+               CAST(224 AS INT) AS out_width,
+               CAST(224 AS INT) AS out_height,
+               SHA256(text) AS out_sha
+        FROM documents
     """,
 }
