@@ -74,36 +74,6 @@ def evolve_append(
     return spark.table(table)
 
 
-def create_or_append(
-    spark: SparkSession,
-    table: str,
-    batch: DataFrame,
-    partition_cols: list[str] | None = None,
-) -> DataFrame:
-    """K4 (delta_to_iceberg.py:36-52): ``tableExists`` probe ->
-    DataFrameWriterV2 ``append()`` else ``create()`` with partitioning
-    — the reference's Iceberg sink flow verbatim, against the local
-    ``spark_catalog`` instead of Glue. Same API on a cluster with an
-    Iceberg catalog: swap ``using("parquet")`` for ``using("iceberg")``
-    plus the format-version table property."""
-    if spark.catalog.tableExists(table):
-        try:
-            batch.writeTo(table).append()
-        except Exception:
-            # The built-in session catalog serves V1 tables, which the
-            # V2 writer refuses ("Cannot write into v1 table"); the
-            # positional insertInto is the V1 equivalent and respects
-            # the table's existing partitioning. A real Iceberg/Delta
-            # catalog takes the writeTo path.
-            batch.select(*spark.table(table).columns).write.insertInto(table)
-    else:
-        writer = batch.writeTo(table).using("parquet")
-        if partition_cols:
-            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
-        writer.create()
-    return spark.table(table)
-
-
 def compact(
     spark: SparkSession,
     path: str,

@@ -37,20 +37,28 @@ def create_or_append_table(
 ) -> None:
     """Create-or-append managed table (K4, delta_to_iceberg.py:36-52).
 
-    Same probe-then-branch shape as the reference, against the session
-    catalog instead of Glue/Iceberg. (The reference uses the
-    DataFrameWriterV2 API against an Iceberg catalog; the session
-    catalog's parquet tables are v1, so the v1 writer applies —
-    ``saveAsTable`` appends resolve columns by name, matching
-    DataFrameWriterV2 semantics.)
+    Same probe-then-branch shape as the reference: the CREATE leg uses
+    the same DataFrameWriterV2 API (``writeTo().create()`` with
+    partitioning), against the session catalog instead of Glue; with an
+    Iceberg catalog, swap ``using("parquet")`` for ``using("iceberg")``
+    plus the format-version property. The APPEND leg: the session
+    catalog serves the created table back as V1, which the V2 writer
+    refuses ("Cannot write into v1 table"), so appends go through the
+    positional ``insertInto`` (respects the table's partitioning);
+    columns are name-aligned first to keep V2's by-name semantics.
     """
-    writer = df.write.format("parquet")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+    from pyspark.sql import functions as F
+
     if spark.catalog.tableExists(table):
-        writer.mode("append").saveAsTable(table)
+        try:
+            df.writeTo(table).append()
+        except Exception:
+            df.select(*spark.table(table).columns).write.insertInto(table)
     else:
-        writer.saveAsTable(table)
+        writer = df.writeTo(table).using("parquet")
+        if partition_cols:
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_cols])
+        writer.create()
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -11,10 +11,10 @@ from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.sources.maintenance import (
     compact,
-    create_or_append,
     evolve_append,
     merge_upsert,
 )
+from ecommerce_dataengineering_project_spark.sources.writers import create_or_append_table
 
 
 @pytest.fixture
@@ -98,11 +98,11 @@ def test_create_or_append(spark, clean_table):
     append() after (delta_to_iceberg.py:36-52 flow)."""
     t = clean_table("t_k4")
     b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, grp string")
-    out1 = create_or_append(spark, t, b1, partition_cols=["grp"])
-    assert out1.count() == 2
+    create_or_append_table(spark, b1, t, partition_cols=["grp"])
+    assert spark.table(t).count() == 2
     b2 = spark.createDataFrame([(3, "a")], "id long, grp string")
-    out2 = create_or_append(spark, t, b2, partition_cols=["grp"])
-    assert sorted(r.id for r in out2.collect()) == [1, 2, 3]
+    create_or_append_table(spark, b2, t, partition_cols=["grp"])
+    assert sorted(r.id for r in spark.table(t).collect()) == [1, 2, 3]
     # partitioned layout materialized (one dir per grp value)
     import os
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
