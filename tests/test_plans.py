@@ -97,3 +97,14 @@ def test_training_corpus_single_shuffle(spark, sf_dir):
     exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
     assert len(exchanges) == 1, exchanges
     assert "EvalPython" not in plan
+
+
+def test_topk_fuses_sort_and_limit(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
+    partition top-k + merge), never a full global Sort before the
+    limit — the difference between O(k) and O(n log n) memory at
+    100 TB."""
+    from ecommerce_dataengineering_project_spark.queries.core import q_order_limit_topk
+
+    plan = _plan(q_order_limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

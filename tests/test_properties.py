@@ -207,3 +207,28 @@ def test_connected_components_shapes(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_stratified_sample_rate_and_determinism(spark, sf_dir):
+    """Sampled fraction tracks the per-stratum permille (binomial
+    tolerance) and the decision is bit-stable across runs."""
+    from ecommerce_dataengineering_project_spark.queries.ext_stats import (
+        SAMPLE_RATES,
+        q_sample_stratified,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    totals = {r["l_returnflag"]: r["cnt"] for r in
+              li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    s1 = q_sample_stratified(spark, sf_dir)
+    got = {r["l_returnflag"]: r["cnt"] for r in
+           s1.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()}
+    import math
+    for flag, permille in SAMPLE_RATES.items():
+        n, p = totals[flag], permille / 1000.0
+        expect, sd = n * p, math.sqrt(n * p * (1 - p))
+        assert abs(got.get(flag, 0) - expect) < 6 * sd + 5, (flag, got.get(flag), expect)
+    # determinism: same rows both runs
+    s2 = q_sample_stratified(spark, sf_dir)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
