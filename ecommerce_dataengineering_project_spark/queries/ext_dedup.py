@@ -33,8 +33,10 @@ COSINE_THRESHOLD = 0.4
 # The shingle relation feeds three queries; persist once per (session,
 # corpus) so the tokenize+hash map work and its cache are shared across
 # them. Keyed on the session too: a DataFrame outliving its (stopped)
-# SparkSession must not be served to a new one.
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# SparkSession must not be served to a new one. The value keeps a
+# strong reference to the session, so its id can never be recycled
+# onto a different live session.
+_SHINGLE_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,24 +45,25 @@ def _shingles_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _SHINGLE_CACHE[key] = shingles(docs, "doc_id").persist()
-    return _SHINGLE_CACHE[key]
+        _SHINGLE_CACHE[key] = (spark, shingles(docs, "doc_id").persist())
+    return _SHINGLE_CACHE[key][1]
 
 
 # The scored n-gram pair relation likewise feeds two queries (the
 # near-dup report and the cluster collapse); persist once per
 # (session, corpus).
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _ngram_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark), sf_dir)
     if key not in _PAIRS_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _PAIRS_CACHE[key] = exact_jaccard_pairs(
+        pairs = exact_jaccard_pairs(
             docs, "doc_id", threshold=NGRAM_THRESHOLD, sh=_shingles_for(spark, sf_dir)
         ).persist()
-    return _PAIRS_CACHE[key]
+        _PAIRS_CACHE[key] = (spark, pairs)
+    return _PAIRS_CACHE[key][1]
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
