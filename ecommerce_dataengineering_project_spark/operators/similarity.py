@@ -218,8 +218,8 @@ def fit_ivf_centroids(
         model = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feats)
         return [list(map(float, c)) for c in model.clusterCenters()]
 
-    rows = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_rows).collect()
-    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    pdf = corpus.select(F.col(vec_col).cast("array<double>")).limit(sample_rows).toPandas()
+    X = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(5):  # Lloyd
