@@ -184,6 +184,26 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family analytics in one pass (§2f): quartile bucket,
+    percent_rank, cume_dist per order within its priority class. All
+    three are exact rationals over the rank, so the oracle matches
+    bit-for-bit; one window sort serves every function."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-key balance (A4 expressed relationally,
     producer.py:157-181): cumulative shipped quantity per part."""
@@ -456,6 +476,7 @@ QUERIES = {
     "broadcast_enrich": q_broadcast_enrich,
     "multi_join_revenue": q_multi_join_revenue,
     "window_topk": q_window_topk,
+    "window_analytics": q_window_analytics,
     "running_inventory": q_running_inventory,
     "lag_lead_events": q_lag_lead_events,
     "dedup_keep_first": q_dedup_keep_first,
@@ -591,6 +612,15 @@ ORACLES = {
                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
             FROM orders
         ) WHERE rn <= 3
+    """,
+    "window_analytics": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+               FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+               FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
     """,
     "running_inventory": """
         SELECT l_partkey, l_orderkey, l_linenumber,
