@@ -184,6 +184,24 @@ def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingestion_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard's freshness gauge (reference README.md:78 — the
+    71 h ingestion-SLA metric), deterministically: hours each event
+    stream lags the most recent ingested event. The global max rides
+    in as a broadcast scalar; one groupBy total."""
+    e = load_table(spark, sf_dir, "events")
+    glob = e.agg(F.max("ts").alias("latest_overall"))
+    per_type = e.groupBy("event_type").agg(F.max("ts").alias("latest"))
+    lag_hours = (
+        F.unix_micros(F.col("latest_overall")) - F.unix_micros(F.col("latest"))
+    ) / F.lit(3600.0 * 1e6)
+    return per_type.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "latest",
+        round_half_up(lag_hours, 6).alias("lag_hours"),
+    )
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family analytics in one pass (§2f): quartile bucket,
     percent_rank, cume_dist per order within its priority class. All
@@ -477,6 +495,7 @@ QUERIES = {
     "multi_join_revenue": q_multi_join_revenue,
     "window_topk": q_window_topk,
     "window_analytics": q_window_analytics,
+    "ingestion_freshness": q_ingestion_freshness,
     "running_inventory": q_running_inventory,
     "lag_lead_events": q_lag_lead_events,
     "dedup_keep_first": q_dedup_keep_first,
@@ -612,6 +631,15 @@ ORACLES = {
                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
             FROM orders
         ) WHERE rn <= 3
+    """,
+    "ingestion_freshness": """
+        WITH g AS (SELECT MAX(ts) AS latest_overall FROM events)
+        SELECT event_type,
+               MAX(ts) AS latest,
+               FLOOR(((EPOCH_US(g.latest_overall) - EPOCH_US(MAX(ts)))
+                      / 3600000000.0) * 1000000.0 + 0.5) / 1000000.0 AS lag_hours
+        FROM events, g
+        GROUP BY event_type, g.latest_overall
     """,
     "window_analytics": """
         SELECT o_orderkey, o_orderpriority,
