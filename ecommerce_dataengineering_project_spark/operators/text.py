@@ -139,6 +139,97 @@ def with_rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("rolling_hash", h)
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_score_sql(n_terms: int) -> str:
+    """The BM25 score as ONE SQL expression over columns
+    ``tf_i``/``df_i`` (per query term), ``dl``, ``n_docs``, ``sum_dl``.
+
+    Robertson–Sparck Jones BM25 with the Lucene ``ln(1 + ...)``
+    non-negative idf:
+
+        idf_t  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d)   = sum_t idf_t * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    The SAME string is evaluated by Spark (``F.expr``) and by the
+    DuckDB oracle, so both engines build the identical IEEE-754
+    expression tree over identical integer inputs; the only residual
+    cross-engine drift is the last ulp of ``LN`` (JVM vs libm), which
+    the round-to-6 output policy absorbs. Addition over terms is in
+    fixed written order — never a data-order-dependent aggregate.
+    """
+    avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    parts = []
+    for i in range(n_terms):
+        idf = (
+            f"LN(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE) + 0.5)"
+            f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        )
+        denom = (
+            f"CAST(tf_{i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+            f" + {BM25_B} * (CAST(dl AS DOUBLE) / {avgdl}))"
+        )
+        parts.append(
+            f"(CASE WHEN tf_{i} > 0 THEN {idf} *"
+            f" (CAST(tf_{i} AS DOUBLE) * {BM25_K1 + 1.0}) / ({denom})"
+            f" ELSE 0.0 END)"
+        )
+    return " + ".join(parts)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k documents for a fixed term query, ranked by BM25.
+
+    Dataflow at 100 TB: per-doc ``tf``/``dl`` come straight off the
+    token array (map-only, no explode, no shuffle); the corpus
+    statistics (N, total length, per-term doc frequency) are ONE tiny
+    aggregate broadcast back; scoring is a codegen'd scalar expression;
+    and the global top-k is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, never a full sort).
+    """
+    toks = tokens(text_col)
+    base = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("dl", F.size("_toks").cast("bigint"))
+    )
+    def _matches(term: str):
+        # one-arg closure: a two-arg lambda would be read as the
+        # (element, index) form of F.filter
+        return lambda w: w == F.lit(term)
+
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"tf_{i}", F.size(F.filter(F.col("_toks"), _matches(t))).cast("bigint")
+        )
+    base = base.drop("_toks")
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")]
+    aggs += [
+        F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+        for i in range(len(query_terms))
+    ]
+    stats = base.agg(*aggs)
+    scored = base.crossJoin(F.broadcast(stats)).withColumn(
+        "score", round_half_up(F.expr(bm25_score_sql(len(query_terms))), 6)
+    )
+    top = (
+        scored.select(id_col, "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token frequencies: one shuffle, map-side combined."""
     return (

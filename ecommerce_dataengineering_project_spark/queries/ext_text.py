@@ -10,6 +10,8 @@ from ecommerce_dataengineering_project_spark.operators.text import (
     ROLLING_BASE,
     ROLLING_MOD,
     STOPWORDS,
+    bm25_score_sql,
+    bm25_topk,
     tfidf_top_terms,
     token_histogram,
     with_fingerprint,
@@ -65,6 +67,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=TFIDF_K)
 
 
+BM25_TERMS = ("query", "join", "fast", "dup")
+BM25_K = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for a fixed term query
+    (three common terms + one rare one, so the idf spread matters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS, k=BM25_K)
+
+
 QUALITY_MIN = 0.5
 CORPUS_PERMILLE = 500
 
@@ -104,8 +117,52 @@ QUERIES = {
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_search": q_bm25_search,
     "training_corpus": q_training_corpus,
 }
+
+
+def _bm25_oracle() -> str:
+    split = "STRING_SPLIT(text, ' ')"
+    tf_cols = ",\n                   ".join(
+        f"CAST(LEN(LIST_FILTER({split}, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n                   ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    # The score expression string is SHARED with the Spark side
+    # (operators/text.bm25_score_sql), so both engines evaluate the
+    # identical IEEE expression tree.
+    score = bm25_score_sql(len(BM25_TERMS))
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(LEN({split}) AS BIGINT) AS dl,
+                   {tf_cols}
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                   {df_cols}
+            FROM base
+        ),
+        scored AS (
+            SELECT doc_id,
+                   FLOOR(({score}) * 1000000.0 + 0.5) / 1000000.0 AS score
+            FROM base CROSS JOIN stats
+        ),
+        top AS (
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+        )
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM top
+    """
 
 ORACLES = {
     "text_stats": f"""
@@ -222,6 +279,7 @@ ORACLES = {
             FROM scored
         ) WHERE rank <= 5
     """,
+    "bm25_search": _bm25_oracle(),
     # identical left fold: acc = (acc*B + code) mod M, seeded with 0
     "rolling_fingerprint": f"""
         SELECT doc_id,
