@@ -162,6 +162,46 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the batch twin of T6's session
+    windows): a >30-min silence starts a new session. Classic
+    lag -> new-session flag -> running-sum session id, then one
+    grouped agg — two window passes over the SAME (user_id, ts)
+    partitioning, so Spark shuffles once and sorts once; at 100 TB
+    this is a single exchange keyed by user."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+    from pyspark.sql import Window
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > gap_us)
+    ).cast("int")
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dur_sec = (
+        F.unix_micros(F.col("session_end")) - F.unix_micros(F.col("session_start"))
+    ) / F.lit(1_000_000.0)
+    return (
+        sess.groupBy("user_id", F.col("session_seq").cast("int").alias("session_seq"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("session_value"),
+        )
+        .withColumn("duration_sec", round_half_up(dur_sec, 6))
+    )
+
+
 SAMPLE_RATES = {"A": 100, "N": 50, "R": 200}  # permille per return flag
 
 
@@ -184,6 +224,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "funnel_conversion": q_funnel_conversion,
+    "sessionize_events": q_sessionize_events,
     "sample_stratified": q_sample_stratified,
     "cohort_retention": q_cohort_retention,
     "intersect_segments": q_intersect_segments,
@@ -205,6 +246,43 @@ ORACLES = {
         WHERE CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'sample',
                   CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))),
                   1, 15)) AS BIGINT) % 1000 < {_SAMPLE_RATE_CASE}
+    """,
+    "sessionize_events": f"""
+        WITH o AS (
+            SELECT event_id, user_id, ts, value,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_ts
+            FROM events
+        ),
+        m AS (
+            SELECT *,
+                   CASE WHEN prev_ts IS NULL
+                             OR DATE_DIFF('microsecond', prev_ts, ts)
+                                > {SESSION_GAP_MIN * 60 * 1000000}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM o
+        ),
+        s AS (
+            SELECT *,
+                   SUM(is_new) OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM m
+        ),
+        g AS (
+            SELECT user_id,
+                   CAST(session_seq AS INTEGER) AS session_seq,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS session_value
+            FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, session_seq, session_start, session_end, n_events,
+               session_value,
+               FLOOR((DATE_DIFF('microsecond', session_start, session_end)
+                      / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS duration_sec
+        FROM g
     """,
     "funnel_conversion": """
         WITH u AS (
