@@ -108,3 +108,40 @@ def asof_join(
             *[F.col(f"__m_{c}").alias(c) for c in value_cols],
         )
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int,
+) -> DataFrame:
+    """Time-proximity range join: every (left, right) pair with
+    ``|left_ts - right_ts| <= tolerance``.
+
+    The naive form is a theta join — Spark can only BNLJ it, O(n*m)
+    comparisons, hopeless at scale. Binning makes it relational: bucket
+    both sides by tolerance-width bins of the clock, land each right
+    row in its one bin, probe bins {b-1, b, b+1} from the left (a 3x
+    explode), equi-join on the bin id, then apply the exact predicate.
+    Each qualifying pair meets in exactly one bin (the right row's), so
+    no dedup is needed. The shuffle is keyed by bin — time-local and
+    uniform for steady event streams; a hot bin is an AQE skew-join
+    case, not a plan rewrite.
+
+    Returns left columns (prefixed ``l_``) + right columns (``r_``).
+    """
+    tol = int(tolerance_us)
+    l_bin = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(tol))
+    r_bin = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(tol))
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.explode(F.array(l_bin - 1, l_bin, l_bin + 1)).alias("__bin"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        r_bin.alias("__bin"),
+    )
+    dt = F.unix_micros(F.col(f"l_{left_ts}")) - F.unix_micros(F.col(f"r_{right_ts}"))
+    return l.join(r, "__bin").where(F.abs(dt) <= tol).drop("__bin")

@@ -479,8 +479,32 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TOL_SEC = 60
+
+
+def q_range_join_coincident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user coincidence detection: for each event, how many
+    events from OTHER users land within +/-60 s, and their total value.
+    A true non-equi (range) join expressed as a binned equi-join
+    (operators/joins.range_join_binned) — the plan is a hash join on
+    the bin id, never a BNLJ; the oracle states the naive theta join."""
+    from ecommerce_dataengineering_project_spark.operators.joins import range_join_binned
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    pairs = range_join_binned(e, e, "ts", "ts", RANGE_TOL_SEC * 1_000_000)
+    pairs = pairs.where(F.col("l_user_id") != F.col("r_user_id"))
+    return (
+        pairs.groupBy(F.col("l_event_id").alias("event_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_coincident"),
+            round_half_up(F.sum("r_value"), 2).alias("coincident_value"),
+        )
+    )
+
+
 QUERIES = {
     "daily_sales": q_daily_sales,
+    "range_join_coincident": q_range_join_coincident,
     "segment_top_orders": q_segment_top_orders,
     "region_revenue": q_region_revenue,
     "exists_late_orders": q_exists_late_orders,
@@ -511,6 +535,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "range_join_coincident": f"""
+        SELECT a.event_id AS event_id,
+               CAST(COUNT(*) AS BIGINT) AS n_coincident,
+               FLOOR(SUM(b.value) * 100.0 + 0.5) / 100.0 AS coincident_value
+        FROM events a JOIN events b
+          ON a.user_id <> b.user_id
+         AND ABS(DATE_DIFF('microsecond', b.ts, a.ts)) <= {60 * 1000000}
+        GROUP BY 1
+    """,
     "exists_late_orders": """
         SELECT o_orderpriority, COUNT(*) AS order_count
         FROM orders o
