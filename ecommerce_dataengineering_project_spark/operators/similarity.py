@@ -258,16 +258,25 @@ def ivf_topk(
         centroids = fit_ivf_centroids(corpus, dim, n_cells, vec_col)
     assign_one = _cell_assigner(centroids, 1)
     assign_probe = _cell_assigner(centroids, n_probe)
+    # Cast + norm are materialized per ROW here, below the join — the
+    # pair loop then runs one fold dot per candidate. The unrolled
+    # dim-wide expression is wrong on a pair loop: a 193-term generated
+    # method blows the JIT huge-method limit and deoptimizes to
+    # interpreted bytecode (~7x on this operator).
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        as_double(F.col(vec_col)).alias("cv"),
         F.element_at(assign_one(F.col(vec_col).cast("array<double>")), 1).alias("cell"),
+    ).withColumn("c_nrm", norm("cv"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+            assign_probe(F.col(vec_col).cast("array<double>")).alias("probe_cells"),
+        )
+        .withColumn("q_nrm", norm("qv"))
+        .select("query_id", "qv", "q_nrm", F.explode("probe_cells").alias("cell"))
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        assign_probe(F.col(vec_col).cast("array<double>")).alias("probe_cells"),
-    ).select("query_id", "qv", F.explode("probe_cells").alias("cell"))
     scored = c.join(F.broadcast(q), on="cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -278,7 +287,9 @@ def ivf_topk(
         scored.select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine("qv", "cv", dim), 6).alias("cosine"),
+            round_half_up(
+                dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
@@ -344,20 +355,23 @@ def lsh_topk(
     """
     assign = _lsh_table_assigner(dim, n_tables, planes_per_table)
     assign_q = _lsh_table_assigner(dim, n_tables, planes_per_table, multiprobe)
+    # Per-row cast + norm below the join; fold dot on the pair loop
+    # (same reasoning as ivf_topk — unrolled 193-term methods blow the
+    # JIT limit).
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+        as_double(F.col(vec_col)).alias("qv"),
         F.explode(assign_q(F.col(vec_col).cast("array<double>"))).alias("tkey"),
-    )
+    ).withColumn("q_nrm", norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
+        as_double(F.col(vec_col)).alias("cv"),
         F.explode(assign(F.col(vec_col).cast("array<double>"))).alias("tkey"),
-    )
+    ).withColumn("c_nrm", norm("cv"))
     cand = (
         c.join(F.broadcast(q), on="tkey")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select("query_id", "qv", "q_nrm", "neighbor_id", "cv", "c_nrm")
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -367,7 +381,9 @@ def lsh_topk(
         cand.select(
             "query_id",
             "neighbor_id",
-            round_half_up(cosine("qv", "cv", dim), 6).alias("cosine"),
+            round_half_up(
+                dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
