@@ -335,7 +335,11 @@ def connected_components(
     sum IS the fixpoint (one scalar per round to the driver — the
     loop is driver-side but the data never is). ``localCheckpoint``
     truncates each round's lineage so the plan doesn't grow with the
-    round count.
+    round count; it is LAZY (``eager=False``) so the round's
+    convergence-sum action materializes it — one job submission per
+    round instead of two (wall-clock-neutral on an idle local JVM,
+    but it halves scheduler round-trips, which is what queues on a
+    shared cluster).
 
     Returns (id_col, cluster_id); singleton docs keep their own id.
     """
@@ -353,7 +357,7 @@ def connected_components(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_rounds):
@@ -370,7 +374,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -400,8 +404,9 @@ def connected_components_star(
 
     Edge set is kept directed big->small and distinct. Each half-round
     is one groupBy + one join (shuffles on node id); no driver-side
-    graph state — only a 4-scalar signature per round for the fixpoint
-    test. At fixpoint the edges form stars (node -> component min);
+    graph state — only a 2-scalar signature per round for the fixpoint
+    test (whose collect also materializes the round's lazy
+    localCheckpoint — one job per round). At fixpoint the edges form stars (node -> component min);
     labels fall out of one final left join. Same output contract as
     :func:`connected_components` (and the same recursive-CTE oracle).
     """
@@ -411,7 +416,7 @@ def connected_components_star(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _signature(df: DataFrame) -> tuple:
@@ -446,7 +451,7 @@ def connected_components_star(
 
     sig = _signature(e)
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(e)
         if new_sig == sig:
             break
