@@ -34,8 +34,17 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The operator's array<double> output stays internal — the driver's
+    # canonicalizer can't sort list cells — so the registered query
+    # explodes it to one (dim_idx, component) row per dimension: purely
+    # numeric columns hash identically on both engines.
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_fake_media(docs))
+    feats = extract_features(attach_fake_media(docs))
+    return feats.select(
+        "doc_id",
+        "media_kind",
+        F.posexplode("feature").alias("dim_idx", "component"),
+    )
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,16 +84,17 @@ ORACLES = {
         FROM (SELECT doc_id, {_N_FRAMES} AS nf FROM documents),
              UNNEST(GENERATE_SERIES(0, nf - 1, 30)) AS t(f)
     """,
-    "multimodal_features": f"""
+    "multimodal_features": " UNION ALL ".join(
+        f"""
         SELECT doc_id,
                'image/fake' AS media_kind,
-               [{", ".join(
-                   f"CAST(CONCAT('0x', SUBSTR(SHA256(text), {8 * i + 1}, 8)) AS BIGINT)"
-                   f" / 4294967295.0"
-                   for i in range(FEATURE_DIM)
-               )}] AS feature
+               CAST({i} AS INT) AS dim_idx,
+               CAST(CONCAT('0x', SUBSTR(SHA256(text), {8 * i + 1}, 8)) AS BIGINT)
+                   / 4294967295.0 AS component
         FROM documents
-    """,
+        """
+        for i in range(FEATURE_DIM)
+    ),
     "multimodal_resize": """
         SELECT doc_id,
                CAST(224 AS INT) AS out_width,

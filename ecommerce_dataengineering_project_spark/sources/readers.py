@@ -40,6 +40,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same call reads a partitioned lake directory; nothing changes in
     caller code.
     """
+    # The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+    # Spark rejects outright unless the legacy nanos-as-long conf is on.
+    # Callers (the correctness driver in particular) hand us arbitrary
+    # sessions, so set it here at read time — it is a runtime-settable
+    # SQL conf — rather than relying on session-creation config.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # locked-down conf: fall through and let the read decide
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

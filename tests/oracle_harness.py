@@ -58,6 +58,19 @@ def _sort_key(row):
 def compare(spark_df, con, sql: str, float_rel: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []
+    # The driver canonicalizes via pandas sort_values, which cannot hash
+    # list cells — any array/map/struct output column fails its gate even
+    # though this harness could tuple-ize it. Reject up front so the
+    # mismatch surfaces locally first.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in spark_df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            errors.append(
+                f"column {f.name} has driver-unhashable type {f.dataType.simpleString()}"
+            )
+    if errors:
+        return errors
     oracle = con.sql(sql)
     s_cols = sorted(spark_df.columns)
     o_cols = sorted(oracle.columns)
