@@ -509,26 +509,38 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: int | None = None,
+    max_exact_rows: int = 500_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold.
 
-    Brute-force all-pairs (correctness baseline; the ANN path for
-    scale lives in operators/similarity.py), as an Arrow-batched
-    block product: the corpus matrix is broadcast once, each task
-    scores its row-block against it in numpy and emits only the pairs
-    above threshold — the O(n^2) score matrix never leaves the task.
-    This mirrors the JVM shape it replaces (broadcast build side,
-    streamed probe side) but runs ~5x faster than even the best
-    per-pair codegen fold.
+    Two physical strategies behind one contract, picked by corpus size:
 
-    Bit-exactness: the dot products accumulate dimension-by-
-    dimension (``C += outer(A[:,k], B[:,k])``, k ascending), which is
-    the same IEEE-754 addition order as the sequential
-    zip_with+aggregate fold and the SQL list_reduce oracle — no BLAS
-    reassociation — so cosines match the expression form bit-for-bit.
+    - ``n <= max_exact_rows``: exact all-pairs (correctness baseline),
+      as an Arrow-batched block product — the corpus matrix is
+      broadcast once, each task scores its row-block against it in
+      numpy and emits only the pairs above threshold; the O(n^2) score
+      matrix never leaves the task. The broadcast collects the corpus
+      to the driver, which is exactly why this path is gated: at
+      500k x 64 floats it is ~128 MB of driver state, the upper end of
+      sane.
+    - larger corpora: multi-table hyperplane LSH candidates + exact
+      rescoring (:func:`_embedding_near_dup_lsh`) — sub-quadratic, no
+      driver-side collect, precision still exactly 1.0 (every emitted
+      pair is rescored with the same fold cosine); recall < 1.0 is the
+      documented ANN trade and is regression-tested.
+
+    Bit-exactness on the exact path: the dot products accumulate
+    dimension-by-dimension (``C += outer(A[:,k], B[:,k])``, k
+    ascending), which is the same IEEE-754 addition order as the
+    sequential zip_with+aggregate fold and the SQL list_reduce oracle —
+    no BLAS reassociation — so cosines match the expression form
+    bit-for-bit.
     """
     import numpy as np
     import pandas as pd
+
+    if emb.count() > max_exact_rows:
+        return _embedding_near_dup_lsh(emb, id_col, vec_col, threshold, dim)
 
     spark = emb.sparkSession
     corpus = emb.select(F.col(id_col), F.col(vec_col)).toPandas()
@@ -558,3 +570,54 @@ def embedding_near_dup_pairs(
         spark.sparkContext.defaultParallelism
     )
     return base.mapInPandas(score_blocks, schema="id_a bigint, id_b bigint, cosine double")
+
+
+def _embedding_near_dup_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int | None,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Scale path for near-dup pairs: LSH-bucketed candidate self-join
+    + exact fold-cosine rescoring. Shuffles on 4-byte table keys only;
+    nothing is ever collected to the driver. Same output contract as
+    the exact path (id_a < id_b, round_half_up(cosine, 6) >= threshold)
+    with recall < 1 (pairs missing from every probed bucket)."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        _lsh_table_assigner,
+        as_double,
+        dot,
+        norm,
+    )
+
+    if dim is None:
+        dim = emb.select(F.size(F.col(vec_col))).first()[0]
+    assign = _lsh_table_assigner(dim, n_tables, planes_per_table)
+    v = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm("v"))
+    )
+    keyed = v.select("id", F.explode(assign(F.col("v"))).alias("tkey"))
+    cand = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), on="tkey")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                           F.col("nrm").alias("na")), on="id_a")
+        .join(v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                       F.col("nrm").alias("nb")), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round_half_up(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+    )
+    return scored.where(F.col("cosine") >= F.lit(threshold)).select("id_a", "id_b", "cosine")

@@ -70,9 +70,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
-    "ann_lsh_topk": q_ann_lsh_topk,  # rows-only: ANN, no SQL oracle
-    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: ANN, no SQL oracle
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: sampled k-means state, no SQL oracle
 }
+
+# --- ann_lsh_topk oracle -------------------------------------------------
+# The multi-table assigner's planes are sha-derived literals (pure data),
+# so the candidate set is reproducible in SQL: same 8 tables x 4 sign
+# bits, same Hamming-1 multiprobe on the query side, then exact cosine +
+# top-k over the DISTINCT candidate pairs. Only IVF (trained centroid
+# state) stays rows-only.
+_N_TABLES = 8
+_PLANES_PER_TABLE = 4
+
+
+def _plane_dot(p: int) -> str:
+    coeffs = "[" + ", ".join(repr(c) for c in hyperplane(p, EMBEDDING_DIM)) + "]"
+    return (
+        f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v, {coeffs}), "
+        f"x -> x[1] * x[2]), (x, y) -> x + y)"
+    )
+
+
+def _table_bucket(t: int) -> str:
+    return " + ".join(
+        f"CASE WHEN {_plane_dot(t * _PLANES_PER_TABLE + j)} >= 0.0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(_PLANES_PER_TABLE)
+    )
+
+
+_CORPUS_KEYS = "[" + ", ".join(
+    f"({t * (1 << _PLANES_PER_TABLE)} + ({_table_bucket(t)}))" for t in range(_N_TABLES)
+) + "]"
+_QUERY_KEYS = "[" + ", ".join(
+    f"({t * (1 << _PLANES_PER_TABLE)} + XOR({_table_bucket(t)}, {m}))"
+    for t in range(_N_TABLES)
+    for m in (0, *(1 << j for j in range(_PLANES_PER_TABLE)))
+) + "]"
 
 _COS_CTE = """
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -113,5 +148,35 @@ ORACLES = {
     "ann_lsh_buckets": f"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT vec_id, CAST({_BUCKET_EXPR} AS INTEGER) AS bucket FROM e
+    """,
+    "ann_lsh_topk": f"""
+        WITH {_COS_CTE},
+        ck AS (
+            SELECT vec_id, UNNEST({_CORPUS_KEYS}) AS tkey FROM e
+        ),
+        qk AS (
+            SELECT vec_id, UNNEST({_QUERY_KEYS}) AS tkey FROM e
+            WHERE vec_id < {N_QUERY_VECS}
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM qk q JOIN ck c ON q.tkey = c.tkey AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qn.v, cn.v),
+                                                     x -> x[1] * x[2]),
+                                      (x, y) -> x + y) / (qn.nrm * cn.nrm))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cosine
+            FROM cand
+            JOIN n qn ON qn.vec_id = cand.query_id
+            JOIN n cn ON cn.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
     """,
 }

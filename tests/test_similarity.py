@@ -35,6 +35,34 @@ def test_ivf_topk_recall(spark, sf_dir, exact_pairs):
     _check(q_ann_ivf_topk(spark, sf_dir).collect(), exact_pairs, 0.4)
 
 
+def test_embedding_near_dup_lsh_fallback(spark, sf_dir):
+    """Above the driver-collect guard, near-dup pairs re-route through
+    LSH candidates + exact rescoring: precision must be exactly 1
+    (every emitted pair is a true pair with the identical cosine) and
+    recall high on this corpus."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import embedding_near_dup_pairs
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import COSINE_THRESHOLD
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=COSINE_THRESHOLD, dim=64).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(
+            emb, threshold=COSINE_THRESHOLD, dim=64, max_exact_rows=0
+        ).collect()
+    }
+    assert set(approx) <= set(exact)  # precision == 1
+    for pair, cos in approx.items():
+        assert cos == exact[pair]  # rescoring is bit-identical
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.8, f"recall {recall:.2f}"
+
+
 def test_ivf_ml_fitter_also_works(spark, sf_dir, exact_pairs):
     """The pyspark.ml KMeans fit path produces a working index too."""
     from ecommerce_dataengineering_project_spark.operators.similarity import (
