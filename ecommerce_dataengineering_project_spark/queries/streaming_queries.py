@@ -331,8 +331,8 @@ ORACLES = {
     "stream_sliding_activity": f"""
         WITH w AS (
             SELECT e.*,
-                   TO_TIMESTAMP(FLOOR(EPOCH(ts) / 43200) * 43200
-                                - offs.i * 43200) AS window_start
+                   CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 43200) * 43200
+                                     - offs.i * 43200) AS TIMESTAMP) AS window_start
             FROM events e, (SELECT UNNEST([0, 1]) AS i) offs
         )
         SELECT window_start,
