@@ -311,6 +311,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_rounds: int = 25,
+    on_exhausted: str = "fallback",
 ) -> DataFrame:
     """Collapse near-dup PAIRS into CLUSTERS: connected components of
     the undirected pair graph, labeled by the minimum member id. The
@@ -341,8 +342,17 @@ def connected_components(
     but it halves scheduler round-trips, which is what queues on a
     shared cluster).
 
+    If ``max_rounds`` is exhausted before the fixpoint (diameter >
+    max_rounds — chained near-dup families), the labels are NOT
+    transitively closed and silently returning them would be wrong.
+    ``on_exhausted`` decides: ``"fallback"`` (default) reruns with the
+    O(log n) large/small-star variant, which converges on any shape;
+    ``"raise"`` raises ``RuntimeError``.
+
     Returns (id_col, cluster_id); singleton docs keep their own id.
     """
+    if on_exhausted not in ("fallback", "raise"):
+        raise ValueError(f"on_exhausted must be fallback|raise, got {on_exhausted!r}")
     und = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -360,6 +370,7 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_rounds):
         nbr_min = (
             und.join(labels, und["src"] == labels["node"])
@@ -378,9 +389,29 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     und.unpersist()
+    if not converged:
+        # Labels were still moving on the last allowed round: they are
+        # not a transitive closure and MUST NOT be returned as-is.
+        if on_exhausted == "fallback":
+            import warnings
+
+            warnings.warn(
+                f"connected_components: no fixpoint after {max_rounds} rounds "
+                "(graph diameter exceeds max_rounds); falling back to the "
+                "O(log n) large/small-star variant",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return connected_components_star(edges, nodes, id_col=id_col)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "the graph's diameter exceeds max_rounds — raise max_rounds or "
+            "use connected_components_star (O(log n) rounds on any shape)"
+        )
     out = nodes.select(F.col(id_col)).join(
         labels.select(F.col("node").alias(id_col), "label"), id_col, "left"
     )
@@ -450,12 +481,19 @@ def connected_components_star(
         return attach.where(F.col("u") != F.col("v")).distinct()
 
     sig = _signature(e)
+    converged = False
     for _ in range(max_rounds):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} "
+            "rounds (needs ~log2(n) — raise max_rounds)"
+        )
     # stars: each non-root points at its component min
     roots = e.groupBy("u").agg(F.min("v").alias("label"))
     out = nodes.select(F.col(id_col)).join(
@@ -539,7 +577,9 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    if emb.count() > max_exact_rows:
+    # Bounded size probe: limit(n+1).count() stops scanning once the
+    # threshold is exceeded instead of counting the whole corpus.
+    if emb.limit(max_exact_rows + 1).count() > max_exact_rows:
         return _embedding_near_dup_lsh(emb, id_col, vec_col, threshold, dim)
 
     spark = emb.sparkSession
@@ -620,4 +660,10 @@ def _embedding_near_dup_lsh(
             round_half_up(dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
     )
-    return scored.where(F.col("cosine") >= F.lit(threshold)).select("id_a", "id_b", "cosine")
+    # Same output contract as the exact path regardless of the source
+    # id type: (id_a bigint, id_b bigint, cosine double).
+    return scored.where(F.col("cosine") >= F.lit(threshold)).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("cosine").cast("double").alias("cosine"),
+    )

@@ -80,25 +80,22 @@ def asof_join(
     )
     unioned = l_norm.unionByName(r_norm)
 
-    order = [F.col("__ts"), F.col("__tag")] + [F.col(f"__r_{c}") for c in value_cols]
+    # last(ignoreNulls) picks the most-recently-seen right row in window
+    # order, so on equal (key, ts) the value columns must sort ASCENDING
+    # in BOTH directions for the greatest value to be the one picked.
+    tie = [F.col(f"__r_{c}") for c in value_cols]
     if direction == "backward":
-        w = (
-            Window.partitionBy("__key")
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        picked = [
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols
-        ]
+        order = [F.col("__ts"), F.col("__tag"), *tie]
     else:
-        w = (
-            Window.partitionBy("__key")
-            .orderBy(*[c.desc() for c in order])
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        picked = [
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols
-        ]
+        order = [F.col("__ts").desc(), F.col("__tag").desc(), *tie]
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in value_cols
+    ]
 
     return (
         unioned.select("*", *picked)

@@ -319,7 +319,15 @@ def _lsh_table_assigner(
     @F.pandas_udf(ArrayType(IntegerType()))
     def table_keys(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (X @ P.T >= 0).astype(np.int64)  # (batch, tables*planes)
+        # Dimension-ascending accumulation, NOT a BLAS matmul: BLAS may
+        # reassociate/FMA the sum, and a plane dot within ~1e-13 of zero
+        # would then flip a sign bit vs the sequential LIST_REDUCE fold
+        # the SQL oracle runs — same bit-exactness discipline as the
+        # exact-cosine path in dedup.py.
+        S = np.zeros((len(X), P.shape[0]), dtype=np.float64)
+        for d in range(X.shape[1]):
+            S += np.outer(X[:, d], P[:, d])
+        bits = (S >= 0).astype(np.int64)  # (batch, tables*planes)
         contrib = (bits * weights).reshape(len(X), n_tables, planes_per_table)
         buckets = contrib.sum(axis=2)  # (batch, tables)
         base = (np.arange(n_tables) << planes_per_table) + buckets

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -44,11 +45,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark rejects outright unless the legacy nanos-as-long conf is on.
     # Callers (the correctness driver in particular) hand us arbitrary
     # sessions, so set it here at read time — it is a runtime-settable
-    # SQL conf — rather than relying on session-creation config.
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # locked-down conf: fall through and let the read decide
+    # SQL conf — rather than relying on session-creation config. Scoped
+    # to the tables with declared nanos columns: leaving it on globally
+    # would silently turn OTHER tables' nanos timestamps into longs
+    # instead of erroring (the conf is deliberately NOT restored after
+    # the read — the returned DataFrame is lazy and its scan re-reads
+    # the conf at execution time).
+    if name in _NS_TIMESTAMP_COLS:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except AnalysisException:
+            pass  # conf locked down: fall through and let the read decide
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType

@@ -188,6 +188,26 @@ def test_asof_join_forward_matches_pandas(spark_global, left_rows, right_rows):
         assert got[(row.k, row.ts.to_pydatetime())] == v
 
 
+def test_asof_join_tie_break_greatest_wins(spark):
+    """Duplicate (key, ts) right rows resolve to the GREATEST value in
+    both directions (the documented contract; the forward path used to
+    deliver the smallest)."""
+    from ecommerce_dataengineering_project_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10_000_000)], "k int, lts long").select(
+        "k", F.timestamp_micros(F.col("lts")).alias("lts")
+    )
+    right = spark.createDataFrame(
+        [(1, 10_000_000, 3), (1, 10_000_000, 7), (1, 10_000_000, 5)],
+        "k int, rts long, v int",
+    ).select("k", F.timestamp_micros(F.col("rts")).alias("rts"), "v")
+    for direction in ("backward", "forward"):
+        [row] = asof_join(
+            left, right, "k", "lts", "rts", ["v"], direction=direction
+        ).collect()
+        assert row.v == 7, direction
+
+
 def test_connected_components_shapes(spark):
     """Chain (worst-case diameter), two components, and singletons all
     converge to min-member labels."""
@@ -207,6 +227,36 @@ def test_connected_components_shapes(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_exhausted_rounds_fail_loud(spark):
+    """A path graph with diameter > max_rounds must NOT silently return
+    non-transitively-closed cluster ids: the default falls back to the
+    O(log n) star variant (with a RuntimeWarning) and still produces
+    correct labels; on_exhausted="raise" raises."""
+    import warnings
+
+    from ecommerce_dataengineering_project_spark.operators.dedup import connected_components
+
+    # path 1-2-...-30: diameter 29 > max_rounds=3
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(n,) for n in range(1, 31)], "doc_id long")
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            edges, nodes, max_rounds=3, on_exhausted="raise"
+        ).collect()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(edges, nodes, max_rounds=3).collect()
+        }
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    assert got == {n: 1 for n in range(1, 31)}
 
 
 def test_stratified_sample_rate_and_determinism(spark, sf_dir):
