@@ -1,26 +1,71 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print one
-JSON line with per-query and total wall-clock seconds.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+per-query and total wall-clock seconds.
 
 Materialization is a `noop` datasource write — full execution of the
 plan (scan -> shuffle -> agg) with no driver-side collect, which is the
 honest way to time a distributed plan.
+
+Each query is timed $SPARK_GRAFT_BENCH_REPEATS times (default 3) and
+reported as the MEDIAN, so one co-tenant hiccup doesn't read as a
+regression. A wall-clock budget ($SPARK_GRAFT_BENCH_BUDGET_S, default
+540 s) degrades remaining queries to single runs if the suite is
+running long, so the harness never blows an orchestration timeout.
+
+Output contract: TWO stdout lines. First the full payload (all queries,
+all repeat samples) for humans/logs; LAST a compact headline JSON line
+(< ~1500 chars — the grading driver keeps only the final 2 kB of
+stdout, so the last line must be complete inside that window) with the
+suite total and a curated headline-query subset.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# One representative per SURVEY §2 family; always includes the
+# bench-watchlist queries called out in VERDICT r2.
+HEADLINE = [
+    "daily_sales",
+    "fct_purchases",
+    "asof_join_events",
+    "broadcast_enrich",
+    "multi_join_revenue",
+    "window_analytics",
+    "sessionize_events",
+    "stream_bronze_silver",
+    "stream_tumbling_revenue",
+    "stream_inventory_restock",
+    "stream_stream_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "similarity_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_features",
+    "text_stats",
+    "tfidf_top_terms",
+    "training_corpus",
+    "anomaly_isolation_forest",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
 
     from ecommerce_dataengineering_project_spark import get_spark
     from ecommerce_dataengineering_project_spark.queries import registry
@@ -50,32 +95,58 @@ def main() -> None:
 
     _sq._events_source(spark, sf_dir, n_flush=2)
 
+    suite_t0 = time.perf_counter()
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in sorted(queries):
         # Time construction + materialization: streaming queries execute
         # their bounded run during construction, batch queries are lazy
         # until the noop write either way.
-        t0 = time.perf_counter()
-        try:
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # one bad query must not kill the run
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        n_runs = repeats if time.perf_counter() - suite_t0 < budget_s else 1
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one bad query must not kill the run
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                runs = []
+                break
+            runs.append(round(time.perf_counter() - t0, 3))
+        if runs:
+            samples[name] = runs
+            timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
-    payload = {
+    full = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
+        "repeats": repeats,
         "queries": timings,
+        "samples": samples,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        full["errors"] = errors
+    print(json.dumps(full))
+
+    headline = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "repeats": repeats,
+        "queries": {n: timings[n] for n in HEADLINE if n in timings},
+        "sf": full["sf"],
+    }
+    if errors:
+        headline["n_errors"] = len(errors)
+    # LAST line, compact separators: must parse from the driver's
+    # 2000-char stdout tail.
+    print(json.dumps(headline, separators=(",", ":")))
     spark.stop()
 
 
