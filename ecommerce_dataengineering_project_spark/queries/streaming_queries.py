@@ -120,7 +120,10 @@ def q_stream_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/P1-P3 end-to-end: events -> JSON 'value' strings (Kafka
     shape) -> streaming from_json parse with drift-tolerant schema ->
     append sink. Stateless, so no flush rows needed."""
-    opts = {"timestampFormat": _TS_FMT}
+    # timestampNTZFormat is belt-and-braces: load_table normalizes NTZ
+    # to TIMESTAMP, but if an NTZ column ever reaches this JSON
+    # round-trip, the default NTZ format would truncate µs→ms.
+    opts = {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT}
     aliases = {"value": ["value", "amount"]}  # drift-alias demo (cf. add_supplement(s))
 
     def stage(source_dir: str):

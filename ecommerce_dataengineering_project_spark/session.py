@@ -34,11 +34,11 @@ _SCALE_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
-    # Parquet writes the fixtures use ns timestamps; keep them lossless.
-    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
-    # The events fixture stores TIMESTAMP(NANOS); Spark has no ns
-    # timestamp type, so read as long and convert in load_table.
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # NOTE: deliberately NO parquet timestamp confs here. The fixtures'
+    # µs/isAdjustedToUTC=false timestamps arrive as TIMESTAMP_NTZ under
+    # default config (as they do in the driver's vanilla session), and
+    # load_table normalizes them — keeping the tuned test session and
+    # an out-of-the-box session on the same read path.
     # Managed tables live under the gitignored scratch dir.
     "spark.sql.warehouse.dir": os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "warehouse"

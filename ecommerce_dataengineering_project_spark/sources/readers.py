@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -28,41 +27,37 @@ TESTDATA_TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark has no ns type, so
-# (with spark.sql.legacy.parquet.nanosAsLong) they arrive as long and
-# are converted to µs timestamps here — same truncation DuckDB applies.
-_NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
-
-
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (S3-analog: Delta batch scan).
 
     Plain parquet scan — vectorized reader, pushdown-capable. At 100 TB
     the same call reads a partitioned lake directory; nothing changes in
     caller code.
-    """
-    # The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-    # Spark rejects outright unless the legacy nanos-as-long conf is on.
-    # Callers (the correctness driver in particular) hand us arbitrary
-    # sessions, so set it here at read time — it is a runtime-settable
-    # SQL conf — rather than relying on session-creation config. Scoped
-    # to the tables with declared nanos columns: leaving it on globally
-    # would silently turn OTHER tables' nanos timestamps into longs
-    # instead of erroring (the conf is deliberately NOT restored after
-    # the read — the returned DataFrame is lazy and its scan re-reads
-    # the conf at execution time).
-    if name in _NS_TIMESTAMP_COLS:
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except AnalysisException:
-            pass  # conf locked down: fall through and let the read decide
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
 
-    for c in _NS_TIMESTAMP_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    Timestamp normalization: the fixtures store timestamps as parquet
+    µs with ``isAdjustedToUTC=false``, which a default-config session
+    (``spark.sql.parquet.inferTimestampNTZ.enabled=true`` on PySpark
+    4.x) reads as TIMESTAMP_NTZ. Downstream operators use instant
+    semantics — ``unix_micros`` rejects NTZ outright, and ``to_json``'s
+    ``timestampFormat`` does not apply to NTZ (silently truncating to
+    milliseconds) — so every NTZ column is cast to TIMESTAMP here, at
+    the single choke point all queries read through. In the UTC
+    sessions both this repo and the oracle harness use, the cast is
+    value-preserving.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session-tz
+    interpretation; value-preserving under UTC sessions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
 
 
