@@ -56,7 +56,9 @@ def merge_upsert(
     updates = updates.select(*target.columns)
     if partition_col is None:
         kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-        merged = kept.unionByName(updates)
+        # select(*target.columns): the join hoists key_cols to the
+        # front; keep the recreated table's column order stable.
+        merged = kept.unionByName(updates).select(*target.columns)
         # localCheckpoint truncates lineage so the overwrite no longer
         # "reads from" the target (cache alone keeps the plan reference);
         # this is the stage-then-swap commit the reference delegates to
@@ -75,9 +77,21 @@ def merge_upsert(
             .distinct()
         )
         affected |= {r[0] for r in moved_from.collect()}
-    target_affected = target.where(F.col(partition_col).isin(list(affected)))
+    target_affected = target.where(_partition_predicate(partition_col, affected))
     kept = target_affected.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    staged = kept.unionByName(updates).localCheckpoint(eager=True)
+    # The key-column join hoists key_cols to the front of `kept`;
+    # realign to the table's insertion schema before the POSITION-based
+    # insertInto, or values land in the wrong columns.
+    staged = (
+        kept.unionByName(updates).select(*target.columns).localCheckpoint(eager=True)
+    )
+    # Session-conf set/restore, not a per-write option: PySpark 4.1.2
+    # ignores DataFrameWriter.option("partitionOverwriteMode", ...) on
+    # the insertInto path (probed: static overwrite wiped untouched
+    # partitions), so the conf is the only working control. The
+    # try/finally keeps the mutation scoped; note a concurrent write
+    # in the SAME session during this window would also see dynamic
+    # mode — acceptable for the foreachBatch-sequential usage here.
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -91,10 +105,40 @@ def merge_upsert(
         present = {r[0] for r in staged.select(partition_col).distinct().collect()}
         for v in affected - present:
             spark.sql(
-                f"ALTER TABLE {table} DROP IF EXISTS PARTITION (`{partition_col}` = '{v}')"
+                f"ALTER TABLE {table} DROP IF EXISTS "
+                f"PARTITION (`{partition_col}` = {_partition_literal(v)})"
             )
     spark.catalog.refreshTable(table)
     return spark.table(table)
+
+
+def _partition_predicate(partition_col: str, values: set):
+    """Prune filter over partition values, NULL-safe: ``isin`` never
+    matches NULL, so a null partition in ``values`` needs an explicit
+    ``isNull`` arm."""
+    non_null = [v for v in values if v is not None]
+    pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(values):
+        pred = pred | F.col(partition_col).isNull()
+    return pred
+
+
+def _partition_literal(v) -> str:
+    """Render a partition value as a safe SQL literal for ALTER TABLE
+    ... DROP PARTITION: quotes doubled for strings, numerics unquoted,
+    dates ISO-quoted, NULL as the Hive default-partition sentinel
+    (how the file layout names the null partition)."""
+    import datetime
+
+    if v is None:
+        return "'__HIVE_DEFAULT_PARTITION__'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return f"'{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def evolve_append(

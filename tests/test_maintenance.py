@@ -42,6 +42,104 @@ def test_merge_upsert(spark, clean_table):
     spark.sql(f"DROP TABLE {t}")
 
 
+def _table_location(spark, table: str) -> str:
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .where("col_name = 'Location'")
+        .collect()[0][1]
+    )
+    return loc.removeprefix("file:")
+
+
+def _partition_files(loc: str, part_dir: str) -> dict[str, tuple]:
+    """(size, mtime_ns, md5) per data file in one partition directory."""
+    import glob
+    import hashlib
+
+    out = {}
+    for f in glob.glob(os.path.join(loc, part_dir, "*.parquet")):
+        st = os.stat(f)
+        with open(f, "rb") as fh:
+            digest = hashlib.md5(fh.read()).hexdigest()
+        out[f] = (st.st_size, st.st_mtime_ns, digest)
+    return out
+
+
+def test_merge_upsert_partition_scoped(spark, clean_table):
+    """Composite (partition, id) key — the docstring's recommended
+    usage. The merge must (a) produce correct values in the RIGHT
+    columns (r3 wrote scrambled rows: position-based insertInto after
+    a key-hoisting join), (b) leave untouched partitions' files
+    byte-identical, untouched."""
+    t = clean_table("t_upsert_part")
+    # Deliberately declare columns in (d, k, v) order — NOT key-first —
+    # so any key-hoisting realignment bug surfaces; saveAsTable moves
+    # the partition column d to the end of the insertion schema.
+    spark.createDataFrame(
+        [("2024-01-01", "a", 1), ("2024-01-01", "b", 2), ("2024-01-02", "c", 3)],
+        "d string, k string, v int",
+    ).write.partitionBy("d").saveAsTable(t)
+    loc = _table_location(spark, t)
+    before_untouched = _partition_files(loc, "d=2024-01-02")
+    assert before_untouched  # premise: the untouched partition has files
+
+    updates = spark.createDataFrame(
+        [("2024-01-01", "b", 20), ("2024-01-01", "x", 99)], "d string, k string, v int"
+    )
+    out = merge_upsert(spark, t, updates, ["d", "k"], partition_col="d")
+    rows = {(r.d, r.k): r.v for r in out.collect()}
+    assert rows == {
+        ("2024-01-01", "a"): 1,
+        ("2024-01-01", "b"): 20,
+        ("2024-01-01", "x"): 99,
+        ("2024-01-02", "c"): 3,
+    }
+    # no spurious partitions from scrambled inserts
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {t}").collect()}
+    assert parts == {"d=2024-01-01", "d=2024-01-02"}
+    # untouched partition not read-modified-written: same files, same
+    # bytes, same mtimes
+    assert _partition_files(loc, "d=2024-01-02") == before_untouched
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_merge_upsert_cross_partition_move(spark, clean_table):
+    """keys_stay_in_partition=False: a key moving partitions must not
+    survive in its old home, and a partition the move emptied is
+    dropped (files gone), not left stale."""
+    t = clean_table("t_upsert_move")
+    spark.createDataFrame(
+        [("p1", "a", 1), ("p2", "b", 2), ("p2", "c", 3)], "d string, k string, v int"
+    ).write.partitionBy("d").saveAsTable(t)
+    loc = _table_location(spark, t)
+
+    # key 'a' moves p1 -> p3, emptying p1
+    updates = spark.createDataFrame([("p3", "a", 10)], "d string, k string, v int")
+    out = merge_upsert(
+        spark, t, updates, ["k"], partition_col="d", keys_stay_in_partition=False
+    )
+    rows = {(r.d, r.k): r.v for r in out.collect()}
+    assert rows == {("p3", "a"): 10, ("p2", "b"): 2, ("p2", "c"): 3}
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {t}").collect()}
+    assert parts == {"d=p2", "d=p3"}
+    assert not _partition_files(loc, "d=p1")  # emptied partition's files gone
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_merge_upsert_null_partition(spark, clean_table):
+    """A NULL partition value must still be pruned-and-merged (isin
+    never matches NULL), not left as stale duplicates."""
+    t = clean_table("t_upsert_nullpart")
+    spark.createDataFrame(
+        [(None, "a", 1), ("p1", "b", 2)], "d string, k string, v int"
+    ).write.partitionBy("d").saveAsTable(t)
+    updates = spark.createDataFrame([(None, "a", 10)], "d string, k string, v int")
+    out = merge_upsert(spark, t, updates, ["k"], partition_col="d")
+    rows = {r.k: (r.d, r.v) for r in out.collect()}
+    assert rows == {"a": (None, 10), "b": ("p1", 2)}
+    spark.sql(f"DROP TABLE {t}")
+
+
 def test_evolve_append(spark, clean_table):
     t = clean_table("t_evolve")
     spark.createDataFrame([("a", 1)], "k string, v int").write.saveAsTable(t)
