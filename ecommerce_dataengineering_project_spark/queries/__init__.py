@@ -32,7 +32,6 @@ PRIORITY: tuple[str, ...] = (
     "total_purchase_producer",
     "json_extract_events",
     "asof_join_events",
-    "lag_lead_events",
     "sessionize_events",
     "incremental_watermark",
     "broadcast_enrich",
@@ -68,8 +67,6 @@ PRIORITY: tuple[str, ...] = (
     # multimodal
     "multimodal_decode",
     "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     # text analysis
     "text_stats",
     "language_id",
@@ -77,6 +74,14 @@ PRIORITY: tuple[str, ...] = (
     "rolling_fingerprint",
     "tfidf_top_terms",
     "training_corpus",
+    # r4 rotation: distinct shapes that sat past the 50-slot cap in
+    # r1-r3, swapped in for same-SURVEY-row variants (multimodal
+    # resize/frame_sample share X's row with decode/features, and
+    # lag_lead shares §2f with window_analytics + sessionize); the
+    # swapped-out variants stay registered and locally oracle-checked.
+    "bm25_search",
+    "funnel_conversion",
+    "range_join_coincident",
     # sketches / pandas UDF / skew / ml
     "approx_distinct_quantiles",
     "exact_distinct_quantiles",

@@ -25,7 +25,10 @@ def test_priority_covers_every_operator_family():
     families = {
         "stream_": 7,  # reference's core streaming path
         "dedup_": 6,
-        "multimodal_": 4,
+        # r4: decode+features hold the multimodal row's driver slots;
+        # resize/frame_sample rotated out for never-checked shapes
+        # (bm25_search, funnel_conversion, range_join_coincident).
+        "multimodal_": 2,
         "ann_": 1,
     }
     for prefix, want in families.items():
