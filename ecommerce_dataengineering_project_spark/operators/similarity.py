@@ -232,6 +232,85 @@ def fit_ivf_centroids(
     return [list(map(float, c)) for c in C]
 
 
+SEED_MULT = 1000003
+SEED_MOD = 999983
+
+
+def seeded_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic data-point centroids — IVF "random init" without
+    the Lloyd refinement: the ``n_cells`` corpus vectors ranking first
+    by the integer hash ``(id * SEED_MULT) % SEED_MOD`` (ties by id).
+    Pure integer arithmetic + row identity, so the SAME centroids are
+    derivable in any engine — which makes the whole IVF query
+    oracle-checkable end-to-end, unlike trained k-means means whose
+    float accumulation order is engine-specific.
+
+    At scale this is a TakeOrdered over a map-only hash projection (no
+    full sort, no training pass); the n_cells vectors are a few KB of
+    plan literals, exactly like the trained path."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("h", (F.col("id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD))
+        .orderBy("h", "id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(map(float, r.v)) for r in rows]
+
+
+def _halfsq(c: list[float]) -> float:
+    """|c|^2 / 2 with dimension-ascending accumulation — the same
+    left-fold order as the SQL LIST_REDUCE oracle (0.0 + t1 == t1
+    exactly, so the Spark fold with a 0.0 init matches too)."""
+    acc = 0.0
+    for x in c:
+        acc += x * x
+    return acc / 2.0
+
+
+def _cell_score_sqls(vec: str, centroids: list[list[float]]) -> list[str]:
+    """Per-cell nearest-centroid scores ``v . c_j - |c_j|^2/2``
+    (argmax == nearest by L2) as sequential-fold SQL expressions:
+    bit-identical to a LIST_REDUCE(LIST_ZIP(...)) oracle fold."""
+    out = []
+    for c in centroids:
+        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        out.append(
+            f"(aggregate(zip_with(`{vec}`, {arr}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x) - {_halfsq(c)!r}D)"
+        )
+    return out
+
+
+def _cell_structs(vec: str, centroids: list[list[float]]) -> str:
+    # negated score: array_min / ascending sort_array then give
+    # max-score-first with ties broken toward the LOWER cell id —
+    # the same (s DESC, cell ASC) order the oracle's ROW_NUMBER uses.
+    return ", ".join(
+        f"named_struct('negs', -({s}), 'cell', {j})"
+        for j, s in enumerate(_cell_score_sqls(vec, centroids))
+    )
+
+
+def ivf_cell_exact(vec: str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell id for a named array<double> column, as a
+    pure codegen expression (no Python on the hot path)."""
+    return F.expr(f"array_min(array({_cell_structs(vec, centroids)})).cell")
+
+
+def ivf_probes_exact(vec: str, centroids: list[list[float]], n_probe: int) -> Column:
+    """The ``n_probe`` nearest cell ids, nearest first."""
+    return F.expr(
+        f"transform(slice(sort_array(array({_cell_structs(vec, centroids)})), "
+        f"1, {n_probe}), s -> s.cell)"
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -242,40 +321,58 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
+    assigner: str = "fast",
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their nearest-centroid
     cell; each query probes its ``n_probe`` nearest cells and scores
-    only those vectors. The cell assignment is a map-only codegen'd
-    expression (centroid literals in the plan — no model object, no
-    UDF); the probe join shuffles only by cell id.
+    only those vectors. The probe join shuffles only by cell id.
+
+    ``assigner="fast"``: Arrow-batched numpy matmul assignment — the
+    throughput path for trained (k-means) centroids, where bit-level
+    reproducibility across engines is moot anyway.
+    ``assigner="exact"``: pure codegen'd sequential-fold scoring (no
+    Python anywhere) — dimension-ascending accumulation matches a SQL
+    LIST_REDUCE fold bit-for-bit, so with ``seeded_centroids`` the
+    whole query is oracle-checkable.
 
     vs LSH (lsh_topk): IVF adapts to the data distribution (cells
-    follow density), costs a training pass; LSH is oblivious but free.
-    Both are rows-only for oracles — recall is regression-tested
-    against brute_force_topk.
+    follow density), costs a selection/training pass; LSH is oblivious
+    but free. Recall is regression-tested against brute_force_topk.
     """
     if centroids is None:
         centroids = fit_ivf_centroids(corpus, dim, n_cells, vec_col)
-    assign_one = _cell_assigner(centroids, 1)
-    assign_probe = _cell_assigner(centroids, n_probe)
     # Cast + norm are materialized per ROW here, below the join — the
     # pair loop then runs one fold dot per candidate. The unrolled
     # dim-wide expression is wrong on a pair loop: a 193-term generated
     # method blows the JIT huge-method limit and deoptimizes to
     # interpreted bytecode (~7x on this operator).
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-        F.element_at(assign_one(F.col(vec_col).cast("array<double>")), 1).alias("cell"),
-    ).withColumn("c_nrm", norm("cv"))
-    q = (
-        queries.select(
+    if assigner == "exact":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        ).withColumn("cell", ivf_cell_exact("cv", centroids))
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        ).withColumn("probe_cells", ivf_probes_exact("qv", centroids, n_probe))
+    else:
+        assign_one = _cell_assigner(centroids, 1)
+        assign_probe = _cell_assigner(centroids, n_probe)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+            F.element_at(
+                assign_one(F.col(vec_col).cast("array<double>")), 1
+            ).alias("cell"),
+        )
+        q = queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
             assign_probe(F.col(vec_col).cast("array<double>")).alias("probe_cells"),
         )
-        .withColumn("q_nrm", norm("qv"))
-        .select("query_id", "qv", "q_nrm", F.explode("probe_cells").alias("cell"))
+    c = c.withColumn("c_nrm", norm("cv"))
+    q = q.withColumn("q_nrm", norm("qv")).select(
+        "query_id", "qv", "q_nrm", F.explode("probe_cells").alias("cell")
     )
     scored = c.join(F.broadcast(q), on="cell").where(
         F.col("query_id") != F.col("neighbor_id")

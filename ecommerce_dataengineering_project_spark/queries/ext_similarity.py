@@ -1,10 +1,11 @@
 """Similarity-search queries over the embeddings table (SURVEY §2k X3).
 
-The brute-force top-k and the LSH bucket assignment are oracle-checked
-bit-for-bit (hyperplane coefficients are sha-derived literals injected
-into both the Spark plan and the SQL). The ANN top-k itself is
-rows-only for the driver; its recall against brute force is
-regression-tested in tests/test_similarity.py.
+All four queries are oracle-checked bit-for-bit: hyperplane
+coefficients are sha-derived literals injected into both the Spark
+plan and the SQL, and the IVF centroid set is a deterministic
+integer-hash selection of corpus rows (seeded_centroids) scored with
+the same sequential fold in both engines. Recall against brute force
+is additionally regression-tested in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -14,6 +15,8 @@ from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.operators.similarity import (
     NUM_PLANES,
+    SEED_MOD,
+    SEED_MULT,
     brute_force_topk,
     hyperplane,
     ivf_topk,
@@ -49,21 +52,31 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K)
 
 
+N_CELLS = 16
+N_PROBE = 4
+
 _IVF_CENTROIDS: dict[str, list] = {}
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ecommerce_dataengineering_project_spark.operators.similarity import fit_ivf_centroids
+    """IVF with seeded data-point centroids and the exact (codegen
+    fold) assigner — every stage reproducible in SQL, so unlike the
+    trained-k-means variant this one is fully oracle-checked. The
+    trained path stays available via fit_ivf_centroids(fitter=...)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import seeded_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_CENTROIDS:  # train once per corpus per process
-        _IVF_CENTROIDS[sf_dir] = fit_ivf_centroids(emb, EMBEDDING_DIM)
+    if sf_dir not in _IVF_CENTROIDS:  # select once per corpus per process
+        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
     return ivf_topk(
         _queries_df(spark, sf_dir),
         emb,
         EMBEDDING_DIM,
         k=TOP_K,
+        n_cells=N_CELLS,
+        n_probe=N_PROBE,
         centroids=_IVF_CENTROIDS[sf_dir],
+        assigner="exact",
     )
 
 
@@ -71,7 +84,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,  # rows-only: sampled k-means state, no SQL oracle
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 # --- ann_lsh_topk oracle -------------------------------------------------
@@ -161,6 +174,66 @@ ORACLES = {
         cand AS (
             SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
             FROM qk q JOIN ck c ON q.tkey = c.tkey AND q.vec_id <> c.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qn.v, cn.v),
+                                                     x -> x[1] * x[2]),
+                                      (x, y) -> x + y) / (qn.nrm * cn.nrm))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cosine
+            FROM cand
+            JOIN n qn ON qn.vec_id = cand.query_id
+            JOIN n cn ON cn.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    # IVF with seeded data-point centroids: the centroid set is a pure
+    # integer-hash top-N of the corpus itself (no trained float state),
+    # and both engines score cells with the same sequential fold, so
+    # assignment, probing and rescoring all reproduce bit-for-bit.
+    # Mirrors operators/similarity.py seeded_centroids + ivf_*_exact.
+    "ann_ivf_topk": f"""
+        WITH {_COS_CTE},
+        cents AS (
+            SELECT cell, cv, halfsq FROM (
+                SELECT v AS cv,
+                       ROW_NUMBER() OVER (ORDER BY (vec_id * {SEED_MULT}) % {SEED_MOD} ASC,
+                                          vec_id ASC) - 1 AS cell,
+                       LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                           / 2.0 AS halfsq
+                FROM n
+            ) WHERE cell < {N_CELLS}
+        ),
+        cell_scores AS (
+            SELECT e.vec_id, c.cell,
+                   LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                               (x, y) -> x + y) - c.halfsq AS s
+            FROM n e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rn
+                FROM cell_scores
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell ASC) AS rn
+                FROM cell_scores WHERE vec_id < {N_QUERY_VECS}
+            ) WHERE rn <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
         ),
         scored AS (
             SELECT cand.query_id, cand.neighbor_id,
