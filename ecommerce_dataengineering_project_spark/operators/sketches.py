@@ -1,0 +1,108 @@
+"""Mergeable sketch aggregation — the incremental-rollup pattern
+(SURVEY §2k X5 extension).
+
+At 100 TB you never recompute a global distinct count or quantile from
+raw data: each ingest partition (a day, an hour) persists a tiny
+mergeable sketch next to its rows, and every rollup — weekly, monthly,
+all-time — unions sketches instead of rescanning events. Spark 4 ships
+the Apache DataSketches aggregates (``hll_*``, ``kll_*``) as built-in
+JVM expressions; all of them run with map-side partial aggregation, so
+the daily sketch pass is one shuffle of KB-sized state and the rollup
+reads KBs, not TBs.
+
+Exactness notes pinned by tests/test_sketches.py:
+- HLL union is LOSSLESS at equal lgConfigK: estimate(union(daily)) ==
+  estimate(sketch(all rows)) exactly, which is what makes the
+  incremental layout safe — the rollup answer never drifts from the
+  recompute answer.
+- Below ~3/8 * 2^lgConfigK distinct values the HLL sketch is still in
+  its exact (coupon list/set) phase, so small-partition estimates are
+  exact counts — relevant when validating against small fixtures.
+
+No oracle SQL: DuckDB's approx_count_distinct is a different sketch
+family (its estimates differ by design), so the driver records a
+rows-only check; the mergeability and accuracy contracts are pinned
+locally instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_LGK = 12
+
+
+def daily_sketches(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One row per day carrying mergeable sketch state: an HLL sketch
+    of distinct ``key_col`` values, a KLL sketch of the ``value_col``
+    distribution, and the exact row count. This is the table you
+    PERSIST alongside the raw partition at scale (binary columns;
+    a few KB per day regardless of row count)."""
+    return df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lgk)).alias("key_hll"),
+        F.kll_sketch_agg_double(value_col).alias("value_kll"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def rollup_sketches(
+    daily: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Collapse per-day sketch rows into one global row WITHOUT
+    touching raw data: HLL union for distincts, KLL merge for
+    quantiles. The input is |days| rows of KB state — at 100 TB this
+    runs on a laptop."""
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("key_hll")).alias("approx_distinct_keys"),
+        # kll_sketch_merge_double is a binary scalar (no agg form in
+        # Spark 4.1): fold the collected per-day sketches — bounded at
+        # one KB-sized element per day, so the array stays tiny even
+        # over years of partitions.
+        F.collect_list("value_kll").alias("klls"),
+        F.sum("n_rows").alias("n_rows"),
+    ).withColumn(
+        "value_kll",
+        F.expr(
+            "reduce(slice(klls, 2, greatest(size(klls) - 1, 0)), "
+            "element_at(klls, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ),
+    )
+    cols = [
+        "approx_distinct_keys",
+        "n_rows",
+        *[
+            F.kll_sketch_get_quantile_double("value_kll", F.lit(q)).alias(
+                f"value_p{int(q * 100)}"
+            )
+            for q in quantiles
+        ],
+    ]
+    return merged.select(*cols)
+
+
+def daily_sketch_report(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Driver-hashable per-day readout of the sketch table (no binary
+    columns): day, exact row count, HLL distinct-key estimate, KLL
+    median. The companion query shape for dashboards over the
+    persisted sketch partitions."""
+    daily = daily_sketches(df, ts_col, key_col, value_col, lgk)
+    return daily.select(
+        "day",
+        "n_rows",
+        F.hll_sketch_estimate("key_hll").alias("approx_distinct_keys"),
+        F.kll_sketch_get_quantile_double("value_kll", F.lit(0.5)).alias("value_p50"),
+    )

@@ -48,6 +48,22 @@ def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 incremental layout: per-day DataSketches (HLL distinct
+    users, KLL value quantiles) rolled up to one global row by sketch
+    UNION — no rescan of raw rows. The pattern that replaces
+    recompute-the-world at 100 TB; mergeability/accuracy contracts are
+    pinned in tests/test_sketches.py (rows-only for the driver: DuckDB
+    runs a different sketch family)."""
+    from ecommerce_dataengineering_project_spark.operators.sketches import (
+        daily_sketches,
+        rollup_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rollup_sketches(daily_sketches(ev, "ts", "user_id", "value"))
+
+
 def q_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact twin of the sketch query (oracle-checked)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -229,6 +245,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "intersect_segments": q_intersect_segments,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
+    "sketch_incremental_rollup": q_sketch_incremental_rollup,  # rows-only: sketches
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,
     "grouped_pandas_stats": q_grouped_pandas_stats,
