@@ -171,14 +171,48 @@ def evolve_append(
     return spark.table(table)
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+) -> dict[str, int]:
+    """Per-partition small-file compaction for a Hive-layout parquet
+    directory (one ``col=value`` level): only partitions whose file
+    count exceeds ``target_files`` are rewritten — cold partitions'
+    files are never read, rewritten, or touched. Returns
+    ``{partition_dir: files_before}`` for the rewritten partitions.
+
+    This is the maintenance pass every streaming-append table needs
+    (each micro-batch adds >=1 file per partition it touches; scan
+    cost grows with file count, not bytes). Partitions compact
+    independently — at scale, submit the per-partition jobs
+    concurrently; the sequential loop here keeps the local harness
+    simple and is bounded by partition count, not data size."""
+    import glob
+    import os
+
+    rewritten: dict[str, int] = {}
+    for sub in sorted(glob.glob(os.path.join(path, "*=*"))):
+        if not os.path.isdir(sub):
+            continue
+        files = glob.glob(os.path.join(sub, "*.parquet"))
+        if len(files) <= target_files:
+            continue
+        staged = spark.read.parquet(sub).localCheckpoint(eager=True)
+        staged.coalesce(target_files).write.mode("overwrite").parquet(sub)
+        rewritten[os.path.basename(sub)] = len(files)
+    return rewritten
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_files: int,
 ) -> int:
-    """Rewrite a parquet directory into ``target_files`` files; returns
-    the file count before compaction. (On a partitioned table, run
-    per-partition so only hot partitions rewrite.)"""
+    """Rewrite a flat parquet directory into ``target_files`` files;
+    returns the file count before compaction. (On a partitioned
+    table, use ``compact_partitioned`` so only hot partitions
+    rewrite.)"""
     import glob
     import os
 

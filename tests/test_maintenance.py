@@ -167,6 +167,31 @@ def test_compact(spark, tmp_path):
     assert back.agg(F.sum("v")).first()[0] == 999 * 1000
 
 
+def test_compact_partitioned_rewrites_only_hot_partitions(spark, tmp_path):
+    """Hot partitions (file count over target) compact to target;
+    cold partitions' files stay byte-identical and untouched."""
+    import glob
+
+    from ecommerce_dataengineering_project_spark.sources.maintenance import compact_partitioned
+
+    path = str(tmp_path / "part")
+    hot = spark.range(400).selectExpr("'h' AS d", "id AS k", "id * 2 AS v")
+    cold = spark.range(100).selectExpr("'c' AS d", "id AS k", "id * 3 AS v")
+    hot.repartition(8).write.partitionBy("d").parquet(path)
+    cold.coalesce(1).write.mode("append").partitionBy("d").parquet(path)
+    cold_before = _partition_files(path, "d=c")
+    assert len(cold_before) == 1
+    assert len(glob.glob(os.path.join(path, "d=h", "*.parquet"))) == 8
+
+    rewritten = compact_partitioned(spark, path, target_files=1)
+    assert rewritten == {"d=h": 8}
+    assert len(glob.glob(os.path.join(path, "d=h", "*.parquet"))) == 1
+    assert _partition_files(path, "d=c") == cold_before
+    back = spark.read.parquet(path)
+    assert back.count() == 500
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(400)) + 3 * sum(range(100))
+
+
 def test_streaming_upsert_via_foreach_batch(spark, clean_table):
     """Streaming MERGE: micro-batches of purchase updates upserted
     into a gold table via foreachBatch + merge_upsert. Later batches
