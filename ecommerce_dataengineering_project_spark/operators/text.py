@@ -230,6 +230,55 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window prep step of
+    an LLM training pipeline: windows of ``chunk_tokens`` whitespace
+    tokens with ``overlap`` tokens shared between consecutive chunks
+    (stride = chunk_tokens - overlap). The final window may be short;
+    a window that would start inside the region the previous chunk
+    already covered is not emitted (starts run to n - overlap).
+
+    Scale shape: tokenize → sequence → posexplode → slice is MAP-ONLY
+    (no shuffle, no Python); chunk rows stream out of the scan stage
+    and the operator parallelizes with the input partitioning.
+    """
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    return (
+        df.select(
+            F.col(id_col),
+            tokens(text_col).alias("__toks"),
+        )
+        .withColumn(
+            "chunk_start",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("__toks") - overlap, F.lit(1)),
+                    F.lit(stride),
+                )
+            ),
+        )
+        .select(
+            id_col,
+            ((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_id"),
+            "chunk_start",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens))
+            .cast("bigint")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token frequencies: one shuffle, map-side combined."""
     return (

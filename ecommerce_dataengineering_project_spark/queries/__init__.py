@@ -37,7 +37,6 @@ PRIORITY: tuple[str, ...] = (
     "broadcast_enrich",
     "multi_join_revenue",
     "window_analytics",
-    "running_inventory",
     "dedup_keep_first",
     "union_segments",
     "anomaly_zscore",
@@ -82,6 +81,11 @@ PRIORITY: tuple[str, ...] = (
     "bm25_search",
     "funnel_conversion",
     "range_join_coincident",
+    # chunk_documents replaces running_inventory's slot: A4/T7 keeps
+    # stream_inventory_restock as its hash-checked representative, and
+    # the LLM context-prep chunker is a first-class shape with no
+    # in-cap stand-in.
+    "chunk_documents",
     # sketches / pandas UDF / skew / ml
     "approx_distinct_quantiles",
     "exact_distinct_quantiles",

@@ -78,6 +78,22 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_TERMS, k=BM25_K)
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM context prep: sliding-window token chunks (32 tokens, 8
+    overlap) over every document — map-only, no shuffle (see
+    operators/text.py chunk_documents)."""
+    from ecommerce_dataengineering_project_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
 QUALITY_MIN = 0.5
 CORPUS_PERMILLE = 500
 
@@ -118,6 +134,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
+    "chunk_documents": q_chunk_documents,
     "training_corpus": q_training_corpus,
 }
 
@@ -164,7 +181,31 @@ def _bm25_oracle() -> str:
         FROM top
     """
 
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
 ORACLES = {
+    # Mirrors operators/text.py chunk_documents: starts 1, 1+stride, ...
+    # up to n_tokens - overlap (always at least one chunk); DuckDB list
+    # slicing is inclusive-and-clamping like Spark's slice().
+    "chunk_documents": f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   UNNEST(RANGE(1, GREATEST(LEN(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                                {_CHUNK_STRIDE})) AS chunk_start
+            FROM t
+        )
+        SELECT doc_id,
+               CAST((chunk_start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+               CAST(chunk_start AS INTEGER) AS chunk_start,
+               ARRAY_TO_STRING(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1],
+                               ' ') AS chunk_text,
+               CAST(LEN(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1])
+                    AS BIGINT) AS n_chunk_tokens
+        FROM s
+    """,
     "text_stats": f"""
         WITH t AS (
             SELECT doc_id, text,

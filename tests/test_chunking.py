@@ -1,0 +1,69 @@
+"""chunk_documents contracts: window/overlap arithmetic, short-doc and
+exact-boundary edges, full-coverage reconstruction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.operators.text import chunk_documents
+
+
+def _chunks(spark, texts, chunk_tokens=8, overlap=2):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap=overlap
+    ).collect()
+    out: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_id)):
+        out.setdefault(r.doc_id, []).append(r)
+    return out
+
+
+def test_short_doc_single_chunk(spark):
+    ch = _chunks(spark, ["a b c"])[0]
+    assert len(ch) == 1
+    assert ch[0].chunk_text == "a b c" and ch[0].n_chunk_tokens == 3
+    assert ch[0].chunk_start == 1 and ch[0].chunk_id == 0
+
+
+def test_exact_window_no_trailing_chunk(spark):
+    # exactly chunk_tokens tokens -> one chunk, no redundant tail
+    ch = _chunks(spark, [" ".join(f"t{i}" for i in range(8))])[0]
+    assert len(ch) == 1
+
+
+def test_overlap_and_stride(spark):
+    words = [f"t{i}" for i in range(20)]
+    ch = _chunks(spark, [" ".join(words)])[0]  # stride 6: starts 1,7,13
+    assert [c.chunk_start for c in ch] == [1, 7, 13]
+    assert ch[0].chunk_text.split(" ") == words[0:8]
+    assert ch[1].chunk_text.split(" ") == words[6:14]
+    assert ch[2].chunk_text.split(" ") == words[12:20]
+    # consecutive chunks share exactly `overlap` tokens
+    assert ch[0].chunk_text.split(" ")[-2:] == ch[1].chunk_text.split(" ")[:2]
+
+
+def test_every_token_is_covered(spark):
+    words = [f"t{i}" for i in range(53)]
+    ch = _chunks(spark, [" ".join(words)])[0]
+    covered = set()
+    for c in ch:
+        covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+    assert covered == set(range(1, 54))
+
+
+def test_no_fully_contained_trailing_window(spark):
+    # 9 tokens, chunk 8, overlap 2, stride 6: start 7 covers 7..9 (new
+    # tokens); start 13 would be past the end and must not appear
+    ch = _chunks(spark, [" ".join(f"t{i}" for i in range(9))])[0]
+    assert [c.chunk_start for c in ch] == [1, 7]
+    assert ch[1].n_chunk_tokens == 3
+
+
+def test_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(AssertionError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
