@@ -38,6 +38,46 @@ def hash_sample(
     return df.where(sample_key(key_cols, salt) < permille)
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Reproducible global training order: every row gets a shard id
+    and a position within its shard, derived ONLY from (salt, key) —
+    the same permutation on any engine, cluster size, or input
+    partitioning (``rand()`` / ``repartition`` orders are none of
+    these). Training readers consume shards in id order, rows in
+    ``pos`` order: a stable epoch-0 order that re-salts per epoch.
+
+    Scale shape: the hash is map-side; the only wide operation is ONE
+    exchange on ``shard`` for the per-shard rank window. Shard count
+    bounds window partition size (pick shards >> executors); there is
+    deliberately no global ROW_NUMBER — a total order over 100 TB
+    serializes on one partition, while (shard, pos) is already a
+    lexicographic total order."""
+    h = hash60(
+        F.concat_ws(
+            "_", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+        )
+    )
+    from pyspark.sql import Window
+
+    shard = (h % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard").orderBy(
+            F.col("__h").asc(), *[F.col(c).asc() for c in key_cols]
+        )
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_cols: list[str],

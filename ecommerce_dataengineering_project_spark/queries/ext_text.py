@@ -94,6 +94,23 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SHARDS = 8
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order: (shard, pos) permutation derived
+    only from the salted key hash — same order on any engine or
+    cluster (see operators/sampling.py deterministic_shuffle)."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, ["doc_id"], SHUFFLE_SHARDS).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 QUALITY_MIN = 0.5
 CORPUS_PERMILLE = 500
 
@@ -135,6 +152,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "chunk_documents": q_chunk_documents,
+    "shuffle_corpus": q_shuffle_corpus,
     "training_corpus": q_training_corpus,
 }
 
@@ -184,6 +202,21 @@ def _bm25_oracle() -> str:
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
 ORACLES = {
+    # Mirrors operators/sampling.py deterministic_shuffle: the same
+    # sha-256-prefix hash drives shard assignment and in-shard rank.
+    "shuffle_corpus": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'shuffle',
+                        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS hv
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(hv % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY hv % {SHUFFLE_SHARDS}
+                                       ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
+        FROM h
+    """,
     # Mirrors operators/text.py chunk_documents: starts 1, 1+stride, ...
     # up to n_tokens - overlap (always at least one chunk); DuckDB list
     # slicing is inclusive-and-clamping like Spark's slice().
