@@ -279,6 +279,45 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    shard_col: str,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-split sequence packing — the standard pretraining
+    layout: chunks are laid end-to-end in a deterministic order and
+    cut into fixed ``budget``-token bins; a chunk straddling a cut is
+    split by the downstream reader (its ``bin_offset`` + length say
+    exactly where). Compared to first-fit bin packing this wastes zero
+    tokens, needs no per-bin state, and is a pure windowed cumulative
+    sum — one exchange on ``shard_col``, same partitioning as the
+    order itself.
+
+    Emits per row: ``token_offset`` (exclusive running total within
+    the shard), ``bin_id`` (budget-sized cut containing the chunk's
+    first token) and ``bin_offset`` (position of the first token
+    within that bin). Bins are local to a shard, so packing
+    parallelizes with the training order and no global window exists.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return (
+        df.withColumn("token_offset", offset)
+        .withColumn("bin_id", (F.col("token_offset") / budget).cast("bigint"))
+        .withColumn(
+            "bin_offset", (F.col("token_offset") % budget).cast("bigint")
+        )
+    )
+
+
 def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus token frequencies: one shuffle, map-side combined."""
     return (

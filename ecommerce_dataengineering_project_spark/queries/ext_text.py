@@ -111,6 +111,33 @@ def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 128
+
+
+def q_pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed context-prep pipeline: chunk every document,
+    shuffle chunks into a reproducible training order, then
+    concat-and-split pack them into 128-token bins. Three operators,
+    two exchanges total (the shard shuffle is reused by the packing
+    window — same partitioning)."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_id", "n_chunk_tokens")
+    ordered = deterministic_shuffle(chunks, ["doc_id", "chunk_id"], SHUFFLE_SHARDS)
+    return pack_chunks(
+        ordered, "shard", ["pos"], "n_chunk_tokens", PACK_BUDGET
+    ).select("doc_id", "chunk_id", "shard", "pos", "token_offset", "bin_id", "bin_offset")
+
+
 QUALITY_MIN = 0.5
 CORPUS_PERMILLE = 500
 
@@ -153,6 +180,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "chunk_documents": q_chunk_documents,
     "shuffle_corpus": q_shuffle_corpus,
+    "pack_training_bins": q_pack_training_bins,
     "training_corpus": q_training_corpus,
 }
 
@@ -216,6 +244,52 @@ ORACLES = {
                CAST(ROW_NUMBER() OVER (PARTITION BY hv % {SHUFFLE_SHARDS}
                                        ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS pos
         FROM h
+    """,
+    # chunk -> shuffle -> pack, each stage mirroring its Spark operator
+    # (chunk arithmetic, sha-prefix shard/rank, windowed running sum).
+    "pack_training_bins": f"""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, toks,
+                   UNNEST(RANGE(1, GREATEST(LEN(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                                {_CHUNK_STRIDE})) AS chunk_start
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST((chunk_start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+                   CAST(LEN(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1])
+                        AS BIGINT) AS n_chunk_tokens
+            FROM s
+        ),
+        h AS (
+            SELECT *, CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'shuffle',
+                          CAST(doc_id AS VARCHAR), CAST(chunk_id AS VARCHAR))),
+                          1, 15)) AS BIGINT) AS hv
+            FROM c
+        ),
+        o AS (
+            SELECT doc_id, chunk_id, n_chunk_tokens,
+                   CAST(hv % {SHUFFLE_SHARDS} AS INTEGER) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY hv % {SHUFFLE_SHARDS}
+                                           ORDER BY hv ASC, doc_id ASC, chunk_id ASC)
+                        AS BIGINT) AS pos
+            FROM h
+        ),
+        packed AS (
+            SELECT doc_id, chunk_id, shard, pos,
+                   CAST(COALESCE(SUM(n_chunk_tokens) OVER (
+                            PARTITION BY shard ORDER BY pos ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS token_offset
+            FROM o
+        )
+        SELECT doc_id, chunk_id, shard, pos, token_offset,
+               CAST(token_offset // {PACK_BUDGET} AS BIGINT) AS bin_id,
+               CAST(token_offset % {PACK_BUDGET} AS BIGINT) AS bin_offset
+        FROM packed
     """,
     # Mirrors operators/text.py chunk_documents: starts 1, 1+stride, ...
     # up to n_tokens - overlap (always at least one chunk); DuckDB list

@@ -63,6 +63,37 @@ def test_no_fully_contained_trailing_window(spark):
     assert ch[1].n_chunk_tokens == 3
 
 
+def test_pack_chunks_concat_and_split(spark):
+    """Packing contract: offsets are the exclusive running total in
+    order, bins cut every `budget` tokens, zero waste (next offset ==
+    previous offset + previous length)."""
+    from ecommerce_dataengineering_project_spark.operators.text import pack_chunks
+
+    rows = [(0, i, (i % 5) + 1) for i in range(40)]  # one shard, varied lengths
+    df = spark.createDataFrame(rows, "shard int, pos int, n_tok long")
+    out = sorted(
+        pack_chunks(df, "shard", ["pos"], "n_tok", budget=10).collect(),
+        key=lambda r: r.pos,
+    )
+    expect_off = 0
+    for r in out:
+        assert r.token_offset == expect_off
+        assert r.bin_id == expect_off // 10
+        assert r.bin_offset == expect_off % 10
+        expect_off += r.n_tok
+
+
+def test_pack_chunks_bins_are_local_to_shard(spark):
+    from ecommerce_dataengineering_project_spark.operators.text import pack_chunks
+
+    rows = [(s, i, 4) for s in (0, 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "shard int, pos int, n_tok long")
+    out = pack_chunks(df, "shard", ["pos"], "n_tok", budget=8).collect()
+    for s in (0, 1):  # each shard restarts at offset 0
+        offs = sorted(r.token_offset for r in out if r.shard == s)
+        assert offs == [0, 4, 8, 12, 16, 20]
+
+
 def test_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError):
