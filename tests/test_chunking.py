@@ -94,6 +94,64 @@ def test_pack_chunks_bins_are_local_to_shard(spark):
         assert offs == [0, 4, 8, 12, 16, 20]
 
 
+def test_chunking_matches_duckdb_on_edge_texts(spark):
+    """Cross-engine parity on texts the fixture never exercises:
+    empty string, double spaces, leading/trailing space, single token,
+    exact window sizes — Spark split vs DuckDB STRING_SPLIT must agree
+    everywhere the oracle claims they do."""
+    import duckdb
+
+    from ecommerce_dataengineering_project_spark.queries.ext_text import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        _CHUNK_STRIDE,
+    )
+
+    texts = [
+        "",
+        "a",
+        "a  b",
+        " a b ",
+        "x " * 31 + "x",  # exactly chunk_tokens tokens
+        "x " * 32 + "x",  # one past
+        " ".join(f"t{i}" for i in range(100)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from ecommerce_dataengineering_project_spark.operators.text import chunk_documents
+
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_text, r.n_chunk_tokens)
+        for r in chunk_documents(
+            df, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", list(enumerate(texts)))
+    want = set(
+        con.sql(
+            f"""
+            WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM d),
+            s AS (
+                SELECT doc_id, toks,
+                       UNNEST(RANGE(1, GREATEST(LEN(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                                    {_CHUNK_STRIDE})) AS chunk_start
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST((chunk_start - 1) // {_CHUNK_STRIDE} AS INTEGER),
+                   CAST(chunk_start AS INTEGER),
+                   ARRAY_TO_STRING(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1], ' '),
+                   CAST(LEN(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1]) AS BIGINT)
+            FROM s
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
 def test_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError):
