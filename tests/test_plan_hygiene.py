@@ -1,0 +1,74 @@
+"""Registry-wide physical-plan hygiene sweep.
+
+test_plans.py asserts specific good plans; this asserts the ABSENCE of
+bad ones everywhere: no CartesianProduct in any registered batch
+query, nested-loop joins only where a broadcast single-row scalar
+attach (or a deliberately tiny broadcast query side) makes them the
+right plan, and Python nodes only in the operators declared
+pandas-based. A new query that accidentally introduces an unbounded
+cross product or a row-at-a-time UDF fails here before it ships.
+
+Streaming queries are excluded (building their DataFrame executes the
+bounded run; their plans are exercised by their own oracle checks), as
+is anomaly_isolation_forest (driver-side fetch by design, S5).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ecommerce_dataengineering_project_spark.queries import registry
+
+_QUERIES, _ = registry()
+
+_SKIP = {n for n in _QUERIES if n.startswith("stream_")} | {"anomaly_isolation_forest"}
+
+# Single-row (or few-row) broadcast sides where BroadcastNestedLoopJoin
+# is the intended plan: corpus-level scalars attached to every row, or
+# a <=5-row query side joined with a non-equi condition.
+_BNLJ_OK = {
+    "anomaly_zscore",  # mean/std scalar attach
+    "bm25_search",  # corpus stats scalar attach
+    "ingestion_freshness",  # global latest-ts scalar attach
+    "similarity_topk",  # 5-row broadcast query side, != condition
+    "tfidf_top_terms",  # n_docs scalar attach
+}
+
+# Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
+# the declared §2j / multimodal / ANN-assigner surface. Never
+# row-at-a-time BatchEvalPython.
+_PYTHON_OK = {
+    "ann_lsh_topk",
+    "pandas_udf_score",
+    "grouped_pandas_stats",
+    "multimodal_decode",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_embedding_cosine",
+}
+
+_PY_NODES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+@pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n not in _SKIP))
+def test_plan_hygiene(spark, sf_dir, name):
+    plan = (
+        _QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: unbounded cross product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
+    if name not in _PYTHON_OK:
+        for node in _PY_NODES:
+            assert node not in plan, f"{name}: unexpected Python node {node}"
+    # row-at-a-time Python is never acceptable, even in declared ops
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
