@@ -136,6 +136,37 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = max|v|/127``,
+    ``q_i = floor(v_i/scale + 0.5)`` (round-half-up — the repo's
+    engine-portable rounding; an all-zero vector quantizes to zeros
+    with scale 0). 4x storage shrink for a 100 TB embedding corpus and
+    int8-dot rescoring downstream; reconstruction error is bounded by
+    scale/2 per element (pinned in tests). Map-only — no shuffle, no
+    Python."""
+    vd = as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(
+        F.col("q_scale") == 0.0,
+        F.transform(F.col("__vd"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("__vd"),
+            lambda x: F.floor(x / F.col("q_scale") + F.lit(0.5)).cast("int"),
+        )
+    )
+    return (
+        df.withColumn("__vd", vd)
+        .withColumn("q_scale", scale)
+        .withColumn("q_vec", q)
+        .drop("__vd")
+    )
+
+
 NUM_PLANES = 8
 
 

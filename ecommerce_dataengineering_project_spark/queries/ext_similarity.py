@@ -80,11 +80,36 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization summary per vector (driver-hashable integer
+    checksums of the quantized vector plus the rounded scale; the raw
+    q_vec array is exercised by tests — array cells can't cross the
+    driver's pandas hash)."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb)
+    return qd.select(
+        "vec_id",
+        round_half_up(F.col("q_scale"), 6).alias("q_scale"),
+        F.aggregate("q_vec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            "q_vec", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.array_max("q_vec").cast("int").alias("q_max"),
+        F.array_min("q_vec").cast("int").alias("q_min"),
+    )
+
+
 QUERIES = {
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "quantize_embeddings": q_quantize_embeddings,
 }
 
 # --- ann_lsh_topk oracle -------------------------------------------------
@@ -191,6 +216,33 @@ ORACLES = {
                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {TOP_K}
+    """,
+    # Mirrors operators/similarity.py quantize_embeddings: same
+    # max-abs scale, same round-half-up, integer checksums exact.
+    "quantize_embeddings": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+            SELECT vec_id, v,
+                   LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS q_scale
+            FROM e
+        ),
+        q AS (
+            SELECT vec_id, q_scale,
+                   CASE WHEN q_scale = 0.0 THEN LIST_TRANSFORM(v, x -> 0)
+                        ELSE LIST_TRANSFORM(v, x -> CAST(FLOOR(x / q_scale + 0.5)
+                                                         AS INTEGER))
+                   END AS qv
+            FROM s
+        )
+        SELECT vec_id,
+               FLOOR(q_scale * 1000000.0 + 0.5) / 1000000.0 AS q_scale,
+               CAST(LIST_REDUCE(LIST_TRANSFORM(qv, x -> CAST(x AS BIGINT)),
+                                (a, b) -> a + b) AS BIGINT) AS q_sum,
+               CAST(LIST_REDUCE(LIST_TRANSFORM(qv, x -> CAST(ABS(x) AS BIGINT)),
+                                (a, b) -> a + b) AS BIGINT) AS q_l1,
+               CAST(LIST_MAX(qv) AS INTEGER) AS q_max,
+               CAST(LIST_MIN(qv) AS INTEGER) AS q_min
+        FROM q
     """,
     # IVF with seeded data-point centroids: the centroid set is a pure
     # integer-hash top-N of the corpus itself (no trained float state),

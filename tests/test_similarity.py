@@ -63,6 +63,33 @@ def test_embedding_near_dup_lsh_fallback(spark, sf_dir):
         assert recall >= 0.8, f"recall {recall:.2f}"
 
 
+def test_quantize_embeddings_reconstruction_bound(spark, sf_dir):
+    """Symmetric int8: every element reconstructs within scale/2, and
+    quantized values stay in [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb)
+    bad = qd.select(
+        F.exists(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "q_vec",
+                lambda v, q: F.abs(v - q * F.col("q_scale"))
+                > F.col("q_scale") / 2 + F.lit(1e-12),
+            ),
+            lambda b: b,
+        ).alias("err"),
+        F.exists("q_vec", lambda q: F.abs(q) > 127).alias("oob"),
+    )
+    assert bad.where(F.col("err") | F.col("oob")).count() == 0
+
+
 def test_ivf_ml_fitter_also_works(spark, sf_dir, exact_pairs):
     """The pyspark.ml KMeans fit path produces a working index too."""
     from ecommerce_dataengineering_project_spark.operators.similarity import (
