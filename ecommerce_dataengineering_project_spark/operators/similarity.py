@@ -304,27 +304,30 @@ def _halfsq(c: list[float]) -> float:
     return acc / 2.0
 
 
-def _cell_score_sqls(vec: str, centroids: list[list[float]]) -> list[str]:
-    """Per-cell nearest-centroid scores ``v . c_j - |c_j|^2/2``
-    (argmax == nearest by L2) as sequential-fold SQL expressions:
-    bit-identical to a LIST_REDUCE(LIST_ZIP(...)) oracle fold."""
-    out = []
-    for c in centroids:
-        arr = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
-        out.append(
-            f"(aggregate(zip_with(`{vec}`, {arr}, (x, y) -> x * y), 0.0D, "
-            f"(acc, x) -> acc + x) - {_halfsq(c)!r}D)"
-        )
-    return out
-
-
 def _cell_structs(vec: str, centroids: list[list[float]]) -> str:
-    # negated score: array_min / ascending sort_array then give
-    # max-score-first with ties broken toward the LOWER cell id —
-    # the same (s DESC, cell ASC) order the oracle's ROW_NUMBER uses.
+    """Per-cell nearest-centroid score structs for a named
+    array<double> column: score_j = ``v . c_j - |c_j|^2/2`` (argmax ==
+    nearest by L2) with the dot as a sequential fold — bit-identical
+    to a LIST_REDUCE(LIST_ZIP(...)) oracle fold. Scores are negated so
+    array_min / ascending sort order means best-first with ties to the
+    LOWER cell id — the same (s DESC, cell ASC) order the oracle's
+    ROW_NUMBER uses.
+
+    Deliberately ONE flat expression per cell, not a
+    transform(sequence(..), j -> ..) over a 2-D centroid literal: the
+    compact form captures the outer lambda variable inside a nested
+    HOF, and when the corpus and query sides scan the same source,
+    Spark 4.1.2's relation deduplication mis-rebinds the captured
+    attribute (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution,
+    reproduced). The flat form has no outer-scope capture and is
+    immune; it costs ~0.1 s of extra eval on the sf0.1 corpus."""
     return ", ".join(
-        f"named_struct('negs', -({s}), 'cell', {j})"
-        for j, s in enumerate(_cell_score_sqls(vec, centroids))
+        f"named_struct('negs', -((aggregate(zip_with(`{vec}`, "
+        + "array("
+        + ", ".join(f"{x!r}D" for x in c)
+        + "), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)) - "
+        f"{_halfsq(c)!r}D), 'cell', {j})"
+        for j, c in enumerate(centroids)
     )
 
 

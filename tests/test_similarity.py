@@ -63,6 +63,30 @@ def test_embedding_near_dup_lsh_fallback(spark, sf_dir):
         assert recall >= 0.8, f"recall {recall:.2f}"
 
 
+def test_ivf_exact_assigner_survives_relation_dedup(spark, sf_dir):
+    """Corpus and queries scanning the SAME source as SEPARATE
+    relations (what the registry query does via two load_table calls)
+    must work: a transform(sequence(..))-over-2D-literal formulation
+    of the assigner captured an outer lambda variable inside a nested
+    HOF and hit INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND when Spark 4.1.2
+    deduplicated the twin scans. The flat per-cell form is immune —
+    this pins it."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_topk,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5)
+    out = ivf_topk(
+        qs, emb, 64, k=10, centroids=seeded_centroids(emb, 16), assigner="exact"
+    )
+    assert out.count() == 50
+
+
 def test_quantize_embeddings_reconstruction_bound(spark, sf_dir):
     """Symmetric int8: every element reconstructs within scale/2, and
     quantized values stay in [-127, 127]."""
