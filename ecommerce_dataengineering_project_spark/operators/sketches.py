@@ -70,9 +70,12 @@ def rollup_sketches(
         F.sum("n_rows").alias("n_rows"),
     ).withColumn(
         "value_kll",
+        # try_element_at: an EMPTY daily table (0 sketch rows) must
+        # roll up to a null-sketch row, not raise INVALID_ARRAY_INDEX
+        # under ANSI mode; the quantile getters then yield nulls.
         F.expr(
             "reduce(slice(klls, 2, greatest(size(klls) - 1, 0)), "
-            "element_at(klls, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
+            "try_element_at(klls, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
         ),
     )
     cols = [

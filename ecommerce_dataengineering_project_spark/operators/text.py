@@ -311,7 +311,9 @@ def pack_chunks(
     offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
     return (
         df.withColumn("token_offset", offset)
-        .withColumn("bin_id", (F.col("token_offset") / budget).cast("bigint"))
+        # integer DIV, not float division: a double round-trip diverges
+        # from the oracle's exact // above 2^53 cumulative tokens.
+        .withColumn("bin_id", F.expr(f"token_offset DIV {budget}"))
         .withColumn(
             "bin_offset", (F.col("token_offset") % budget).cast("bigint")
         )

@@ -118,8 +118,9 @@ def q_pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed context-prep pipeline: chunk every document,
     shuffle chunks into a reproducible training order, then
     concat-and-split pack them into 128-token bins. Three operators,
-    two exchanges total (the shard shuffle is reused by the packing
-    window — same partitioning)."""
+    ONE exchange total: the chunker is map-only and the packing window
+    reuses the shard shuffle's partitioning (exchange count asserted
+    in tests/test_plans.py)."""
     from ecommerce_dataengineering_project_spark.operators.sampling import (
         deterministic_shuffle,
     )

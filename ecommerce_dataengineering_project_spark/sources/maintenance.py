@@ -85,6 +85,26 @@ def merge_upsert(
     staged = (
         kept.unionByName(updates).select(*target.columns).localCheckpoint(eager=True)
     )
+    emptied: set = set()
+    if not keys_stay_in_partition:
+        # Partitions emptied by a cross-partition key move are absent
+        # from `staged`, so dynamic overwrite will leave their stale
+        # files — they must be dropped after the write. Compute and
+        # VALIDATE the drop set BEFORE the overwrite commits: the NULL
+        # partition can only be dropped via the Hive default-partition
+        # sentinel, which the partition-spec parser accepts for STRING
+        # partition columns only — fail cleanly up front rather than
+        # after a half-applied merge.
+        present = {r[0] for r in staged.select(partition_col).distinct().collect()}
+        emptied = affected - present
+        part_type = target.schema[partition_col].dataType.simpleString()
+        if None in emptied and part_type != "string":
+            raise ValueError(
+                f"merge_upsert: a cross-partition move empties the NULL "
+                f"partition of `{partition_col}` ({part_type}); dropping a "
+                f"NULL partition is only supported for string partition "
+                f"columns (Hive default-partition sentinel)"
+            )
     # Session-conf set/restore, not a per-write option: PySpark 4.1.2
     # ignores DataFrameWriter.option("partitionOverwriteMode", ...) on
     # the insertInto path (probed: static overwrite wiped untouched
@@ -98,16 +118,11 @@ def merge_upsert(
         staged.write.mode("overwrite").insertInto(table)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    if not keys_stay_in_partition:
-        # A partition emptied by a cross-partition key move is absent
-        # from `staged`, so dynamic overwrite left its stale files —
-        # drop it explicitly.
-        present = {r[0] for r in staged.select(partition_col).distinct().collect()}
-        for v in affected - present:
-            spark.sql(
-                f"ALTER TABLE {table} DROP IF EXISTS "
-                f"PARTITION (`{partition_col}` = {_partition_literal(v)})"
-            )
+    for v in emptied:
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS "
+            f"PARTITION (`{partition_col}` = {_partition_literal(v)})"
+        )
     spark.catalog.refreshTable(table)
     return spark.table(table)
 

@@ -51,14 +51,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def normalize_ntz(df: DataFrame) -> DataFrame:
     """Cast every TIMESTAMP_NTZ column to TIMESTAMP (session-tz
-    interpretation; value-preserving under UTC sessions)."""
+    interpretation; value-preserving under UTC sessions) — including
+    NTZ fields NESTED in structs/arrays/maps, so an evolved fixture
+    can't resurrect the r3 bug one nesting level down."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import TimestampNTZType, TimestampType
 
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast(TimestampType()))
-    return df
+    changed = False
+    cols = []
+    for f in df.schema.fields:
+        swapped = _swap_ntz(f.dataType)
+        if swapped is f.dataType:
+            cols.append(F.col(f.name))
+        else:
+            changed = True
+            cols.append(F.col(f.name).cast(swapped).alias(f.name))
+    return df.select(*cols) if changed else df
+
+
+def _swap_ntz(dt):
+    """Rewrite a DataType replacing TimestampNTZType with
+    TimestampType recursively; returns the SAME object when nothing
+    changes (identity signals no cast needed)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, TimestampNTZType):
+        return TimestampType()
+    if isinstance(dt, StructType):
+        fields = [
+            StructField(f.name, _swap_ntz(f.dataType), f.nullable, f.metadata)
+            for f in dt.fields
+        ]
+        if all(a.dataType is b.dataType for a, b in zip(fields, dt.fields)):
+            return dt
+        return StructType(fields)
+    if isinstance(dt, ArrayType):
+        el = _swap_ntz(dt.elementType)
+        return dt if el is dt.elementType else ArrayType(el, dt.containsNull)
+    if isinstance(dt, MapType):
+        k, v = _swap_ntz(dt.keyType), _swap_ntz(dt.valueType)
+        if k is dt.keyType and v is dt.valueType:
+            return dt
+        return MapType(k, v, dt.valueContainsNull)
+    return dt
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

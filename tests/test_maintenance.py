@@ -126,6 +126,43 @@ def test_merge_upsert_cross_partition_move(spark, clean_table):
     spark.sql(f"DROP TABLE {t}")
 
 
+def test_merge_move_emptying_null_partition_fails_before_write(spark, clean_table):
+    """An int partition column whose NULL partition would be emptied
+    by a key move must raise BEFORE the overwrite commits (a NULL
+    partition is only droppable for string columns), leaving the
+    table untouched."""
+    t = clean_table("t_upsert_nullmove")
+    spark.createDataFrame(
+        [(None, "a", 1), (2, "b", 2)], "d int, k string, v int"
+    ).write.partitionBy("d").saveAsTable(t)
+    before = sorted(tuple(r) for r in spark.table(t).collect())
+    updates = spark.createDataFrame([(3, "a", 10)], "d int, k string, v int")
+    with pytest.raises(ValueError, match="NULL partition"):
+        merge_upsert(
+            spark, t, updates, ["k"], partition_col="d", keys_stay_in_partition=False
+        )
+    assert sorted(tuple(r) for r in spark.table(t).collect()) == before
+    spark.sql(f"DROP TABLE {t}")
+
+
+def test_merge_move_emptying_null_string_partition_drops_it(spark, clean_table):
+    """For a STRING partition column the NULL partition drops via the
+    Hive default-partition sentinel."""
+    t = clean_table("t_upsert_nullmove_str")
+    spark.createDataFrame(
+        [(None, "a", 1), ("p2", "b", 2)], "d string, k string, v int"
+    ).write.partitionBy("d").saveAsTable(t)
+    updates = spark.createDataFrame([("p3", "a", 10)], "d string, k string, v int")
+    out = merge_upsert(
+        spark, t, updates, ["k"], partition_col="d", keys_stay_in_partition=False
+    )
+    rows = {r.k: (r.d, r.v) for r in out.collect()}
+    assert rows == {"a": ("p3", 10), "b": ("p2", 2)}
+    parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {t}").collect()}
+    assert "d=__HIVE_DEFAULT_PARTITION__" not in parts
+    spark.sql(f"DROP TABLE {t}")
+
+
 def test_merge_upsert_null_partition(spark, clean_table):
     """A NULL partition value must still be pruned-and-merged (isin
     never matches NULL), not left as stale duplicates."""

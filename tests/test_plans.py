@@ -99,6 +99,24 @@ def test_training_corpus_single_shuffle(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_pack_pipeline_single_exchange(spark, sf_dir):
+    """chunk -> shuffle -> pack must execute with exactly ONE exchange:
+    the chunker is map-only and the packing window reuses the shard
+    shuffle's partitioning. A second exchange here means the window
+    specs diverged."""
+    from ecommerce_dataengineering_project_spark.queries.ext_text import (
+        q_pack_training_bins,
+        q_shuffle_corpus,
+    )
+
+    for q, want in ((q_pack_training_bins, 1), (q_shuffle_corpus, 1)):
+        plan = _plan(q(spark, sf_dir))
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+        ]
+        assert len(exchanges) == want, (q.__name__, exchanges)
+
+
 def test_topk_fuses_sort_and_limit(spark, sf_dir):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-
     partition top-k + merge), never a full global Sort before the

@@ -79,6 +79,17 @@ def test_sketch_state_is_bounded(spark, events):
     assert mx[0] < 64 * 1024 and mx[1] < 64 * 1024
 
 
+def test_rollup_of_empty_input_degrades_to_null_row(spark, events):
+    """A rollup over a day range with no partitions must return one
+    null-stats row, not raise (ANSI element_at on the empty collected
+    sketch list)."""
+    daily = daily_sketches(events.where(F.lit(False)), "ts", "user_id", "value")
+    row = rollup_sketches(daily).collect()[0]
+    assert row["approx_distinct_keys"] == 0  # empty HLL union estimates 0
+    assert row["n_rows"] is None
+    assert row["value_p50"] is None
+
+
 def test_sketch_agg_is_partial(spark, events):
     """The daily sketch pass must run as partial_ + merge_ aggregation
     (map-side combine of sketch state), not a row shuffle."""
@@ -88,4 +99,7 @@ def test_sketch_agg_is_partial(spark, events):
         .executedPlan()
         .toString()
     )
-    assert "partial_hll_sketch_agg" in plan or "partial_" in plan
+    # the SKETCH aggregates specifically — partial_count alone (from
+    # n_rows) must not satisfy this
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_kll_sketch_agg_double" in plan

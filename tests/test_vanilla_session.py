@@ -77,6 +77,36 @@ def test_load_table_normalizes_ntz(vanilla, sf_dir):
     assert isinstance(ev.schema["ts"].dataType, TimestampType)
 
 
+def test_normalize_ntz_reaches_nested_fields(spark):
+    """NTZ inside structs/arrays must normalize too — the r3 failure
+    class one nesting level down."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, TimestampNTZType, TimestampType
+
+    from ecommerce_dataengineering_project_spark.sources.readers import normalize_ntz
+
+    df = spark.range(3).select(
+        F.struct(
+            F.to_timestamp_ntz(F.lit("2024-01-01 00:00:07.179123")).alias("ts")
+        ).alias("s"),
+        F.array(F.to_timestamp_ntz(F.lit("2024-02-02 01:02:03.000004"))).alias("a"),
+        F.to_timestamp_ntz(F.lit("2024-03-03 00:00:00")).alias("flat"),
+    )
+    out = normalize_ntz(df)
+    s_type = out.schema["s"].dataType
+    assert isinstance(s_type, StructType)
+    assert isinstance(s_type["ts"].dataType, TimestampType)
+    assert isinstance(out.schema["a"].dataType.elementType, TimestampType)
+    assert isinstance(out.schema["flat"].dataType, TimestampType)
+    assert not any(
+        isinstance(t, TimestampNTZType)
+        for t in (s_type["ts"].dataType, out.schema["a"].dataType.elementType)
+    )
+    # µs survive the cast (UTC session)
+    row = out.collect()[0]
+    assert row["s"]["ts"].microsecond == 179123
+
+
 @pytest.mark.parametrize("name", _TS_SENSITIVE)
 def test_ts_sensitive_query_matches_oracle_on_vanilla(vanilla, sf_dir, duck, name):
     df = _QUERIES[name](vanilla, sf_dir)
