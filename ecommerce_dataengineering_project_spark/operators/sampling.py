@@ -64,7 +64,6 @@ def deterministic_shuffle(
     )
     from pyspark.sql import Window
 
-    shard = (h % n_shards).cast("int")
     w = (
         Window.partitionBy("shard").orderBy(
             F.col("__h").asc(), *[F.col(c).asc() for c in key_cols]
@@ -72,7 +71,10 @@ def deterministic_shuffle(
     )
     return (
         df.withColumn("__h", h)
-        .withColumn("shard", shard)
+        # derive shard from the MATERIALIZED __h column (not a second
+        # copy of the hash expression) so the shard/pos consistency
+        # contract is structural, not reliant on subexpression dedup
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .drop("__h")
     )

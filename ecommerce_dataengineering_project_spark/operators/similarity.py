@@ -373,6 +373,8 @@ def ivf_topk(
     follow density), costs a selection/training pass; LSH is oblivious
     but free. Recall is regression-tested against brute_force_topk.
     """
+    if assigner not in ("fast", "exact"):
+        raise ValueError(f"ivf_topk: unknown assigner {assigner!r}")
     if centroids is None:
         centroids = fit_ivf_centroids(corpus, dim, n_cells, vec_col)
     # Cast + norm are materialized per ROW here, below the join — the

@@ -83,7 +83,7 @@ def rollup_sketches(
         "n_rows",
         *[
             F.kll_sketch_get_quantile_double("value_kll", F.lit(q)).alias(
-                f"value_p{int(q * 100)}"
+                f"value_p{int(round(q * 100))}"
             )
             for q in quantiles
         ],

@@ -265,16 +265,15 @@ def chunk_documents(
                 )
             ),
         )
+        .withColumn(
+            "__chunk", F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens)
+        )
         .select(
             id_col,
             ((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_id"),
             "chunk_start",
-            F.array_join(
-                F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens), " "
-            ).alias("chunk_text"),
-            F.size(F.slice(F.col("__toks"), F.col("chunk_start"), chunk_tokens))
-            .cast("bigint")
-            .alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
         )
     )
 

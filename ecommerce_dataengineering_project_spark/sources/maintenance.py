@@ -153,7 +153,9 @@ def _partition_literal(v) -> str:
         return str(v)
     if isinstance(v, (datetime.date, datetime.datetime)):
         return f"'{v.isoformat()}'"
-    return "'" + str(v).replace("'", "''") + "'"
+    # Backslashes first (Spark string literals process \-escapes:
+    # 'a\bc' parses as 'a\x08c'), then quote doubling.
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def evolve_append(

@@ -163,6 +163,24 @@ def test_merge_move_emptying_null_string_partition_drops_it(spark, clean_table):
     spark.sql(f"DROP TABLE {t}")
 
 
+def test_merge_move_drops_partition_with_special_chars(spark, clean_table):
+    """Partition values containing quotes/backslashes must round-trip
+    the DROP PARTITION literal (Spark literals process \\-escapes)."""
+    for val in ("it's", "p\\1"):
+        t = clean_table("t_upsert_specialchars")
+        spark.createDataFrame(
+            [(val, "a", 1), ("keep", "b", 2)], "d string, k string, v int"
+        ).write.partitionBy("d").saveAsTable(t)
+        updates = spark.createDataFrame([("new", "a", 10)], "d string, k string, v int")
+        out = merge_upsert(
+            spark, t, updates, ["k"], partition_col="d", keys_stay_in_partition=False
+        )
+        assert {(r.d, r.k) for r in out.collect()} == {("new", "a"), ("keep", "b")}
+        parts = {r[0] for r in spark.sql(f"SHOW PARTITIONS {t}").collect()}
+        assert len(parts) == 2, (val, parts)  # the emptied partition is gone
+        spark.sql(f"DROP TABLE {t}")
+
+
 def test_merge_upsert_null_partition(spark, clean_table):
     """A NULL partition value must still be pruned-and-merged (isin
     never matches NULL), not left as stale duplicates."""
