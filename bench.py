@@ -57,6 +57,9 @@ HEADLINE = [
     "text_stats",
     "tfidf_top_terms",
     "training_corpus",
+    "chunk_documents",
+    "pack_training_bins",
+    "sketch_incremental_rollup",
     "anomaly_isolation_forest",
 ]
 

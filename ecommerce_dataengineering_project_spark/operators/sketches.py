@@ -91,6 +91,48 @@ def rollup_sketches(
     return merged.select(*cols)
 
 
+def segment_overlap(
+    df: DataFrame,
+    seg_col: str,
+    key_col: str,
+    lgk: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Approximate distinct-key overlap between every pair of segments
+    via HLL inclusion-exclusion: ``|A ∩ B| ≈ |A| + |B| - |A ∪ B|``,
+    with the union computed sketch-side (``hll_union``) — the
+    audience-overlap / cross-corpus-contamination question answered
+    WITHOUT an exact distinct self-join. At scale: one partial-agg
+    pass builds a KB-sized sketch per segment; the pairwise join runs
+    over |segments| rows (broadcast-tiny), never over the keys.
+
+    Output per (seg_a < seg_b) pair: the two segment cardinality
+    estimates and the approximate overlap. Estimates are exact while
+    sketches are in the coupon phase (tested); beyond it, error is the
+    usual ~1.6% rse at lgk=12 compounded by the subtraction."""
+    sk = df.groupBy(F.col(seg_col).alias("seg")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lgk)).alias("hll")
+    )
+    a = sk.select(
+        F.col("seg").alias("seg_a"),
+        F.col("hll").alias("hll_a"),
+    )
+    b = sk.select(
+        F.col("seg").alias("seg_b"),
+        F.col("hll").alias("hll_b"),
+    )
+    pairs = a.join(b, F.col("seg_a") < F.col("seg_b"))
+    n_a = F.hll_sketch_estimate("hll_a")
+    n_b = F.hll_sketch_estimate("hll_b")
+    n_union = F.hll_sketch_estimate(F.hll_union("hll_a", "hll_b"))
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        n_a.alias("approx_keys_a"),
+        n_b.alias("approx_keys_b"),
+        (n_a + n_b - n_union).alias("approx_common_keys"),
+    )
+
+
 def daily_sketch_report(
     df: DataFrame,
     ts_col: str,

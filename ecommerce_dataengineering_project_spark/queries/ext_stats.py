@@ -64,6 +64,17 @@ def q_sketch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_sketches(daily_sketches(ev, "ts", "user_id", "value"))
 
 
+def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 set-ops-on-sketches: approximate distinct-user overlap
+    between every pair of event-type segments (HLL inclusion-
+    exclusion; exactness in the coupon phase pinned by
+    tests/test_sketches.py — rows-only for the driver)."""
+    from ecommerce_dataengineering_project_spark.operators.sketches import segment_overlap
+
+    ev = load_table(spark, sf_dir, "events")
+    return segment_overlap(ev, "event_type", "user_id")
+
+
 def q_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact twin of the sketch query (oracle-checked)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -246,6 +257,7 @@ QUERIES = {
     "intersect_segments": q_intersect_segments,
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "sketch_incremental_rollup": q_sketch_incremental_rollup,  # rows-only: sketches
+    "segment_overlap_sketch": q_segment_overlap_sketch,  # rows-only: sketches
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,
     "grouped_pandas_stats": q_grouped_pandas_stats,

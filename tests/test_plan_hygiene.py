@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "ingestion_freshness",  # global latest-ts scalar attach
     "similarity_topk",  # 5-row broadcast query side, != condition
     "tfidf_top_terms",  # n_docs scalar attach
+    "segment_overlap_sketch",  # |segments|-row pairwise (<) join over sketches
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):

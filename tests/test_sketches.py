@@ -68,6 +68,30 @@ def test_rollup_accuracy_vs_exact(spark, events):
     assert lo <= roll["value_p50"] <= hi
 
 
+def test_segment_overlap_exact_in_coupon_phase(spark, sf_dir):
+    """HLL inclusion-exclusion overlap equals the exact pairwise
+    intersection counts while segment sketches are in the exact
+    coupon phase (true at the fixture SFs)."""
+    from itertools import combinations
+
+    from ecommerce_dataengineering_project_spark.operators.sketches import segment_overlap
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    got = {
+        (r.seg_a, r.seg_b): r.approx_common_keys
+        for r in segment_overlap(ev, "event_type", "user_id").collect()
+    }
+    users = {
+        seg: {r.user_id for r in ev.where(F.col("event_type") == seg).distinct().collect()}
+        for seg in [r[0] for r in ev.select("event_type").distinct().collect()]
+    }
+    want = {
+        (a, b): len(users[a] & users[b])
+        for a, b in combinations(sorted(users), 2)
+    }
+    assert got == want
+
+
 def test_sketch_state_is_bounded(spark, events):
     """The persisted per-day state is KBs regardless of row count —
     the whole point of the layout."""
