@@ -278,6 +278,34 @@ def chunk_documents(
     )
 
 
+# Engine-portable PII patterns: Java-regex AND RE2 compatible (no
+# backreferences or lookaround), so the same strings drive Spark
+# regexp_replace/regexp_count and a DuckDB oracle. Replacement runs in
+# this dict order; counts are taken on the ORIGINAL text so
+# overlapping-pattern interactions can't double-count.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction: emails/phones/SSNs replaced with
+    ``[<KIND>]`` tokens, plus a per-kind match count (taken on the
+    original text). Pure regexp_replace/regexp_count chain — map-only,
+    JVM-side, no shuffle; patterns are portable literals so the whole
+    transform is oracle-checkable."""
+    out = df
+    clean = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+        )
+        clean = F.regexp_replace(clean, pat, f"[{kind.upper()}]")
+    return out.withColumn("clean_text", clean)
+
+
 def pack_chunks(
     df: DataFrame,
     shard_col: str,

@@ -139,6 +139,32 @@ def q_pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "chunk_id", "shard", "pos", "token_offset", "bin_id", "bin_offset")
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents. The fixture corpus contains no
+    PII, so deterministic contact lines (email + phone always, SSN on
+    every third doc) are seeded from doc_id first — the oracle builds
+    the identical text, so the redaction itself is what's checked."""
+    from ecommerce_dataengineering_project_spark.operators.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-201-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return scrub_pii(seeded).select(
+        "doc_id", "n_email", "n_phone", "n_ssn", "clean_text"
+    )
+
+
 QUALITY_MIN = 0.5
 CORPUS_PERMILLE = 500
 
@@ -182,6 +208,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "shuffle_corpus": q_shuffle_corpus,
     "pack_training_bins": q_pack_training_bins,
+    "pii_scrub": q_pii_scrub,
     "training_corpus": q_training_corpus,
 }
 
@@ -230,7 +257,32 @@ def _bm25_oracle() -> str:
 
 _CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
 
+def _pii_oracle() -> str:
+    from ecommerce_dataengineering_project_spark.operators.text import PII_PATTERNS
+
+    seeded = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com call 555-201-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    )
+    counts = ",\n               ".join(
+        f"CAST(LEN(REGEXP_EXTRACT_ALL(s, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    clean = "s"
+    for kind, pat in PII_PATTERNS.items():
+        clean = f"REGEXP_REPLACE({clean}, '{pat}', '[{kind.upper()}]', 'g')"
+    return f"""
+        WITH seeded AS (SELECT doc_id, {seeded} AS s FROM documents)
+        SELECT doc_id,
+               {counts},
+               {clean} AS clean_text
+        FROM seeded
+    """
+
+
 ORACLES = {
+    "pii_scrub": _pii_oracle(),
     # Mirrors operators/sampling.py deterministic_shuffle: the same
     # sha-256-prefix hash drives shard assignment and in-shard rank.
     "shuffle_corpus": f"""

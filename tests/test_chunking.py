@@ -152,6 +152,30 @@ def test_chunking_matches_duckdb_on_edge_texts(spark):
     assert got == want
 
 
+def test_scrub_pii_edges(spark):
+    from ecommerce_dataengineering_project_spark.operators.text import scrub_pii
+
+    texts = [
+        "no pii here",
+        "two mails a@b.co and c.d+x@e-f.org!",
+        "call 555-201-0123 or 555.201.0124.",
+        "ssn 123-45-6789 end",
+        "digits 1234-56-7890 must not match ssn",  # \b fails inside digit run
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (rows[0].n_email, rows[0].n_phone, rows[0].n_ssn) == (0, 0, 0)
+    assert rows[0].clean_text == "no pii here"
+    assert rows[1].n_email == 2
+    assert rows[1].clean_text == "two mails [EMAIL] and [EMAIL]!"
+    assert rows[2].n_phone == 2
+    assert rows[2].clean_text == "call [PHONE] or [PHONE]."
+    assert rows[3].n_ssn == 1 and "[SSN]" in rows[3].clean_text
+    assert rows[4].n_ssn == 0 and rows[4].clean_text == texts[4]
+
+
 def test_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError):
