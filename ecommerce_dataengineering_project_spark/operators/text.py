@@ -278,6 +278,34 @@ def chunk_documents(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition/boilerplate quality metrics (the C4/Gopher-style
+    filters): per document, the distinct-token ratio and the share of
+    the single most frequent token. Highly repetitive machine text
+    scores high on both; the downstream corpus filter thresholds them.
+
+    Dataflow: ONE exchange — repartition by doc BEFORE the explode
+    (hash partitioning on doc_id satisfies both the (doc, token) and
+    the doc clustering, and ships whole documents instead of exploded
+    token rows), then both groupBys aggregate in place. No Python;
+    ratios are rational arithmetic over exact counts, so the whole
+    thing oracle-checks bit-for-bit."""
+    tok = df.repartition(F.col(id_col)).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    per_token = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    return per_token.groupBy(id_col).agg(
+        F.sum("c").alias("token_count"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        round_half_up(1.0 - F.count(F.lit(1)) / F.sum("c"), 6).alias(
+            "repetition_ratio"
+        ),
+        round_half_up(F.max("c") / F.sum("c"), 6).alias("top_token_share"),
+    )
+
+
 # Engine-portable PII patterns: Java-regex AND RE2 compatible (no
 # backreferences or lookaround), so the same strings drive Spark
 # regexp_replace/regexp_count and a DuckDB oracle. Replacement runs in

@@ -139,6 +139,14 @@ def q_pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "chunk_id", "shard", "pos", "token_offset", "bin_id", "bin_offset")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style repetition metrics per document (see
+    operators/text.py repetition_stats)."""
+    from ecommerce_dataengineering_project_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents. The fixture corpus contains no
     PII, so deterministic contact lines (email + phone always, SSN on
@@ -209,6 +217,7 @@ QUERIES = {
     "shuffle_corpus": q_shuffle_corpus,
     "pack_training_bins": q_pack_training_bins,
     "pii_scrub": q_pii_scrub,
+    "doc_repetition": q_doc_repetition,
     "training_corpus": q_training_corpus,
 }
 
@@ -283,6 +292,25 @@ def _pii_oracle() -> str:
 
 ORACLES = {
     "pii_scrub": _pii_oracle(),
+    # Mirrors operators/text.py repetition_stats: exact counts, then
+    # rational ratios with the shared round-half-up convention.
+    "doc_repetition": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+        ),
+        per_token AS (
+            SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS token_count,
+               CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+               FLOOR((1.0 - COUNT(*) * 1.0 / SUM(c)) * 1000000.0 + 0.5) / 1000000.0
+                   AS repetition_ratio,
+               FLOOR((MAX(c) * 1.0 / SUM(c)) * 1000000.0 + 0.5) / 1000000.0
+                   AS top_token_share
+        FROM per_token
+        GROUP BY doc_id
+    """,
     # Mirrors operators/sampling.py deterministic_shuffle: the same
     # sha-256-prefix hash drives shard assignment and in-shard rank.
     "shuffle_corpus": f"""
