@@ -306,6 +306,35 @@ def repetition_stats(
     )
 
 
+def ngram_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Duplicate-n-gram fraction per document — the Gopher repetition
+    filter proper: how much of the document consists of n-grams that
+    occur more than once. Same one-exchange shape as repetition_stats
+    (repartition by doc before the explode); the n-gram windows are a
+    map-side transform over a token-index sequence."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
+        + "i -> concat_ws(' ', "
+        + ", ".join(f"element_at(__toks, i + {k})" for k in range(n))
+        + "))"
+    )
+    tok = (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+    )
+    per_gram = tok.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        round_half_up(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("dup_gram_ratio"),
+    )
+
+
 # Engine-portable PII patterns: Java-regex AND RE2 compatible (no
 # backreferences or lookaround), so the same strings drive Spark
 # regexp_replace/regexp_count and a DuckDB oracle. Replacement runs in

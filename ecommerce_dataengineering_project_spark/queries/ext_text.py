@@ -147,6 +147,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-bigram fraction per document (see
+    operators/text.py ngram_repetition)."""
+    from ecommerce_dataengineering_project_spark.operators.text import ngram_repetition
+
+    return ngram_repetition(load_table(spark, sf_dir, "documents"), n=2)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over documents. The fixture corpus contains no
     PII, so deterministic contact lines (email + phone always, SSN on
@@ -218,6 +226,7 @@ QUERIES = {
     "pack_training_bins": q_pack_training_bins,
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
+    "ngram_repetition": q_ngram_repetition,
     "training_corpus": q_training_corpus,
 }
 
@@ -292,6 +301,27 @@ def _pii_oracle() -> str:
 
 ORACLES = {
     "pii_scrub": _pii_oracle(),
+    # Mirrors operators/text.py ngram_repetition (n=2): window list via
+    # GENERATE_SERIES, duplicate mass = sum of counts > 1.
+    "ngram_repetition": """
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        ),
+        g AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+            FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0))) AS s(i)
+        ),
+        per_gram AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+               FLOOR((SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c))
+                     * 1000000.0 + 0.5) / 1000000.0 AS dup_gram_ratio
+        FROM per_gram
+        GROUP BY doc_id
+    """,
     # Mirrors operators/text.py repetition_stats: exact counts, then
     # rational ratios with the shared round-half-up convention.
     "doc_repetition": """
