@@ -75,6 +75,27 @@ def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_overlap(ev, "event_type", "user_id")
 
 
+def q_segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact twin of segment_overlap_sketch (oracle-checked): a
+    distinct self-join on the key — the shuffle-on-keys cost the
+    sketch version exists to avoid; keeping both quantifies the
+    tradeoff the same way approx/exact_distinct_quantiles do."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    a = du.select(
+        F.col("event_type").alias("seg_a"), F.col("user_id").alias("user_id")
+    )
+    b = du.select(
+        F.col("event_type").alias("seg_b"), F.col("user_id").alias("user_id")
+    )
+    return (
+        a.join(b, "user_id")
+        .where(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_common_keys"))
+    )
+
+
 def q_exact_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact twin of the sketch query (oracle-checked)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -258,6 +279,7 @@ QUERIES = {
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "sketch_incremental_rollup": q_sketch_incremental_rollup,  # rows-only: sketches
     "segment_overlap_sketch": q_segment_overlap_sketch,  # rows-only: sketches
+    "segment_overlap_exact": q_segment_overlap_exact,
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,
     "grouped_pandas_stats": q_grouped_pandas_stats,
@@ -312,6 +334,14 @@ ORACLES = {
                FLOOR((DATE_DIFF('microsecond', session_start, session_end)
                       / 1000000.0) * 1000000.0 + 0.5) / 1000000.0 AS duration_sec
         FROM g
+    """,
+    "segment_overlap_exact": """
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               COUNT(*) AS n_common_keys
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
     """,
     "funnel_conversion": """
         WITH u AS (
