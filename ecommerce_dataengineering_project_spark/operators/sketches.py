@@ -129,7 +129,12 @@ def segment_overlap(
         "seg_b",
         n_a.alias("approx_keys_a"),
         n_b.alias("approx_keys_b"),
-        (n_a + n_b - n_union).alias("approx_common_keys"),
+        # clamp at 0: past the coupon phase the three estimates are
+        # each ~1.6% rse and the subtraction can dip negative for
+        # near-disjoint segments — a nonsensical cardinality.
+        F.greatest(F.lit(0).cast("bigint"), n_a + n_b - n_union).alias(
+            "approx_common_keys"
+        ),
     )
 
 

@@ -314,11 +314,19 @@ def ngram_repetition(
     occur more than once. Same one-exchange shape as repetition_stats
     (repartition by doc before the explode); the n-gram windows are a
     map-side transform over a token-index sequence."""
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
+    # Guard docs shorter than n tokens with an empty window list:
+    # Spark's sequence(1, 0) yields the DESCENDING [1, 0] (it is not
+    # empty like DuckDB's GENERATE_SERIES(1, 0)), which would index
+    # past the token array. Short docs emit no grams and drop out of
+    # the result — exactly what the oracle does.
+    windows = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
         + "i -> concat_ws(' ', "
         + ", ".join(f"element_at(__toks, i + {k})" for k in range(n))
         + "))"
+    )
+    grams = F.when(F.size("__toks") >= n, windows).otherwise(
+        F.array().cast("array<string>")
     )
     tok = (
         df.repartition(F.col(id_col))
@@ -338,8 +346,10 @@ def ngram_repetition(
 # Engine-portable PII patterns: Java-regex AND RE2 compatible (no
 # backreferences or lookaround), so the same strings drive Spark
 # regexp_replace/regexp_count and a DuckDB oracle. Replacement runs in
-# this dict order; counts are taken on the ORIGINAL text so
-# overlapping-pattern interactions can't double-count.
+# this dict order; each kind COUNTS on the text after the earlier
+# kinds' replacements, so a span matched by two patterns (a phone
+# number inside an email localpart) is attributed to exactly one kind
+# — the one that actually redacted it.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
@@ -349,15 +359,16 @@ PII_PATTERNS: dict[str, str] = {
 
 def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Training-data PII redaction: emails/phones/SSNs replaced with
-    ``[<KIND>]`` tokens, plus a per-kind match count (taken on the
-    original text). Pure regexp_replace/regexp_count chain — map-only,
+    ``[<KIND>]`` tokens, plus a per-kind count of the spans that kind
+    redacted (sum(n_*) == total redactions; see PII_PATTERNS on
+    ordering). Pure regexp_replace/regexp_count chain — map-only,
     JVM-side, no shuffle; patterns are portable literals so the whole
     transform is oracle-checkable."""
     out = df
     clean = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
         out = out.withColumn(
-            f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint")
+            f"n_{kind}", F.regexp_count(clean, F.lit(pat)).cast("bigint")
         )
         clean = F.regexp_replace(clean, pat, f"[{kind.upper()}]")
     return out.withColumn("clean_text", clean)

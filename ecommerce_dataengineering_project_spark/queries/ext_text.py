@@ -283,13 +283,17 @@ def _pii_oracle() -> str:
         "'@example.com call 555-201-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
         "CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
     )
-    counts = ",\n               ".join(
-        f"CAST(LEN(REGEXP_EXTRACT_ALL(s, '{pat}')) AS BIGINT) AS n_{kind}"
-        for kind, pat in PII_PATTERNS.items()
-    )
+    # mirror the operator: each kind counts on the text already
+    # cleaned of the earlier kinds, so overlapping spans attribute to
+    # exactly one kind
+    count_exprs = []
     clean = "s"
     for kind, pat in PII_PATTERNS.items():
+        count_exprs.append(
+            f"CAST(LEN(REGEXP_EXTRACT_ALL({clean}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
         clean = f"REGEXP_REPLACE({clean}, '{pat}', '[{kind.upper()}]', 'g')"
+    counts = ",\n               ".join(count_exprs)
     return f"""
         WITH seeded AS (SELECT doc_id, {seeded} AS s FROM documents)
         SELECT doc_id,

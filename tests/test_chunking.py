@@ -176,6 +176,36 @@ def test_scrub_pii_edges(spark):
     assert rows[4].n_ssn == 0 and rows[4].clean_text == texts[4]
 
 
+def test_scrub_pii_overlapping_span_counted_once(spark):
+    """A span matched by two patterns (phone digits inside an email
+    localpart) attributes to exactly ONE kind — the one that redacted
+    it — so sum(n_*) equals the number of redactions."""
+    from ecommerce_dataengineering_project_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail 555-201-0123@example.com ok")], "doc_id long, text string"
+    )
+    r = scrub_pii(df).collect()[0]
+    assert (r.n_email, r.n_phone, r.n_ssn) == (1, 0, 0)
+    assert r.clean_text == "mail [EMAIL] ok"
+
+
+def test_ngram_repetition_short_and_empty_docs(spark):
+    """Docs with fewer than n tokens emit no grams (and drop out),
+    matching the oracle's empty GENERATE_SERIES — they must not
+    crash Spark's descending sequence(1, 0)."""
+    from ecommerce_dataengineering_project_spark.operators.text import ngram_repetition
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "a b a b")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in ngram_repetition(df, n=2).collect()}
+    assert set(rows) == {2}
+    assert rows[2].n_grams == 3  # 'a b', 'b a', 'a b'
+    assert rows[2].distinct_grams == 2
+    assert rows[2].dup_gram_ratio == round(2 / 3, 6)
+
+
 def test_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError):
