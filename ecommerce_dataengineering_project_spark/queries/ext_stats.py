@@ -352,14 +352,18 @@ ORACLES = {
             FROM events GROUP BY 1
         )
         SELECT COUNT(*) AS n_users,
-               SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-               SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_clicked_after_view,
-               SUM(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_viewed,
+               CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clicked_after_view,
+               CAST(SUM(CASE WHEN t_click > t_view AND t_buy > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_purchased_after_click
         FROM u
     """,
     "cohort_retention": """
-        WITH w AS (SELECT DISTINCT user_id, WEEKOFYEAR(ts) AS week FROM events),
+        WITH w AS (SELECT DISTINCT user_id,
+                          CAST(WEEKOFYEAR(ts) AS INTEGER) AS week FROM events),
         c AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1)
         SELECT c.cohort_week, w.week, COUNT(DISTINCT w.user_id) AS n_active
         FROM w JOIN c ON w.user_id = c.user_id

@@ -47,3 +47,19 @@ def test_query_matches_oracle(spark, sf_dir, duck, name):
     df = _QUERIES[name](spark, sf_dir)
     errors = compare(df, duck, _ORACLES[name])
     assert not errors, f"{name}: " + "; ".join(errors)
+
+
+def test_dtype_parity_catches_hugeint(spark, duck):
+    """Regression for r4's `funnel_conversion` red row: an un-cast
+    SUM(CASE...) over ints comes back from DuckDB as HUGEINT while Spark
+    emits bigint — values identical, driver hash red.  The harness must
+    flag that dtype drift locally."""
+    from tests.oracle_harness import dtype_errors
+
+    sdf = spark.range(3).selectExpr("CAST(count(*) AS BIGINT) AS n")
+    bad = duck.sql("SELECT SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n "
+                   "FROM (SELECT 1 AS x)")
+    assert dtype_errors(sdf, bad), "un-cast SUM should flag HUGEINT/DECIMAL"
+    good = duck.sql("SELECT CAST(SUM(CASE WHEN x > 0 THEN 1 ELSE 0 END) "
+                    "AS BIGINT) AS n FROM (SELECT 1 AS x)")
+    assert not dtype_errors(sdf, good)
