@@ -23,20 +23,27 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        "stream_": 7,  # reference's core streaming path
-        "dedup_": 6,
-        # r4: decode+features hold the multimodal row's driver slots;
-        # resize/frame_sample rotated out for never-checked shapes
-        # (bm25_search, funnel_conversion, range_join_coincident).
-        "multimodal_": 2,
-        "ann_": 1,
+        # r5: one slot freed per over-represented family to rotate in the
+        # eight never-driver-checked shapes (VERDICT r4 item 3): T6 keeps
+        # tumbling+session (sliding out), X2 keeps minhash_lsh
+        # (simhash/ngram out), the multimodal row keeps decode
+        # (features out). Swapped-out variants stay registered and
+        # locally oracle-checked.
+        "stream_": 6,
+        "dedup_": 4,
+        "multimodal_": 1,
+        "ann_": 2,
     }
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
-    for name in ("text_stats", "language_id", "token_counts", "tfidf_top_terms",
+    for name in ("text_stats", "tfidf_top_terms",
                  "training_corpus", "similarity_topk", "skew_salted_agg",
-                 "grouped_pandas_stats", "approx_distinct_quantiles"):
+                 "grouped_pandas_stats", "approx_distinct_quantiles",
+                 # r5 rotation: first driver evidence for these shapes
+                 "pii_scrub", "doc_repetition", "ngram_repetition",
+                 "segment_overlap_exact", "pack_training_bins",
+                 "shuffle_corpus", "quantize_embeddings", "ann_ivf_topk"):
         assert name in PRIORITY
 
 
@@ -46,8 +53,6 @@ def test_oracle_density_in_priority_block():
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
     assert set(rows_only) <= {
-        "ann_ivf_topk",  # trained centroid state
         "approx_distinct_quantiles",  # sketch estimates
         "anomaly_isolation_forest",  # ensemble scores
-        "ann_lsh_topk",  # oracle added in round 2; keep allowance until proven
     }
