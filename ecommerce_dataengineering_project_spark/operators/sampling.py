@@ -24,10 +24,36 @@ from ecommerce_dataengineering_project_spark.operators.dedup import hash60
 MILLE = 1000
 
 
+def _key_parts(key_cols: list[str]) -> list[Column]:
+    """Stringified key columns for the portable hash, fail-loud on NULL.
+
+    Key contract (applies to every hash-keyed operator in this module):
+    keys must be NON-NULL and must not contain ``'_'``.  ``concat_ws``
+    silently *drops* NULL parts (so ``(1, NULL)`` and ``(NULL, 1)``
+    would collide) and ``'_'`` is the join separator (so ``('a_b','c')``
+    and ``('a','b_c')`` would collide); both engines behave identically
+    here, but the collision would be silent — raise instead.  Current
+    call sites key on integer ids, which satisfy both clauses for free;
+    the NULL arm is an explicit raise_error so a violation surfaces as
+    a job failure, never as a quietly-merged sample cell.  (The oracle
+    SQL replicates the same CONCAT_WS scheme, which is why the format
+    is contract-documented rather than escaped.)"""
+    return [
+        F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                F.lit(f"sampling key column '{c}' is NULL — hash keys must be non-null")
+            ),
+        ).otherwise(F.col(c).cast("string"))
+        for c in key_cols
+    ]
+
+
 def sample_key(key_cols: list[str], salt: str) -> Column:
     """Per-row sampling hash in [0, 1000): integer-typed key columns
-    only (float->string formatting is not engine-portable)."""
-    parts = [F.lit(salt)] + [F.col(c).cast("string") for c in key_cols]
+    only (float->string formatting is not engine-portable).  NULL keys
+    raise (see ``_key_parts``)."""
+    parts = [F.lit(salt)] + _key_parts(key_cols)
     return hash60(F.concat_ws("_", *parts)) % MILLE
 
 
@@ -57,11 +83,7 @@ def deterministic_shuffle(
     deliberately no global ROW_NUMBER — a total order over 100 TB
     serializes on one partition, while (shard, pos) is already a
     lexicographic total order."""
-    h = hash60(
-        F.concat_ws(
-            "_", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
-        )
-    )
+    h = hash60(F.concat_ws("_", F.lit(salt), *_key_parts(key_cols)))
     from pyspark.sql import Window
 
     w = (

@@ -275,7 +275,12 @@ def seeded_centroids(
 ) -> list[list[float]]:
     """Deterministic data-point centroids — IVF "random init" without
     the Lloyd refinement: the ``n_cells`` corpus vectors ranking first
-    by the integer hash ``(id * SEED_MULT) % SEED_MOD`` (ties by id).
+    by the integer hash ``((id % SEED_MOD) * SEED_MULT) % SEED_MOD``
+    (ties by id).  The id is reduced modulo SEED_MOD *before* the
+    multiply: ``id * 1000003`` overflows bigint for ids above ~9.2e12
+    (raising under ANSI mode, silently wrapping otherwise), while the
+    pre-reduced form is identical mathematically and overflow-free —
+    ``(SEED_MOD - 1) * SEED_MULT`` fits comfortably in 63 bits.
     Pure integer arithmetic + row identity, so the SAME centroids are
     derivable in any engine — which makes the whole IVF query
     oracle-checkable end-to-end, unlike trained k-means means whose
@@ -286,7 +291,9 @@ def seeded_centroids(
     plan literals, exactly like the trained path."""
     rows = (
         corpus.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .withColumn("h", (F.col("id") * F.lit(SEED_MULT)) % F.lit(SEED_MOD))
+        .withColumn(
+            "h", ((F.col("id") % SEED_MOD) * F.lit(SEED_MULT)) % F.lit(SEED_MOD)
+        )
         .orderBy("h", "id")
         .limit(n_cells)
         .collect()

@@ -352,7 +352,13 @@ def ngram_repetition(
 # — the one that actually redacted it.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    # NANP-shaped 10-digit numbers: 555-201-0042 / 555.201.0042 /
+    # 555 201 0042 / (555) 201-0042 / (555)201-0042. Deliberately NOT
+    # broader (no +1 country codes, extensions, or bare 10-digit runs)
+    # — every construct here is portable between Java regex and RE2 so
+    # the oracle redacts bit-for-bit; callers needing locale-specific
+    # coverage should extend this dict, not assume it.
+    "phone": r"(\(\d{3}\)[ ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
 }
 
@@ -363,7 +369,13 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     redacted (sum(n_*) == total redactions; see PII_PATTERNS on
     ordering). Pure regexp_replace/regexp_count chain — map-only,
     JVM-side, no shuffle; patterns are portable literals so the whole
-    transform is oracle-checkable."""
+    transform is oracle-checkable.
+
+    Coverage is exactly what PII_PATTERNS documents — e.g. phones are
+    NANP-shaped separated formats only, not free-form international
+    numbers. The bound is an engine-portability constraint (patterns
+    must behave identically under Java regex and RE2), not an
+    oversight; extend PII_PATTERNS for broader locales."""
     out = df
     clean = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():

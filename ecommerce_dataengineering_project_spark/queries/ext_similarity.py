@@ -254,7 +254,7 @@ ORACLES = {
         cents AS (
             SELECT cell, cv, halfsq FROM (
                 SELECT v AS cv,
-                       ROW_NUMBER() OVER (ORDER BY (vec_id * {SEED_MULT}) % {SEED_MOD} ASC,
+                       ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
                                           vec_id ASC) - 1 AS cell,
                        LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
                            / 2.0 AS halfsq

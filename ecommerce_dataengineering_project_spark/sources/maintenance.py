@@ -204,20 +204,43 @@ def compact_partitioned(
     cost grows with file count, not bytes). Partitions compact
     independently — at scale, submit the per-partition jobs
     concurrently; the sequential loop here keeps the local harness
-    simple and is bounded by partition count, not data size."""
+    simple and is bounded by partition count, not data size.
+
+    Crash safety: each partition is compacted into a dot-prefixed
+    staging directory (invisible to Spark's file listing) and swapped
+    in with two renames — the source files are never deleted before
+    the replacement exists. A crash between the renames leaves the
+    original data intact under ``._old_<partition>``; recovery is
+    renaming it back (stale ``._tmp_*`` staging dirs are re-created
+    on the next run). This replaces the in-place overwrite, whose
+    delete-then-rewrite window could lose the partition outright."""
     import glob
     import os
+    import shutil
 
     rewritten: dict[str, int] = {}
     for sub in sorted(glob.glob(os.path.join(path, "*=*"))):
-        if not os.path.isdir(sub):
+        base = os.path.basename(sub)
+        if not os.path.isdir(sub) or base.startswith("."):
             continue
         files = glob.glob(os.path.join(sub, "*.parquet"))
         if len(files) <= target_files:
             continue
-        staged = spark.read.parquet(sub).localCheckpoint(eager=True)
-        staged.coalesce(target_files).write.mode("overwrite").parquet(sub)
-        rewritten[os.path.basename(sub)] = len(files)
+        tmp = os.path.join(path, "._tmp_" + base)
+        old = os.path.join(path, "._old_" + base)
+        if os.path.exists(old):
+            raise RuntimeError(
+                f"{old} exists — a previous compaction crashed mid-swap; "
+                "restore or remove it before compacting again"
+            )
+        shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
+        spark.read.parquet(sub).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(sub, old)
+        os.rename(tmp, sub)
+        shutil.rmtree(old)
+        rewritten[base] = len(files)
     return rewritten
 
 

@@ -161,6 +161,8 @@ def test_scrub_pii_edges(spark):
         "call 555-201-0123 or 555.201.0124.",
         "ssn 123-45-6789 end",
         "digits 1234-56-7890 must not match ssn",  # \b fails inside digit run
+        "paren (555) 201-0042 and (555)201-0043 and spaced 555 201 0044",
+        "not a phone: 1234-567-8901 or 12345678901",
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
@@ -174,6 +176,9 @@ def test_scrub_pii_edges(spark):
     assert rows[2].clean_text == "call [PHONE] or [PHONE]."
     assert rows[3].n_ssn == 1 and "[SSN]" in rows[3].clean_text
     assert rows[4].n_ssn == 0 and rows[4].clean_text == texts[4]
+    assert rows[5].n_phone == 3
+    assert rows[5].clean_text == "paren [PHONE] and [PHONE] and spaced [PHONE]"
+    assert rows[6].n_phone == 0 and rows[6].clean_text == texts[6]
 
 
 def test_scrub_pii_overlapping_span_counted_once(spark):

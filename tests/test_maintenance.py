@@ -285,3 +285,35 @@ def test_create_or_append(spark, clean_table):
     import os
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     assert os.path.isdir(os.path.join(wh, t, "grp=a"))
+
+
+def test_compact_partitioned_swap_safety(spark, tmp_path):
+    """Crash-safety contract (ADVICE r4): a leftover ._old_ dir from a
+    mid-swap crash refuses to compact (data to recover), a stale
+    ._tmp_ staging dir is silently recreated, and dot-prefixed dirs
+    never register as partitions to compact."""
+    import glob
+
+    import pytest
+
+    from ecommerce_dataengineering_project_spark.sources.maintenance import compact_partitioned
+
+    path = str(tmp_path / "part")
+    hot = spark.range(200).selectExpr("'h' AS d", "id AS k")
+    hot.repartition(6).write.partitionBy("d").parquet(path)
+
+    # stale staging from a crashed run: recreated, compaction proceeds
+    os.makedirs(os.path.join(path, "._tmp_d=h", "junk=1"))
+    rewritten = compact_partitioned(spark, path, target_files=1)
+    assert rewritten == {"d=h": 6}
+    assert len(glob.glob(os.path.join(path, "d=h", "*.parquet"))) == 1
+    assert not os.path.exists(os.path.join(path, "._tmp_d=h"))
+    assert spark.read.parquet(path).count() == 200
+
+    # leftover ._old_ means the previous swap never finished: refuse
+    spark.range(10).selectExpr("'h' AS d", "id AS k").repartition(4).write.mode(
+        "append"
+    ).partitionBy("d").parquet(path)
+    os.makedirs(os.path.join(path, "._old_d=h"))
+    with pytest.raises(RuntimeError, match="crashed mid-swap"):
+        compact_partitioned(spark, path, target_files=1)

@@ -33,3 +33,14 @@ def test_resalting_changes_the_order(spark):
     e1 = {r.doc_id: (r.shard, r.pos) for r in deterministic_shuffle(df, ["doc_id"], 4, salt="epoch1").collect()}
     assert e0 != e1  # different epoch, different permutation
     assert set(e0) == set(e1)  # same rows
+
+
+def test_null_key_raises_not_collides(spark):
+    """concat_ws silently drops NULL parts, so a NULL key would quietly
+    hash-collide with its non-null complement; the contract is
+    fail-loud instead (ADVICE r4)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a"), (None, "b")], "doc_id long, x string")
+    with pytest.raises(Exception, match="doc_id.*NULL|USER_RAISED"):
+        deterministic_shuffle(df, ["doc_id"], 4).collect()

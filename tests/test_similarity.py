@@ -132,3 +132,28 @@ def test_ivf_ml_fitter_also_works(spark, sf_dir, exact_pairs):
         _queries_df(spark, sf_dir), emb, EMBEDDING_DIM, k=TOP_K, centroids=cents
     ).collect()
     _check(rows, exact_pairs, 0.4)
+
+
+def test_seeded_centroids_overflow_free_for_huge_ids(spark):
+    """(id * 1000003) directly overflows bigint for ids above ~9.2e12
+    (ANSI raise / silent wrap); the pre-reduced modmul is identical
+    mathematically and overflow-free (ADVICE r4)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        SEED_MOD,
+        SEED_MULT,
+        seeded_centroids,
+    )
+
+    huge = 9_223_372_036_854_775_000  # near bigint max
+    df = spark.createDataFrame(
+        [(huge, [1.0, 0.0]), (huge - 7, [0.0, 1.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = seeded_centroids(df, n_cells=2)
+    assert len(cents) == 2
+    # the centroid order must follow the mathematically-exact hash
+    ranked = sorted(
+        [(huge, [1.0, 0.0]), (huge - 7, [0.0, 1.0]), (3, [0.5, 0.5])],
+        key=lambda t: (((t[0] % SEED_MOD) * SEED_MULT) % SEED_MOD, t[0]),
+    )
+    assert cents == [list(v) for _, v in ranked[:2]]
