@@ -37,8 +37,15 @@ def test_bench_cli_contract():
     assert headline["unit"] == "sec"
     assert headline["value"] > 0
     assert "n_errors" not in headline, headline
+    # best-of-N alongside median (VERDICT r4 item 5): best <= median,
+    # per headline query and in total
+    assert headline["fmt"] == "median_best"
+    assert 0 < headline["value_best"] <= headline["value"]
+    for name, mb in headline["queries"].items():
+        median, best_t = mb
+        assert 0 < best_t <= median, (name, mb)
     # headline must survive the driver's 2000-char stdout tail
-    assert len(lines[-1]) < 1500, len(lines[-1])
+    assert len(lines[-1]) < 1900, len(lines[-1])
 
     full = json.loads(lines[-2])
     from ecommerce_dataengineering_project_spark.queries import registry
@@ -47,3 +54,6 @@ def test_bench_cli_contract():
     assert "errors" not in full, full.get("errors")
     assert set(full["queries"]) == set(all_queries)
     assert headline["n_queries"] == len(all_queries)
+    assert 0 < full["value_best"] <= full["value"]
+    for name, runs in full["samples"].items():
+        assert min(runs) <= full["queries"][name]  # best <= median
