@@ -306,6 +306,25 @@ def repetition_stats(
     )
 
 
+def ngram_array(toks_col: str, n: int) -> Column:
+    """Space-joined n-gram windows over a tokens array column.
+
+    Docs shorter than ``n`` tokens get an EMPTY list: Spark's
+    ``sequence(1, 0)`` yields the DESCENDING ``[1, 0]`` (it is not
+    empty like DuckDB's ``GENERATE_SERIES(1, 0)``), which would index
+    past the token array — the guard makes short docs emit no grams,
+    exactly like the oracle."""
+    windows = F.expr(
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        + "i -> concat_ws(' ', "
+        + ", ".join(f"element_at({toks_col}, i + {k})" for k in range(n))
+        + "))"
+    )
+    return F.when(F.size(toks_col) >= n, windows).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def ngram_repetition(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
@@ -314,24 +333,10 @@ def ngram_repetition(
     occur more than once. Same one-exchange shape as repetition_stats
     (repartition by doc before the explode); the n-gram windows are a
     map-side transform over a token-index sequence."""
-    # Guard docs shorter than n tokens with an empty window list:
-    # Spark's sequence(1, 0) yields the DESCENDING [1, 0] (it is not
-    # empty like DuckDB's GENERATE_SERIES(1, 0)), which would index
-    # past the token array. Short docs emit no grams and drop out of
-    # the result — exactly what the oracle does.
-    windows = F.expr(
-        f"transform(sequence(1, size(__toks) - {n - 1}), "
-        + "i -> concat_ws(' ', "
-        + ", ".join(f"element_at(__toks, i + {k})" for k in range(n))
-        + "))"
-    )
-    grams = F.when(F.size("__toks") >= n, windows).otherwise(
-        F.array().cast("array<string>")
-    )
     tok = (
         df.repartition(F.col(id_col))
         .select(F.col(id_col), tokens(text_col).alias("__toks"))
-        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(F.col(id_col), F.explode(ngram_array("__toks", n)).alias("gram"))
     )
     per_gram = tok.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
@@ -347,6 +352,57 @@ def ngram_repetition(
 # backreferences or lookaround), so the same strings drive Spark
 # regexp_replace/regexp_count and a DuckDB oracle. Replacement runs in
 # this dict order; each kind COUNTS on the text after the earlier
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene step that
+    flags corpus documents sharing verbatim n-grams with an evaluation
+    set, so eval answers don't leak into training (the GPT-3 appendix-C
+    / Pile procedure, expressed relationally).
+
+    Per corpus document: total n-gram instances, how many of them (and
+    how many distinct grams) also occur anywhere in the benchmark, the
+    contaminated fraction, and a boolean flag. Callers drop or audit
+    flagged docs; the threshold choice stays with the caller since
+    severity is corpus-specific.
+
+    Scale shape: eval sets are MB-scale against a TB corpus, so the
+    benchmark's distinct gram set BROADCASTS — the corpus is never
+    shuffled by the join. The corpus side repartitions by doc *before*
+    the gram explode (same one-exchange layout as ngram_repetition),
+    the broadcast left join is map-side, and the per-doc rollup reuses
+    the pre-explode partitioning: ONE corpus exchange end-to-end.
+    Docs shorter than ``n`` tokens have no grams and drop out (they
+    cannot be contaminated; see ngram_array).
+    """
+    bench_grams = (
+        benchmark.select(tokens(text_col).alias("__toks"))
+        .select(F.explode(ngram_array("__toks", n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    grams = (
+        corpus.repartition(F.col(id_col))
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode(ngram_array("__toks", n)).alias("gram"))
+    )
+    marked = grams.join(F.broadcast(bench_grams), on="gram", how="left")
+    hit_gram = F.when(F.col("__hit").isNotNull(), F.col("gram"))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("__hit").alias("n_contaminated"),
+        F.count_distinct(hit_gram).alias("distinct_contaminated"),
+        round_half_up(F.count("__hit") / F.count(F.lit(1)), 6).alias(
+            "contamination_ratio"
+        ),
+        (F.count("__hit") > 0).alias("is_contaminated"),
+    )
+
+
 # kinds' replacements, so a span matched by two patterns (a phone
 # number inside an email localpart) is attributed to exactly one kind
 # — the one that actually redacted it.

@@ -181,6 +181,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_MOD = 97  # docs with doc_id % BENCH_MOD == 0 play the eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py decontaminate):
+    every ~97th fixture document stands in for the evaluation set; the
+    rest are the training corpus scanned for verbatim trigram overlap
+    with it."""
+    from ecommerce_dataengineering_project_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = docs.where(F.col("doc_id") % BENCH_MOD != 0)
+    return decontaminate(corpus, benchmark, n=3)
+
+
 QUALITY_MIN = 0.5
 CORPUS_PERMILLE = 500
 
@@ -227,6 +243,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "doc_repetition": q_doc_repetition,
     "ngram_repetition": q_ngram_repetition,
+    "decontaminate": q_decontaminate,
     "training_corpus": q_training_corpus,
 }
 
@@ -324,6 +341,42 @@ ORACLES = {
                FLOOR((SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c))
                      * 1000000.0 + 0.5) / 1000000.0 AS dup_gram_ratio
         FROM per_gram
+        GROUP BY doc_id
+    """,
+    # Mirrors operators/text.py decontaminate (n=3): benchmark =
+    # doc_id % 97 == 0, trigram windows via GENERATE_SERIES, hit =
+    # gram present in the benchmark's distinct gram set.
+    "decontaminate": f"""
+        WITH bt AS (
+            SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
+            WHERE doc_id % {BENCH_MOD} = 0
+        ),
+        bench AS (
+            SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+            FROM bt, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0))) AS s(i)
+        ),
+        ct AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+            WHERE doc_id % {BENCH_MOD} <> 0
+        ),
+        g AS (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+            FROM ct, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0))) AS s(i)
+        ),
+        m AS (
+            SELECT g.doc_id, g.gram, b.gram IS NOT NULL AS hit
+            FROM g LEFT JOIN bench b ON g.gram = b.gram
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               CAST(COUNT(DISTINCT CASE WHEN hit THEN gram END) AS BIGINT)
+                   AS distinct_contaminated,
+               FLOOR((SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / COUNT(*))
+                     * 1000000.0 + 0.5) / 1000000.0 AS contamination_ratio,
+               SUM(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS is_contaminated
+        FROM m
         GROUP BY doc_id
     """,
     # Mirrors operators/text.py repetition_stats: exact counts, then

@@ -215,3 +215,43 @@ def test_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(AssertionError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_decontaminate_flags_shared_trigrams(spark):
+    from ecommerce_dataengineering_project_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),      # shares "the quick brown"
+            (2, "totally novel words only here now"),   # clean
+            (3, "short doc"),                           # < 3 tokens: no grams
+            (4, "the quick brown the quick brown"),     # repeated hit instances
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "answer: the quick brown fox")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, n=3).collect()}
+    assert 3 not in rows  # short docs emit no grams and drop out
+    r1 = rows[1]
+    # doc 1 grams: 4; hits: "the quick brown", "quick brown fox"
+    assert (r1.n_grams, r1.n_contaminated, r1.distinct_contaminated) == (4, 2, 2)
+    assert r1.is_contaminated is True
+    r2 = rows[2]
+    assert (r2.n_contaminated, r2.is_contaminated) == (0, False)
+    r4 = rows[4]
+    # "the quick brown" appears twice (positions 1 and 4) -> 2 instance
+    # hits but 1 distinct contaminated gram
+    assert (r4.n_grams, r4.n_contaminated, r4.distinct_contaminated) == (4, 2, 1)
+
+
+def test_decontaminate_empty_benchmark_keeps_all_clean(spark):
+    from ecommerce_dataengineering_project_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    r = decontaminate(corpus, bench, n=3).collect()[0]
+    assert (r.n_grams, r.n_contaminated, r.is_contaminated) == (2, 0, False)
