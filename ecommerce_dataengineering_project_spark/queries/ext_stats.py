@@ -64,6 +64,28 @@ def q_sketch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_sketches(daily_sketches(ev, "ts", "user_id", "value"))
 
 
+HH_K = 16
+HH_TOP = 10
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frequent-items: approximate top document tokens via
+    mergeable per-partition Misra-Gries summaries (see
+    operators/sketches.py mg_summaries). Rows-only for the driver —
+    MG weights legitimately depend on the partition layout (they are
+    lower bounds, not counts) — the fixed repartition makes the run
+    reproducible, and the guarantee/bounds contracts against the exact
+    token histogram are pinned in tests/test_sketches.py."""
+    from ecommerce_dataengineering_project_spark.operators.sketches import heavy_hitters
+    from ecommerce_dataengineering_project_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.repartition(8, "doc_id").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters(tok, "token", k=HH_K, top=HH_TOP)
+
+
 def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 set-ops-on-sketches: approximate distinct-user overlap
     between every pair of event-type segments (HLL inclusion-
@@ -279,6 +301,7 @@ QUERIES = {
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "sketch_incremental_rollup": q_sketch_incremental_rollup,  # rows-only: sketches
     "segment_overlap_sketch": q_segment_overlap_sketch,  # rows-only: sketches
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,  # rows-only: sketches
     "segment_overlap_exact": q_segment_overlap_exact,
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,

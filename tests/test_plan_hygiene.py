@@ -33,6 +33,7 @@ _BNLJ_OK = {
     "similarity_topk",  # 5-row broadcast query side, != condition
     "tfidf_top_terms",  # n_docs scalar attach
     "segment_overlap_sketch",  # |segments|-row pairwise (<) join over sketches
+    "heavy_hitter_tokens",  # 1-row total-err scalar attach onto KB sketch state
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
@@ -47,6 +48,7 @@ _PYTHON_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "dedup_embedding_cosine",
+    "heavy_hitter_tokens",  # mapInPandas MG partition summaries
 }
 
 _PY_NODES = (

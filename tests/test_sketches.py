@@ -127,3 +127,63 @@ def test_sketch_agg_is_partial(spark, events):
     # n_rows) must not satisfy this
     assert "partial_hll_sketch_agg" in plan
     assert "partial_kll_sketch_agg_double" in plan
+
+
+def test_mg_exact_phase_when_vocab_fits(spark):
+    """With distinct keys <= k the summary never compresses: weights
+    are EXACT counts and the err row is 0 — mirroring the HLL coupon
+    phase contract."""
+    from ecommerce_dataengineering_project_spark.operators.sketches import (
+        heavy_hitters,
+        mg_summaries,
+    )
+
+    rows = [(w,) for w in ["a"] * 5 + ["b"] * 3 + ["c"] * 2]
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    errs = [
+        r.weight
+        for r in mg_summaries(df, "token", k=8).where(F.col("key").isNull()).collect()
+    ]
+    assert all(e == 0 for e in errs)
+    hh = {r.key: (r.weight_lb, r.count_ub) for r in heavy_hitters(df, "token", k=8).collect()}
+    assert hh == {"a": (5, 5), "b": (3, 3), "c": (2, 2)}
+
+
+def test_mg_bounds_and_guarantee_vs_exact(spark):
+    """The two MG contracts on a compressing workload:
+    (1) bounds: weight_lb <= true count <= count_ub for every
+        reported key;
+    (2) guarantee: every key with true count > n/(k+1) is reported."""
+    from ecommerce_dataengineering_project_spark.operators.sketches import heavy_hitters
+
+    # zipf-ish: key_i appears (40 - i) times, i = 0..39 -> n = 820
+    rows = [(f"k{i:02d}",) for i in range(40) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    k = 8
+    exact = {f"k{i:02d}": 40 - i for i in range(40)}
+    n = sum(exact.values())
+    got = {r.key: (r.weight_lb, r.count_ub) for r in heavy_hitters(df, "token", k=k).collect()}
+    for key, (lb, ub) in got.items():
+        assert lb <= exact[key] <= ub, (key, lb, exact[key], ub)
+    for key, c in exact.items():
+        if c > n / (k + 1):
+            assert key in got, f"guaranteed heavy hitter {key} (count {c}) missing"
+
+
+def test_mg_merge_is_partitioning_invariant_on_bounds(spark):
+    """Summaries built over different partition layouts give different
+    weights (that's the sketch's nature) but the BOUNDS must bracket
+    the same exact counts either way, and the exact phase must agree."""
+    from ecommerce_dataengineering_project_spark.operators.sketches import heavy_hitters
+
+    rows = [(f"k{i}",) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "token string")
+    exact = {f"k{i}": i + 1 for i in range(20)}
+    for parts in (1, 3, 7):
+        got = {
+            r.key: (r.weight_lb, r.count_ub)
+            for r in heavy_hitters(df.repartition(parts), "token", k=6).collect()
+        }
+        assert got, f"no candidates at {parts} partitions"
+        for key, (lb, ub) in got.items():
+            assert lb <= exact[key] <= ub, (parts, key, lb, exact[key], ub)
