@@ -667,3 +667,41 @@ def _embedding_near_dup_lsh(
         F.col("id_b").cast("bigint").alias("id_b"),
         F.col("cosine").cast("double").alias("cosine"),
     )
+
+
+def keep_canonical(
+    clusters: DataFrame,
+    docs: DataFrame,
+    order_cols: list[Column],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """The keep-best final stage of fuzzy dedup: given cluster labels
+    (from ``connected_components``) and per-doc attributes, keep ONE
+    representative per cluster — the first under ``order_cols`` (ties
+    always broken by ascending id, so selection is total and
+    engine-reproducible). Pairs say "these match", clusters say
+    "these are one document", this says WHICH one survives — e.g.
+    highest quality score wins, not the arbitrary minimum id.
+
+    Emits the surviving rows with their ``cluster_size`` so downstream
+    stages can weight or audit the collapse (size 1 = the doc was
+    never a duplicate).
+
+    Scale shape: one hash join on the id (clusters is a (id, label)
+    relation, narrow), then ONE exchange on ``cluster_col`` shared by
+    the rank window and the size window (same partitioning). Nothing
+    driver-side; the representative choice is a row_number, not a
+    collect."""
+    from pyspark.sql import Window
+
+    joined = clusters.join(docs, id_col)
+    order = [*order_cols, F.col(id_col).asc()]
+    w_rank = Window.partitionBy(cluster_col).orderBy(*order)
+    w_size = Window.partitionBy(cluster_col)
+    return (
+        joined.withColumn("cluster_size", F.count(F.lit(1)).over(w_size))
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

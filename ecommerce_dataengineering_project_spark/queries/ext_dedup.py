@@ -7,6 +7,7 @@ pipeline is checked bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.operators.dedup import (
     BANDS,
@@ -119,6 +120,29 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs, docs.select("doc_id"))
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-best final stage of fuzzy dedup (operators/dedup.py
+    keep_canonical): near-dup clusters collapse to their single
+    highest-quality member (quality_score desc, token_count desc,
+    doc_id asc) instead of the arbitrary minimum id — the variant
+    every real corpus reduction wants. Reuses the session-cached
+    n-gram pair relation and the text-stats quality heuristic, both
+    independently oracle-checked."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import keep_canonical
+    from ecommerce_dataengineering_project_spark.operators.text import with_text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_for(spark, sf_dir).select("id_a", "id_b")
+    clusters = connected_components(pairs, docs.select("doc_id"))
+    quality = with_text_stats(docs).select("doc_id", "quality_score", "token_count")
+    kept = keep_canonical(
+        clusters,
+        quality,
+        [F.col("quality_score").desc(), F.col("token_count").desc()],
+    )
+    return kept.select("cluster_id", "doc_id", "cluster_size", "quality_score")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id")
@@ -136,6 +160,7 @@ QUERIES = {
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
+    "canonical_docs": q_canonical_docs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -314,3 +339,62 @@ ORACLES = {
 # Same fixpoint, different iteration schedule — the star variant
 # oracle-checks against the identical recursive-CTE closure.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# The cluster closure again (same pair arithmetic + recursive CTE),
+# then keep-best per cluster: quality desc, token_count desc, doc_id
+# asc — mirroring operators/dedup.py keep_canonical and the
+# text-stats quality heuristic (ext_text.py "text_stats" oracle).
+ORACLES["canonical_docs"] = f"""
+    WITH RECURSIVE {_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.id_a
+        JOIN sizes nb ON nb.doc_id = i.id_b
+        WHERE {_r6("i.n_inter * 1.0 / (na.n + nb.n - i.n_inter)")} >= {NGRAM_THRESHOLD}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS token_count,
+               {_r6(
+                   "LEAST(1.0, LEN(STRING_SPLIT(text, ' ')) / 100.0)"
+                   " * (1.0 - LEN(LIST_FILTER(STRING_SPLIT(text, ' '),"
+                   " w -> w IN ('the', 'a', 'data', 'value'))) * 1.0"
+                   " / LEN(STRING_SPLIT(text, ' ')))"
+               )} AS quality_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.cluster_id, c.doc_id,
+               CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+                   AS cluster_size,
+               q.quality_score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.quality_score DESC, q.token_count DESC,
+                            c.doc_id ASC
+               ) AS rn
+        FROM clusters c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id, cluster_size, quality_score
+    FROM ranked WHERE rn = 1
+"""

@@ -321,3 +321,31 @@ def test_star_cc_shapes_and_random_graphs(spark):
     ]
     edges = [(a, b) for a, b in edges if a != b]
     run(edges, nodes)
+
+
+def test_keep_canonical_picks_best_not_min_id(spark):
+    """The representative is the ORDER winner (quality desc, ties by
+    ascending id), not the cluster label's minimum id; singletons
+    survive with cluster_size 1."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        connected_components,
+        keep_canonical,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 9)], "doc_id long")
+    clusters = connected_components(edges, nodes)
+    attrs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.5)], "doc_id long, quality double"
+    )
+    kept = {
+        r.cluster_id: r
+        for r in keep_canonical(
+            clusters, attrs, [F.col("quality").desc()]
+        ).collect()
+    }
+    assert set(kept) == {1, 9}
+    # cluster {1,2,3}: quality tie 2 vs 3 -> lower id 2 wins; NOT the
+    # min-label doc 1
+    assert kept[1].doc_id == 2 and kept[1].cluster_size == 3
+    assert kept[9].doc_id == 9 and kept[9].cluster_size == 1
