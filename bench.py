@@ -64,6 +64,10 @@ HEADLINE = [
     "pack_training_bins",
     "sketch_incremental_rollup",
     "anomaly_isolation_forest",
+    # r5 first-class additions
+    "decontaminate",
+    "canonical_docs",
+    "heavy_hitter_tokens",
 ]
 
 

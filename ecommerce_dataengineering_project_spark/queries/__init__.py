@@ -63,7 +63,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
     # text analysis
     "text_stats",
-    "rolling_fingerprint",
     "tfidf_top_terms",
     "training_corpus",
     # r4 rotation: distinct shapes that sat past the 50-slot cap in
@@ -96,8 +95,14 @@ PRIORITY: tuple[str, ...] = (
     "pack_training_bins",
     "shuffle_corpus",
     "quantize_embeddings",
+    # r5 new first-class shapes, both fully oracle-checked; they take
+    # the slots of rolling_fingerprint (X4 keeps text_stats in-cap)
+    # and approx_distinct_quantiles (rows-only burned a hash-check
+    # slot; exact_distinct_quantiles remains X5's in-cap
+    # representative, the sketch op stays locally quality-tested)
+    "decontaminate",
+    "canonical_docs",
     # sketches / pandas UDF / skew / ml
-    "approx_distinct_quantiles",
     "exact_distinct_quantiles",
     "grouped_pandas_stats",
     "skew_salted_agg",

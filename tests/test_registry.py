@@ -39,11 +39,13 @@ def test_priority_covers_every_operator_family():
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
     for name in ("text_stats", "tfidf_top_terms",
                  "training_corpus", "similarity_topk", "skew_salted_agg",
-                 "grouped_pandas_stats", "approx_distinct_quantiles",
+                 "grouped_pandas_stats", "exact_distinct_quantiles",
                  # r5 rotation: first driver evidence for these shapes
                  "pii_scrub", "doc_repetition", "ngram_repetition",
                  "segment_overlap_exact", "pack_training_bins",
-                 "shuffle_corpus", "quantize_embeddings", "ann_ivf_topk"):
+                 "shuffle_corpus", "quantize_embeddings", "ann_ivf_topk",
+                 # r5 new first-class operators, fully oracle-checked
+                 "decontaminate", "canonical_docs"):
         assert name in PRIORITY
 
 
@@ -53,6 +55,5 @@ def test_oracle_density_in_priority_block():
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
     assert set(rows_only) <= {
-        "approx_distinct_quantiles",  # sketch estimates
         "anomaly_isolation_forest",  # ensemble scores
     }
