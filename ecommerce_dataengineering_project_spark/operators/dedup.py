@@ -705,3 +705,48 @@ def keep_canonical(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dedup_incremental_exact(
+    new_docs: DataFrame,
+    history_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup — the continuous-ingest variant of X1:
+    a NEW batch checks against the persisted fingerprint index of
+    everything already accepted, without ever rescanning historical
+    text. Per new doc: ``dup_of_history`` (its fingerprint already
+    exists in the index) and ``keep`` (not in history AND the
+    batch-first copy by ascending id — so re-running the batch or
+    re-ordering its partitions can't change who survives).
+
+    The caller appends ``keep`` rows' fingerprints to the index
+    afterwards; history never rewrites.
+
+    Scale shape: history is a fingerprint-only relation (32 bytes per
+    accepted doc, billions of rows fine) — the membership check is a
+    left join on the hash, which Spark executes as a shuffle hash/SMJ
+    join keyed on high-entropy fingerprints (no skew by
+    construction). Batch-internal keep-first is ONE window over the
+    same fingerprint partitioning, so the whole operator rides a
+    single exchange of each side. Bucketing the persisted index by
+    fingerprint removes even that at read time."""
+    fp = new_docs.select(
+        F.col(id_col), content_hash(text_col).alias("fingerprint")
+    )
+    hist = history_fingerprints.select("fingerprint").distinct().withColumn(
+        "__seen", F.lit(1)
+    )
+    marked = fp.join(hist, "fingerprint", "left")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        marked.withColumn("dup_of_history", F.col("__seen").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "keep", (~F.col("dup_of_history")) & (F.col("__rn") == 1)
+        )
+        .select(id_col, "fingerprint", "dup_of_history", "keep")
+    )

@@ -143,6 +143,24 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("cluster_id", "doc_id", "cluster_size", "quality_score")
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup (operators/dedup.py
+    dedup_incremental_exact): even doc_ids play the already-accepted
+    history (as its persisted fingerprint index), odd doc_ids are the
+    incoming batch checked against it plus batch-internally."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        content_hash,
+        dedup_incremental_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0).select(
+        content_hash("text").alias("fingerprint")
+    )
+    new_batch = docs.where(F.col("doc_id") % 2 != 0)
+    return dedup_incremental_exact(new_batch, history)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id")
@@ -161,6 +179,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_star": q_dedup_clusters_star,
     "canonical_docs": q_canonical_docs,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -339,6 +358,30 @@ ORACLES = {
 # Same fixpoint, different iteration schedule — the star variant
 # oracle-checks against the identical recursive-CTE closure.
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+# Mirrors operators/dedup.py dedup_incremental_exact: membership in
+# the even-id history's fingerprint set, batch keep-first by id.
+ORACLES["dedup_incremental"] = """
+    WITH hist AS (
+        SELECT DISTINCT SHA256(text) AS fingerprint FROM documents
+        WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT doc_id, SHA256(text) AS fingerprint FROM documents
+        WHERE doc_id % 2 <> 0
+    ),
+    m AS (
+        SELECT b.doc_id, b.fingerprint,
+               h.fingerprint IS NOT NULL AS dup_of_history,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.fingerprint ORDER BY b.doc_id ASC
+               ) AS rn
+        FROM batch b LEFT JOIN hist h ON h.fingerprint = b.fingerprint
+    )
+    SELECT doc_id, fingerprint, dup_of_history,
+           (NOT dup_of_history) AND rn = 1 AS keep
+    FROM m
+"""
 
 # The cluster closure again (same pair arithmetic + recursive CTE),
 # then keep-best per cluster: quality desc, token_count desc, doc_id

@@ -349,3 +349,33 @@ def test_keep_canonical_picks_best_not_min_id(spark):
     # min-label doc 1
     assert kept[1].doc_id == 2 and kept[1].cluster_size == 3
     assert kept[9].doc_id == 9 and kept[9].cluster_size == 1
+
+
+def test_dedup_incremental_exact_semantics(spark):
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        content_hash,
+        dedup_incremental_exact,
+    )
+
+    hist_docs = spark.createDataFrame(
+        [(0, "already accepted"), (2, "old news")], "doc_id long, text string"
+    )
+    history = hist_docs.select(content_hash("text").alias("fingerprint"))
+    batch = spark.createDataFrame(
+        [
+            (11, "already accepted"),   # dup of history -> drop
+            (13, "fresh content"),      # unique -> keep
+            (15, "twice in batch"),     # batch-first -> keep
+            (17, "twice in batch"),     # batch-second -> drop
+            (19, "old news"),           # dup of history -> drop
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_incremental_exact(batch, history).collect()}
+    assert {d for d, r in rows.items() if r.keep} == {13, 15}
+    assert {d for d, r in rows.items() if r.dup_of_history} == {11, 19}
+    # an empty history keeps every batch-first copy
+    empty = history.where(F.lit(False))
+    rows2 = {r.doc_id: r for r in dedup_incremental_exact(batch, empty).collect()}
+    assert {d for d, r in rows2.items() if r.keep} == {11, 13, 15, 19}
+    assert not any(r.dup_of_history for r in rows2.values())
