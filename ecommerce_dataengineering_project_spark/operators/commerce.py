@@ -1,0 +1,238 @@
+"""Customer-analytics operators over the orders/lineitem tables.
+
+The reference's analytical layer stops at daily revenue + anomaly
+flags (anomaly_detection.py:25-43); these are the next three queries
+an e-commerce warehouse grows immediately after that — segmentation
+(RFM), affinity (market-basket pair counts), and trend smoothing
+(exponentially decayed revenue). All three are classic one-to-two
+shuffle shapes; none needs anything outside DataFrame ops.
+
+Scale notes are per-operator; the common theme is: aggregate FIRST so
+every expensive step (ntile windows, pair joins, decay joins) runs on
+the collapsed per-key relation, never on raw line items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+N_TILES = 5
+
+
+def rfm_segments(
+    orders: DataFrame,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = N_TILES,
+) -> DataFrame:
+    """Recency/Frequency/Monetary scoring: quintile (``ntile``) ranks
+    of each customer's days-since-last-order, order count, and rounded
+    lifetime spend, plus a coarse segment label. Higher score = better
+    on every axis (5 = most recent / most frequent / highest spend).
+
+    Determinism: every ntile ordering carries the customer key as the
+    final tiebreak, and monetary is rounded to cents BEFORE ranking,
+    so the tile assignment is identical on any engine or partitioning.
+
+    Scale shape: one shuffle collapses orders to one row per customer;
+    the reference "now" is a 1-row aggregate broadcast back (never a
+    global window). The ntile windows are single-partition by nature
+    (a global rank) — correct here because the ranked relation is
+    per-customer, already 3-4 orders of magnitude smaller than orders;
+    for billions of customers swap ntile for a percent_rank over a
+    range-partitioned sort, same downstream contract.
+    """
+    per_cust = orders.groupBy(F.col(cust_col).alias("custkey")).agg(
+        F.max(date_col).alias("last_order"),
+        F.count("*").alias("frequency"),
+        round_half_up(F.sum(amount_col), 2).alias("monetary"),
+    )
+    now = orders.agg(F.max(date_col).alias("__now"))
+    scored = per_cust.join(F.broadcast(now)).withColumn(
+        "recency_days", F.datediff(F.col("__now"), F.col("last_order"))
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("custkey").asc())
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") >= 4), "at_risk_big_spender")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(n_tiles).over(r_w).alias("r_score"),
+            F.ntile(n_tiles).over(f_w).alias("f_score"),
+            F.ntile(n_tiles).over(m_w).alias("m_score"),
+        )
+        .withColumn("segment", seg)
+    )
+
+
+def basket_pairs(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Market-basket affinity: co-occurrence counts + lift for every
+    item pair appearing together in at least ``min_support`` orders.
+
+    Shape: distinct (order, item) — one shuffle — then the pair join
+    is an equi-join on the order key, so each order contributes
+    C(basket_size, 2) rows. Basket size bounds the blowup: retail
+    baskets are tens of items, so the join output is a small constant
+    factor of the input (this fixture maxes at 13 items/order -> <=78
+    pairs). For adversarial feeds, ``max_basket_items`` drops larger
+    baskets loudly (count them before excluding) — the standard cap in
+    production co-occurrence mining; a 10k-item "basket" is a bot, not
+    a signal, and would contribute 50M pairs.
+
+    Lift = P(a,b) / (P(a)P(b)) over the order universe, computed from
+    the same distinct-items relation and rounded for engine parity.
+    """
+    items = lineitem.select(
+        F.col(order_col).alias("orderkey"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_items is not None:
+        sizes = items.groupBy("orderkey").agg(F.count("*").alias("__n"))
+        items = (
+            items.join(sizes, "orderkey")
+            .where(F.col("__n") <= max_basket_items)
+            .drop("__n")
+        )
+    n_orders = items.select("orderkey").distinct().count()
+    item_counts = items.groupBy(F.col("item").alias("i")).agg(
+        F.count("*").alias("i_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, "orderkey")
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("pair_orders"))
+        .where(F.col("pair_orders") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_counts.withColumnRenamed("i", "item_a").withColumnRenamed("i_orders", "a_orders")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnRenamed("i", "item_b").withColumnRenamed("i_orders", "b_orders")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "pair_orders",
+            round_half_up(
+                F.col("pair_orders").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("a_orders") * F.col("b_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+DECAY = 0.9
+DECAY_WINDOW_DAYS = 30
+
+
+def decay_weights(
+    alpha: float = DECAY, window_days: int = DECAY_WINDOW_DAYS
+) -> list[float]:
+    """The decay weight table ``alpha**k`` as Python-computed double
+    literals. Injected verbatim into BOTH the Spark plan and the SQL
+    oracle, so the weights are bit-identical across engines — never
+    recomputed via each engine's own ``pow`` (libm implementations are
+    not guaranteed to round identically)."""
+    w = []
+    acc = 1.0
+    for _ in range(window_days):
+        w.append(acc)
+        acc *= alpha
+    return w
+
+
+def decayed_daily_revenue(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    alpha: float = DECAY,
+    window_days: int = DECAY_WINDOW_DAYS,
+) -> DataFrame:
+    """Exponentially decayed daily revenue: for each order date ``d``,
+    ``sum(rev[d-k] * alpha**k for k in 0..window_days-1)`` over the
+    calendar-day differences actually present (gap days contribute
+    nothing, exactly as an EWMA over a sparse series should).
+
+    Scale shape: raw orders collapse to per-day partials first (ONE
+    shuffle, map-side combined; daily totals rounded to cents so the
+    smoothing input is engine-exact). The decay then runs on the tiny
+    daily relation — years of history is ~10^3 rows regardless of raw
+    volume — via a bin-bucketed self-join (equi-join on day buckets,
+    never a BroadcastNestedLoop theta join): each past day lands in
+    one bucket, each current day probes its own and the previous
+    bucket, and the exact ``0 <= diff < window_days`` predicate prunes
+    after the equi-match.
+    """
+    daily = (
+        orders.groupBy(F.to_date(F.col(date_col)).alias("day"))
+        .agg(round_half_up(F.sum(amount_col), 2).alias("revenue"))
+        .withColumn("day_idx", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = decay_weights(alpha, window_days)
+    weight_arr = F.array(*[F.lit(x) for x in w])
+
+    cur = daily.select(
+        F.col("day").alias("day"),
+        F.col("day_idx").alias("cur_idx"),
+        F.explode(
+            F.array(
+                F.floor(F.col("day_idx") / window_days),
+                F.floor(F.col("day_idx") / window_days) - 1,
+            )
+        ).alias("__bucket"),
+    )
+    past = daily.select(
+        F.col("day_idx").alias("past_idx"),
+        F.col("revenue").alias("past_revenue"),
+        F.floor(F.col("day_idx") / window_days).alias("__bucket"),
+    )
+    diff = F.col("cur_idx") - F.col("past_idx")
+    smoothed = (
+        cur.join(past, "__bucket")
+        .where((diff >= 0) & (diff < window_days))
+        .withColumn(
+            "__w", F.element_at(weight_arr, (diff + 1).cast("int"))
+        )
+        .groupBy("day")
+        .agg(
+            round_half_up(F.sum(F.col("past_revenue") * F.col("__w")), 4).alias(
+                "decayed_revenue"
+            ),
+            F.count("*").alias("days_in_window"),
+        )
+    )
+    return smoothed.join(daily.select("day", "revenue"), "day").select(
+        "day", "revenue", "decayed_revenue", "days_in_window"
+    )

@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from ecommerce_dataengineering_project_spark.queries import (
         core,
+        ext_commerce,
         ext_dedup,
         ext_multimodal,
         ext_similarity,
@@ -126,6 +127,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         core,
+        ext_commerce,
         ext_dedup,
         ext_multimodal,
         ext_similarity,

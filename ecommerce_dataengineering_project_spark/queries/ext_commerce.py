@@ -1,0 +1,163 @@
+"""Customer-analytics queries (operators/commerce.py): RFM
+segmentation, market-basket affinity, exponentially decayed revenue.
+
+All three are fully oracle-checked: ntile orderings carry the customer
+key as a deterministic tiebreak, monetary/revenue sums are rounded to
+cents before any ranking or smoothing, and the decay weight table is a
+single Python-computed literal list injected into BOTH engines (never
+each engine's own ``pow``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
+from ecommerce_dataengineering_project_spark.operators.commerce import (
+    DECAY,
+    DECAY_WINDOW_DAYS,
+    N_TILES,
+    basket_pairs,
+    decay_weights,
+    decayed_daily_revenue,
+    rfm_segments,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+MIN_SUPPORT = 2
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_segments(orders)
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return basket_pairs(li, min_support=MIN_SUPPORT)
+
+
+def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return decayed_daily_revenue(orders)
+
+
+QUERIES = {
+    "rfm_segments": q_rfm_segments,
+    "basket_pairs": q_basket_pairs,
+    "ewma_revenue": q_ewma_revenue,
+}
+
+_WEIGHTS = "[" + ", ".join(repr(w) for w in decay_weights()) + "]"
+
+ORACLES = {
+    # Mirrors operators/commerce.py rfm_segments: per-customer
+    # aggregate, 1-row "now" scalar, ntile quintiles with custkey
+    # tiebreaks, CASE segment label.
+    "rfm_segments": f"""
+        WITH per_cust AS (
+            SELECT o_custkey AS custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   {sql_round_half_up('SUM(o_totalprice)', 2)} AS monetary
+            FROM orders GROUP BY 1
+        ),
+        now_row AS (SELECT MAX(o_orderdate) AS now_ts FROM orders),
+        scored AS (
+            SELECT custkey,
+                   CAST(DATE_DIFF('day', last_order, now_ts) AS INTEGER)
+                       AS recency_days,
+                   frequency, monetary
+            FROM per_cust CROSS JOIN now_row
+        ),
+        tiles AS (
+            SELECT custkey, recency_days, frequency, monetary,
+                   CAST(NTILE({N_TILES}) OVER (
+                       ORDER BY recency_days DESC, custkey ASC) AS INTEGER)
+                       AS r_score,
+                   CAST(NTILE({N_TILES}) OVER (
+                       ORDER BY frequency ASC, custkey ASC) AS INTEGER)
+                       AS f_score,
+                   CAST(NTILE({N_TILES}) OVER (
+                       ORDER BY monetary ASC, custkey ASC) AS INTEGER)
+                       AS m_score
+            FROM scored
+        )
+        SELECT custkey, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CASE
+                   WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                       THEN 'champion'
+                   WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                   WHEN r_score <= 2 AND m_score >= 4
+                       THEN 'at_risk_big_spender'
+                   WHEN r_score <= 2 THEN 'hibernating'
+                   ELSE 'regular'
+               END AS segment
+        FROM tiles
+    """,
+    # Mirrors operators/commerce.py basket_pairs: distinct
+    # (order, item), pair counts via self-join, support filter, lift
+    # from the same item universe.
+    "basket_pairs": f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS orderkey, l_partkey AS item
+            FROM lineitem
+        ),
+        n AS (SELECT COUNT(DISTINCT orderkey) AS n_orders FROM items),
+        item_counts AS (
+            SELECT item, COUNT(*) AS i_orders FROM items GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_orders
+            FROM items a JOIN items b
+              ON a.orderkey = b.orderkey AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {MIN_SUPPORT}
+        )
+        SELECT p.item_a, p.item_b,
+               CAST(p.pair_orders AS BIGINT) AS pair_orders,
+               {sql_round_half_up(
+                   'p.pair_orders * 1.0 * n.n_orders / (ca.i_orders * cb.i_orders)',
+                   6,
+               )} AS lift
+        FROM pairs p
+        JOIN item_counts ca ON ca.item = p.item_a
+        JOIN item_counts cb ON cb.item = p.item_b
+        CROSS JOIN n
+    """,
+    # Mirrors operators/commerce.py decayed_daily_revenue: per-day
+    # cents-rounded totals, then the decay join over day differences
+    # 0..{DECAY_WINDOW_DAYS}-1 with the shared literal weight table
+    # (alpha={DECAY}).
+    "ewma_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {sql_round_half_up('SUM(o_totalprice)', 2)} AS revenue
+            FROM orders GROUP BY 1
+        ),
+        idx AS (
+            SELECT day, revenue,
+                   DATE_DIFF('day', DATE '1970-01-01', day) AS day_idx
+            FROM daily
+        ),
+        w AS (SELECT {_WEIGHTS} AS weights),
+        sm AS (
+            SELECT c.day,
+                   {sql_round_half_up(
+                       'SUM(p.revenue * w.weights[(c.day_idx - p.day_idx) + 1])',
+                       4,
+                   )} AS decayed_revenue,
+                   COUNT(*) AS days_in_window
+            FROM idx c
+            JOIN idx p
+              ON c.day_idx - p.day_idx >= 0
+             AND c.day_idx - p.day_idx < {DECAY_WINDOW_DAYS}
+            CROSS JOIN w
+            GROUP BY c.day, c.day_idx
+        )
+        SELECT d.day, d.revenue, s.decayed_revenue,
+               CAST(s.days_in_window AS BIGINT) AS days_in_window
+        FROM sm s JOIN daily d ON d.day = s.day
+    """,
+}

@@ -1,0 +1,126 @@
+"""Behavior tests for operators/commerce.py (RFM, basket affinity,
+decayed revenue) on small constructed frames — the oracle-parity sweep
+covers the fixtures; these pin the semantic contracts."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.operators.commerce import (
+    DECAY,
+    basket_pairs,
+    decay_weights,
+    decayed_daily_revenue,
+    rfm_segments,
+)
+
+
+def _orders(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_custkey bigint, o_orderdate timestamp, o_totalprice double"
+    )
+
+
+def test_rfm_scores_and_segments(spark):
+    ts = datetime.datetime
+    rows = []
+    # customer 1: recent, frequent, big spender -> champion
+    for d in range(5):
+        rows.append((1, ts(2020, 6, 1 + d), 1000.0))
+    # customer 2: old single cheap order -> hibernating
+    rows.append((2, ts(2019, 1, 1), 10.0))
+    # customers 3-5: middling
+    for c in (3, 4, 5):
+        rows.append((c, ts(2020, 1, c), 100.0 * c))
+        rows.append((c, ts(2020, 2, c), 100.0 * c))
+    out = {r["custkey"]: r for r in rfm_segments(_orders(spark, rows)).collect()}
+    assert out[1]["segment"] == "champion"
+    assert out[1]["r_score"] == 5 and out[1]["f_score"] == 5 and out[1]["m_score"] == 5
+    assert out[2]["segment"] == "hibernating"
+    assert out[2]["recency_days"] == (ts(2020, 6, 5) - ts(2019, 1, 1)).days
+    assert out[2]["frequency"] == 1
+    # monetary is rounded to cents before ranking
+    assert out[3]["monetary"] == 600.0
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+
+
+def test_basket_pairs_support_and_lift(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20),
+        (4, 30),
+        (4, 30),  # duplicate line: distinct() must collapse it
+    ]
+    li = _lineitem(spark, rows)
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_pairs(li, min_support=2).collect()
+    }
+    assert set(out) == {(10, 20)}
+    r = out[(10, 20)]
+    assert r["pair_orders"] == 3
+    # lift = P(10,20)/(P(10)P(20)) = (3/4) / ((3/4)*(3/4)) = 4/3
+    assert r["lift"] == pytest.approx(4.0 / 3.0, abs=1e-6)
+
+
+def test_basket_cap_drops_oversized_baskets(spark):
+    rows = [(1, i) for i in range(10)] + [(2, 1), (2, 2), (3, 1), (3, 2)]
+    li = _lineitem(spark, rows)
+    uncapped = basket_pairs(li, min_support=2).collect()
+    # pair (1,2) appears in all three orders uncapped...
+    assert {(r["item_a"], r["item_b"], r["pair_orders"]) for r in uncapped} == {
+        (1, 2, 3)
+    }
+    capped = basket_pairs(li, min_support=2, max_basket_items=5).collect()
+    # ...but the 10-item basket is excluded under the cap, and the
+    # order universe for lift shrinks with it
+    assert {(r["item_a"], r["item_b"], r["pair_orders"]) for r in capped} == {
+        (1, 2, 2)
+    }
+    assert capped[0]["lift"] == pytest.approx(2.0 * 2 / (2 * 2), abs=1e-6)
+
+
+def test_decay_weights_are_shared_literals():
+    w = decay_weights()
+    assert w[0] == 1.0
+    assert w[1] == DECAY
+    assert len(w) == 30
+    # sequential product, not pow(): bit-reproducible on any engine
+    assert w[2] == (DECAY * DECAY)
+
+
+def test_decayed_revenue_respects_gaps_and_window(spark):
+    ts = datetime.datetime
+    rows = [
+        (1, ts(2020, 1, 1), 100.0),
+        (2, ts(2020, 1, 2), 200.0),
+        # 10-day gap
+        (3, ts(2020, 1, 12), 50.0),
+        # far outside the 30-day window of everything above
+        (4, ts(2020, 6, 1), 70.0),
+    ]
+    out = {
+        r["day"].isoformat(): r
+        for r in decayed_daily_revenue(_orders(spark, rows)).collect()
+    }
+    w = decay_weights()
+    assert out["2020-01-01"]["decayed_revenue"] == pytest.approx(100.0, abs=1e-4)
+    assert out["2020-01-02"]["decayed_revenue"] == pytest.approx(
+        200.0 + 100.0 * w[1], abs=1e-4
+    )
+    assert out["2020-01-02"]["days_in_window"] == 2
+    # gap days contribute nothing but decay still applies by calendar
+    # distance: 11 days back for Jan 1, 10 for Jan 2
+    assert out["2020-01-12"]["decayed_revenue"] == pytest.approx(
+        50.0 + 200.0 * w[10] + 100.0 * w[11], abs=1e-4
+    )
+    # outside the window: only itself
+    assert out["2020-06-01"]["decayed_revenue"] == pytest.approx(70.0, abs=1e-4)
+    assert out["2020-06-01"]["days_in_window"] == 1

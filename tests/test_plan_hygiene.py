@@ -34,6 +34,7 @@ _BNLJ_OK = {
     "tfidf_top_terms",  # n_docs scalar attach
     "segment_overlap_sketch",  # |segments|-row pairwise (<) join over sketches
     "heavy_hitter_tokens",  # 1-row total-err scalar attach onto KB sketch state
+    "rfm_segments",  # 1-row global-max-date scalar attach
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
