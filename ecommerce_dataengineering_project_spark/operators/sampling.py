@@ -117,3 +117,59 @@ def stratified_hash_sample(
     for value, p in sorted(permille_by_stratum.items()):
         rate = F.when(F.col(strata_col) == value, p).otherwise(rate)
     return df.where(sample_key(key_cols, salt) < rate)
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    target_permille: dict[str, int],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Resample toward a TARGET domain mixture (DoReMi-style domain
+    reweighting, downsampling-only): each stratum's keep rate is
+    derived from its observed share so the kept corpus approaches
+    ``target_permille`` (a dict of desired corpus shares summing to
+    <= 1000). A stratum at or below its target share keeps everything
+    (rate capped at 1000 — this operator never upsamples, so
+    under-represented domains simply stay whole and the realized
+    mixture is the closest achievable by dropping rows).
+
+    ``rate_s = min(1000, (target_s * N_total) div n_s)`` — pure
+    integer arithmetic end to end (no float shares), so rates —
+    and therefore every keep decision — reproduce exactly on any
+    engine. Strata missing from ``target_permille`` get rate 0.
+
+    Scale shape: one map-side-combined count per stratum (strata
+    cardinality is tiny — languages, sources), the 1-row total
+    attached to it broadcast, then the per-row decision is the usual
+    map-only hash-threshold filter after a broadcast equi-join on the
+    stratum column. The full scan happens twice (count pass + filter
+    pass); at 100 TB the count pass is column-pruned to the stratum
+    column alone, and persisting it is a few KB.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    total = df.agg(F.count("*").alias("__total"))
+    weight: Column = F.lit(0)
+    for value, p in sorted(target_permille.items()):
+        weight = F.when(F.col("__s") == value, p).otherwise(weight)
+    rates = (
+        counts.withColumn("__w", weight)
+        .join(F.broadcast(total))
+        .select(
+            "__s",
+            F.least(
+                F.lit(1000).cast("bigint"),
+                F.expr("CAST((__w * __total) DIV __n AS BIGINT)"),
+            ).alias("rate_permille"),
+        )
+    )
+    return (
+        df.join(
+            F.broadcast(rates), df[strata_col] == rates["__s"], "inner"
+        )
+        .drop("__s")
+        .where(sample_key(key_cols, salt) < F.col("rate_permille"))
+    )

@@ -228,6 +228,28 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "token_count", "quality_score")
 
 
+# Uniform target across the five fixture languages: each should end
+# at ~200 permille of the kept corpus (downsample-only, so dominant
+# 'en' is cut hard and the rare languages keep everything).
+MIXTURE_TARGET = {"en": 200, "de": 200, "zh": 200, "fr": 200, "es": 200}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators/sampling.py
+    mixture_resample): per-language keep rates derived from observed
+    shares by pure integer arithmetic, then the usual map-only
+    hash-threshold keep decision — the whole pipeline reproduces
+    bit-for-bit in SQL."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, ["doc_id"], "lang", MIXTURE_TARGET
+    ).select("doc_id", "lang", "rate_permille")
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "language_id": q_language_id,
@@ -244,6 +266,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "ngram_repetition": q_ngram_repetition,
     "decontaminate": q_decontaminate,
+    "mixture_sample": q_mixture_sample,
     "training_corpus": q_training_corpus,
 }
 
@@ -608,3 +631,28 @@ ORACLES = {
         FROM documents
     """,
 }
+
+_MIX_WEIGHT_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIXTURE_TARGET.items())
+) + " ELSE 0 END"
+
+# Mirrors operators/sampling.py mixture_resample: integer-arithmetic
+# per-stratum rates (min(1000, (target * total) div n)), then the
+# sha-prefix hash-threshold keep decision with salt 'mixture'.
+ORACLES["mixture_sample"] = f"""
+    WITH c AS (
+        SELECT lang, {_MIX_WEIGHT_CASE} AS w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+    r AS (
+        SELECT lang,
+               CAST(LEAST(1000, (w * total) // n) AS BIGINT) AS rate_permille
+        FROM c CROSS JOIN t
+    )
+    SELECT d.doc_id, d.lang, r.rate_permille
+    FROM documents d JOIN r ON r.lang = d.lang
+    WHERE CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'mixture',
+              CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
+          < r.rate_permille
+"""

@@ -35,6 +35,7 @@ _BNLJ_OK = {
     "segment_overlap_sketch",  # |segments|-row pairwise (<) join over sketches
     "heavy_hitter_tokens",  # 1-row total-err scalar attach onto KB sketch state
     "rfm_segments",  # 1-row global-max-date scalar attach
+    "mixture_sample",  # 1-row corpus-total scalar attach onto per-stratum counts
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
