@@ -750,3 +750,82 @@ def dedup_incremental_exact(
         )
         .select(id_col, "fingerprint", "dup_of_history", "keep")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al.
+    2023, arXiv:2303.09540): assign every vector to its nearest
+    centroid cell, find cosine near-dup pairs only WITHIN a cell, and
+    keep a vector iff no same-cell neighbor with a smaller id clears
+    the threshold.
+
+    This is the scale path the global pair scan can't be: the
+    candidate space shrinks from O(n^2) to sum of per-cell squares —
+    with k balanced cells, a k-fold reduction — and the only wide ops
+    are one exchange on the (small-int) cell key plus the keep
+    anti-join. Centroids arrive as plan literals (seeded_centroids or
+    a trained fit); assignment is the pure-codegen sequential-fold
+    scorer (ivf_cell_exact), so with seeded centroids the whole
+    operator — assignment, pairing, keep decision — reproduces
+    bit-for-bit in a SQL oracle. The price vs the exact global scan
+    is recall: near-dups straddling a cell boundary are missed
+    (SemDeDup accepts this by design; raise the cell count only as
+    sqrt-ish of corpus size to keep cells dense).
+    """
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        as_double,
+        dot,
+        ivf_cell_exact,
+        norm,
+    )
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+    v = emb.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    assigned = (
+        v.withColumn("cell", ivf_cell_exact("v", centroids))
+        .withColumn("nrm", norm("v"))
+    )
+    a = assigned.select(
+        F.col("vid").alias("id_a"),
+        F.col("cell"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"),
+        F.col("cell"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            round_half_up(
+                dot("va", "vb") / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+    dups = pairs.select(F.col("id_b").alias("vid")).distinct().withColumn(
+        "__dup", F.lit(1)
+    )
+    return (
+        assigned.join(dups, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cell"),
+            F.col("__dup").isNull().alias("keep"),
+        )
+    )

@@ -171,6 +171,29 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=COSINE_THRESHOLD, dim=64)
 
 
+SEM_CELLS = 16
+_SEM_CENTROIDS: dict[str, list] = {}
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py semantic_dedup): nearest-centroid
+    cells from the deterministic seeded selection, intra-cell cosine
+    pairs, keep-smallest-id — every stage integer/fold arithmetic, so
+    the cluster-scoped dedup oracle-checks bit-for-bit like the
+    global-scan variant above it."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _SEM_CENTROIDS:
+        _SEM_CENTROIDS[sf_dir] = seeded_centroids(emb, SEM_CELLS)
+    return semantic_dedup(
+        emb, _SEM_CENTROIDS[sf_dir], threshold=COSINE_THRESHOLD
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -182,6 +205,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 
@@ -381,6 +405,58 @@ ORACLES["dedup_incremental"] = """
     SELECT doc_id, fingerprint, dup_of_history,
            (NOT dup_of_history) AND rn = 1 AS keep
     FROM m
+"""
+
+# Mirrors operators/dedup.py semantic_dedup with the ann_ivf_topk
+# oracle's centroid selection + fold assignment (ext_similarity.py):
+# seeded data-point centroids, nearest-cell by the same sequential
+# fold, intra-cell cosine pairs, keep iff no smaller-id neighbor.
+from ecommerce_dataengineering_project_spark.operators.similarity import (  # noqa: E402
+    SEED_MOD,
+    SEED_MULT,
+)
+
+ORACLES["semantic_dedup"] = f"""
+    WITH {_COS},
+    cents AS (
+        SELECT cell, cv, halfsq FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell,
+                   LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                       / 2.0 AS halfsq
+            FROM n
+        ) WHERE cell < {SEM_CELLS}
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM n e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+        WHERE {_r6(
+            "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(na.v, nb.v), x -> x[1] * x[2]),"
+            " (x, y) -> x + y) / (na.nrm * nb.nrm)"
+        )} >= {COSINE_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+           d.id_b IS NULL AS keep
+    FROM assign a
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON d.id_b = a.vec_id
 """
 
 # The cluster closure again (same pair arithmetic + recursive CTE),

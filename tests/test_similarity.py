@@ -195,3 +195,40 @@ def test_ivf_ml_fitter_parity_with_local(spark, sf_dir):
             (r.query_id, r.neighbor_id, r.cosine) for r in rows
         }
     assert results["local"] == results["ml"]
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+
+    # two well-separated cell anchors on orthogonal axes
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, c0),
+        (1, c1),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0, same cell
+        (3, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 1, same cell
+        (4, [0.0, 0.0, 1.0, 0.0]),     # orthogonal: no near-dup anywhere
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, [c0, c1], threshold=0.9).collect()
+    }
+    assert out[0]["keep"] and out[1]["keep"]
+    # smaller-id survivor wins within each cell
+    assert not out[2]["keep"] and out[2]["cell"] == out[0]["cell"]
+    assert not out[3]["keep"] and out[3]["cell"] == out[1]["cell"]
+    # no neighbor over threshold in its cell -> kept
+    assert out[4]["keep"]
+    # deliberate recall trade: a near-dup pair SPLIT across cells is
+    # missed — that is SemDeDup's contract, pinned here
+    split = spark.createDataFrame(
+        [(0, [0.72, 0.70, 0.0, 0.0]), (1, [0.70, 0.72, 0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    split_out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(split, [c0, c1], threshold=0.9).collect()
+    }
+    assert split_out == {0: True, 1: True}
