@@ -300,6 +300,52 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded_stream(spark, "stream_stream_join", None, transform, source=src)
 
 
+def q_stream_upsert_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 as a live streaming MERGE: each micro-batch reduces to
+    its latest event per user (deterministic ts/event_id order) and
+    upserts into a path-backed gold table via foreachBatch — the
+    reference's Kafka->Delta MERGE pattern (streaming_consumer.py:
+    81-88) on the parquet stand-in. Because the staged batches are
+    event-time ranges, later batches carry later timestamps and the
+    final table is exactly "each user's last event" — which makes the
+    whole streaming upsert loop batch-oracle-checkable."""
+    import os
+    import shutil
+
+    from ecommerce_dataengineering_project_spark.operators.aggregates import (
+        dedup_keep_first,
+    )
+    from ecommerce_dataengineering_project_spark.sources.maintenance import (
+        merge_upsert_path,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        TMP_ROOT,
+        run_bounded_foreach,
+    )
+
+    src = _events_source(spark, sf_dir, n_flush=0)
+    name = f"upsert_gold_{_sf_key(sf_dir)}"
+    gold_dir = os.path.join(TMP_ROOT, "streams", name, "gold")
+    shutil.rmtree(gold_dir, ignore_errors=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        latest = dedup_keep_first(
+            batch_df,
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        ).select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+        merge_upsert_path(spark, gold_dir, latest, ["user_id"])
+
+    run_bounded_foreach(spark, name, None, lambda s: s, upsert, source=src)
+    return spark.read.parquet(gold_dir)
+
+
 QUERIES = {
     "stream_bronze_silver": q_stream_bronze_silver,
     "stream_tumbling_revenue": q_stream_tumbling_revenue,
@@ -309,6 +355,7 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_dedup_watermarked": q_stream_dedup_watermarked,
     "stream_stream_join": q_stream_stream_join,
+    "stream_upsert_gold": q_stream_upsert_gold,
 }
 
 _REV = sql_round_half_up("SUM(value)", 2)
@@ -388,6 +435,21 @@ ORACLES = {
          AND p.user_id = c.user_id
          AND c.ts >= p.ts - INTERVAL 1 HOUR
          AND c.ts < p.ts
+    """,
+    # Final merged state == each user's globally latest event: the
+    # staged batches are disjoint event-time ranges, so the per-batch
+    # keep-latest + MERGE composition reduces to one global argmax.
+    "stream_upsert_gold": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               ts AS last_ts,
+               event_type AS last_type,
+               value AS last_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
     """,
     # The restock scan is non-associative, so the oracle replays it as
     # a per-key recursive CTE over row_number order.
