@@ -32,7 +32,6 @@ PRIORITY: tuple[str, ...] = (
     "total_purchase_producer",
     "json_extract_events",
     "asof_join_events",
-    "sessionize_events",
     "incremental_watermark",
     "broadcast_enrich",
     "window_analytics",
@@ -42,10 +41,8 @@ PRIORITY: tuple[str, ...] = (
     "order_limit_topk",
     "rollup_revenue",
     "scalar_functions",
-    "sample_stratified",
     # streaming (the reference's core path — zero driver evidence in r01)
     "stream_bronze_silver",
-    "stream_tumbling_revenue",
     "stream_session_windows",
     "stream_inventory_restock",
     "stream_dedup_watermarked",
@@ -53,7 +50,6 @@ PRIORITY: tuple[str, ...] = (
     # LLM-pipeline: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_clusters",
     # similarity / ANN
     "similarity_topk",
@@ -102,6 +98,22 @@ PRIORITY: tuple[str, ...] = (
     # representative, the sketch op stays locally quality-tested)
     "decontaminate",
     "canonical_docs",
+    # r5 (this session) rotation: four zero-evidence first-class
+    # shapes swapped in for long-green same-row variants —
+    # semantic_dedup supersedes dedup_embedding_cosine's slot (same
+    # X2 embedding row: assignment + near-dup pairs + keep decision),
+    # mixture_sample supersedes sample_stratified's (same X7
+    # hash-threshold row, rates now derived from observed shares),
+    # stream_upsert_gold takes the second T6 slot (tumbling; T6 stays
+    # covered by session_windows) to evidence the K3/K4 streaming
+    # MERGE loop, and rfm_segments takes the second §2f slot
+    # (sessionize_events; window_analytics keeps §2f, and rfm's ntile
+    # ranks are themselves §2f evidence). basket_pairs/ewma_revenue
+    # remain locally oracle-checked — first candidates for r6.
+    "semantic_dedup",
+    "mixture_sample",
+    "stream_upsert_gold",
+    "rfm_segments",
     # sketches / pandas UDF / skew / ml
     "exact_distinct_quantiles",
     "grouped_pandas_stats",
