@@ -92,40 +92,47 @@ def basket_pairs(
     """Market-basket affinity: co-occurrence counts + lift for every
     item pair appearing together in at least ``min_support`` orders.
 
-    Shape: distinct (order, item) — one shuffle — then the pair join
-    is an equi-join on the order key, so each order contributes
-    C(basket_size, 2) rows. Basket size bounds the blowup: retail
-    baskets are tens of items, so the join output is a small constant
-    factor of the input (this fixture maxes at 13 items/order -> <=78
-    pairs). For adversarial feeds, ``max_basket_items`` drops larger
-    baskets loudly (count them before excluding) — the standard cap in
-    production co-occurrence mining; a 10k-item "basket" is a bot, not
-    a signal, and would contribute 50M pairs.
+    Shape: ONE shuffle collapses line items to a sorted distinct-item
+    array per order (``collect_set`` partial-aggregates map-side);
+    pair generation is then a pure codegen ``transform``/``flatten``
+    explode over each basket array — no self-join, no second pass over
+    lineitem — and the only other wide op is the pair-count shuffle.
+    (The naive formulation — distinct + self-join on the order key +
+    pair groupBy — pays four exchanges for the same answer.) Each
+    order contributes C(basket_size, 2) pairs; basket size bounds the
+    blowup: retail baskets are tens of items (this fixture maxes at 13
+    -> <=78 pairs). For adversarial feeds, ``max_basket_items`` drops
+    larger baskets — the standard cap in production co-occurrence
+    mining; a 10k-item "basket" is a bot, not a signal, and would
+    contribute 50M pairs.
 
     Lift = P(a,b) / (P(a)P(b)) over the order universe, computed from
-    the same distinct-items relation and rounded for engine parity.
+    the same basket relation and rounded for engine parity.
     """
-    items = lineitem.select(
-        F.col(order_col).alias("orderkey"), F.col(item_col).alias("item")
-    ).distinct()
+    baskets = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
+    )
     if max_basket_items is not None:
-        sizes = items.groupBy("orderkey").agg(F.count("*").alias("__n"))
-        items = (
-            items.join(sizes, "orderkey")
-            .where(F.col("__n") <= max_basket_items)
-            .drop("__n")
-        )
-    n_orders = items.select("orderkey").distinct().count()
-    item_counts = items.groupBy(F.col("item").alias("i")).agg(
+        baskets = baskets.where(F.size("items") <= max_basket_items)
+    # three consumers (order count, item counts, pair explode) — keep
+    # the one-per-order relation hot instead of re-aggregating lineitem
+    baskets = baskets.persist()
+    n_orders = baskets.count()
+    item_counts = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
         F.count("*").alias("i_orders")
     )
-    a = items.alias("a")
-    b = items.alias("b")
     pairs = (
-        a.join(b, "orderkey")
-        .where(F.col("a.item") < F.col("b.item"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> named_struct('a', x, 'b', y))))"
+                )
+            ).alias("p")
+        )
         .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
         )
         .agg(F.count("*").alias("pair_orders"))
         .where(F.col("pair_orders") >= min_support)
