@@ -11,6 +11,7 @@ each engine's own ``pow``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
 from ecommerce_dataengineering_project_spark.operators.commerce import (
@@ -42,10 +43,48 @@ def q_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_daily_revenue(orders)
 
 
+def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/scd.py scd2_apply): the
+    customer dimension starts at its c_mktsegment baseline and each
+    order day's o_orderpriority plays a tracked-attribute change event
+    (first order of the day wins, deduplicated deterministically).
+    No-op updates are suppressed; surviving versions chain through
+    effective_from/effective_to with exactly one open row per key."""
+    from pyspark.sql import Window
+
+    from ecommerce_dataengineering_project_spark.operators.scd import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    w = Window.partitionBy("o_custkey", F.to_date("o_orderdate")).orderBy(
+        F.col("o_orderkey").asc()
+    )
+    updates = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("segment"),
+            F.to_date("o_orderdate").alias("effective_from"),
+        )
+    )
+    return scd2_apply(
+        dim0, updates, key_cols=["c_custkey"], attr_cols=["segment"]
+    )
+
+
 QUERIES = {
     "rfm_segments": q_rfm_segments,
     "basket_pairs": q_basket_pairs,
     "ewma_revenue": q_ewma_revenue,
+    "scd2_customer_dim": q_scd2_customer_dim,
 }
 
 _WEIGHTS = "[" + ", ".join(repr(w) for w in decay_weights()) + "]"
@@ -159,5 +198,51 @@ ORACLES = {
         SELECT d.day, d.revenue, s.decayed_revenue,
                CAST(s.days_in_window AS BIGINT) AS days_in_window
         FROM sm s JOIN daily d ON d.day = s.day
+    """,
+    # Mirrors operators/scd.py scd2_apply over the same
+    # baseline + first-order-of-day update stream: version chain per
+    # key ordered by (effective_from, source), lag-based change
+    # suppression, lead-linked effective_to.
+    "scd2_customer_dim": """
+        WITH upd AS (
+            SELECT c_custkey, segment, effective_from FROM (
+                SELECT o_custkey AS c_custkey,
+                       o_orderpriority AS segment,
+                       CAST(o_orderdate AS DATE) AS effective_from,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                           ORDER BY o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ),
+        vers AS (
+            SELECT c_custkey, c_mktsegment AS segment,
+                   DATE '1990-01-01' AS effective_from, 0 AS src
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, segment, effective_from, 1 FROM upd
+        ),
+        lagged AS (
+            SELECT *,
+                   LAG(segment) OVER w AS prev_seg,
+                   LAG(effective_from) OVER w AS prev_from
+            FROM vers
+            WINDOW w AS (PARTITION BY c_custkey
+                         ORDER BY effective_from ASC, src ASC)
+        ),
+        kept AS (
+            SELECT * FROM lagged
+            WHERE prev_from IS NULL OR segment IS DISTINCT FROM prev_seg
+        ),
+        linked AS (
+            SELECT c_custkey, segment, effective_from,
+                   LEAD(effective_from) OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY effective_from ASC, src ASC) AS effective_to
+            FROM kept
+        )
+        SELECT c_custkey, segment, effective_from, effective_to,
+               effective_to IS NULL AS is_current
+        FROM linked
     """,
 }

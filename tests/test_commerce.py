@@ -124,3 +124,64 @@ def test_decayed_revenue_respects_gaps_and_window(spark):
     # outside the window: only itself
     assert out["2020-06-01"]["decayed_revenue"] == pytest.approx(70.0, abs=1e-4)
     assert out["2020-06-01"]["days_in_window"] == 1
+
+
+def test_scd2_apply_versioning(spark):
+    from ecommerce_dataengineering_project_spark.operators.scd import scd2_apply
+
+    dt = datetime.date
+    dim = spark.createDataFrame(
+        [
+            # k=1: closed history row + open row
+            (1, "a", dt(2019, 1, 1), dt(2019, 6, 1), False),
+            (1, "b", dt(2019, 6, 1), None, True),
+            # k=2: open only
+            (2, "x", dt(2019, 1, 1), None, True),
+        ],
+        "k bigint, attr string, effective_from date, effective_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "b", dt(2020, 1, 1)),   # no-op: suppressed
+            (1, "c", dt(2020, 2, 1)),   # real change
+            (2, "x", dt(2020, 3, 1)),   # no-op: k=2 stays as-is
+        ],
+        "k bigint, attr string, effective_from date",
+    )
+    out = scd2_apply(dim, updates, ["k"], ["attr"])
+    rows = sorted(
+        (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "a", dt(2019, 1, 1), dt(2019, 6, 1), False),   # history untouched
+        (1, "b", dt(2019, 6, 1), dt(2020, 2, 1), False),   # closed by real change
+        (1, "c", dt(2020, 2, 1), None, True),
+        (2, "x", dt(2019, 1, 1), None, True),              # no-op never reopens
+    ]
+    # exactly one open row per key
+    cur = out.where(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+
+
+def test_scd2_same_instant_update_supersedes(spark):
+    from ecommerce_dataengineering_project_spark.operators.scd import scd2_apply
+
+    dt = datetime.date
+    dim = spark.createDataFrame(
+        [(1, "a", dt(2020, 1, 1), None, True)],
+        "k bigint, attr string, effective_from date, effective_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "z", dt(2020, 1, 1))], "k bigint, attr string, effective_from date"
+    )
+    out = sorted(
+        (r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_apply(dim, updates, ["k"], ["attr"]).collect()
+    )
+    # the open row closes at the same instant (zero-width version),
+    # the update becomes current
+    assert out == [
+        ("a", dt(2020, 1, 1), dt(2020, 1, 1), False),
+        ("z", dt(2020, 1, 1), None, True),
+    ]
