@@ -142,3 +142,59 @@ def range_join_binned(
     )
     dt = F.unix_micros(F.col(f"l_{left_ts}")) - F.unix_micros(F.col(f"r_{right_ts}"))
     return l.join(r, "__bin").where(F.abs(dt) <= tol).drop("__bin")
+
+
+def pit_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    fact_ts: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time join of facts to an SCD2 dimension (the temporal
+    companion of operators/scd.py scd2_apply): each fact row matches
+    the dimension version whose ``[from_col, to_col)`` validity range
+    contains the fact's event time (open rows have NULL ``to_col``).
+
+    Shape: a plain equi-join on the business key with the interval
+    predicate as a post-filter — NOT a range/theta join. SCD2 keys
+    have few versions each (bounded by real attribute churn), so the
+    equi-match fans out by that small factor and the filter prunes to
+    at most one row per fact; the version ranges are half-open and
+    non-overlapping by construction, so this needs no dedup. The dim
+    side is broadcast (a dimension at 100 TB fact scale is still MBs);
+    drop the broadcast hint for a dimension that outgrows it and the
+    same plan shuffles both sides on the key.
+
+    ``how="left"`` keeps facts with no valid version (event time
+    before the first version) with NULL dim columns.
+    """
+    in_range = (F.col(fact_ts) >= F.col(from_col)) & (
+        F.col(to_col).isNull() | (F.col(fact_ts) < F.col(to_col))
+    )
+    if how == "inner":
+        return fact.join(F.broadcast(dim), on=key_cols, how="inner").where(in_range)
+    if how != "left":
+        raise ValueError(f"pit_join: unsupported how={how!r}")
+    matched = fact.join(F.broadcast(dim), on=key_cols, how="left").where(
+        in_range | F.col(from_col).isNull()
+    )
+    # a fact whose key exists but whose ts predates every version
+    # would be dropped by the filter — reattach those as NULL matches
+    missing = fact.join(
+        matched.select(*key_cols, fact_ts).distinct(),
+        on=[*key_cols, fact_ts],
+        how="left_anti",
+    )
+    dim_cols = [c for c in dim.columns if c not in key_cols]
+    return matched.unionByName(
+        missing.select(
+            "*",
+            *[
+                F.lit(None).cast(dim.schema[c].dataType).alias(c)
+                for c in dim_cols
+            ],
+        )
+    )

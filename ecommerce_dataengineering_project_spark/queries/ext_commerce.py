@@ -80,11 +80,31 @@ def q_scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact->dimension join (operators/joins.py
+    pit_join): every order picks the customer-dimension version valid
+    on its order date — facts joined to SCD2 history AS OF event time,
+    the query shape the versioned dimension exists for."""
+    from ecommerce_dataengineering_project_spark.operators.joins import pit_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = q_scd2_customer_dim(spark, sf_dir)
+    fact = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    return pit_join(fact, dim, ["c_custkey"], "order_date").select(
+        "o_orderkey", "c_custkey", "order_date", "segment", "effective_from"
+    )
+
+
 QUERIES = {
     "rfm_segments": q_rfm_segments,
     "basket_pairs": q_basket_pairs,
     "ewma_revenue": q_ewma_revenue,
     "scd2_customer_dim": q_scd2_customer_dim,
+    "pit_join_orders": q_pit_join_orders,
 }
 
 _WEIGHTS = "[" + ", ".join(repr(w) for w in decay_weights()) + "]"
@@ -246,3 +266,21 @@ ORACLES = {
         FROM linked
     """,
 }
+
+
+# The SCD2 oracle replayed as a dim subquery, then the same equi-join
+# + half-open interval containment as operators/joins.py pit_join.
+ORACLES["pit_join_orders"] = f"""
+    WITH dim AS ({ORACLES["scd2_customer_dim"]})
+    SELECT o.o_orderkey,
+           o.o_custkey AS c_custkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           d.segment,
+           d.effective_from
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= d.effective_from
+     AND (d.effective_to IS NULL
+          OR CAST(o.o_orderdate AS DATE) < d.effective_to)
+"""

@@ -185,3 +185,31 @@ def test_scd2_same_instant_update_supersedes(spark):
         ("a", dt(2020, 1, 1), dt(2020, 1, 1), False),
         ("z", dt(2020, 1, 1), None, True),
     ]
+
+
+def test_pit_join_left_edges(spark):
+    from ecommerce_dataengineering_project_spark.operators.joins import pit_join
+
+    dt = datetime.date
+    dim = spark.createDataFrame(
+        [
+            (1, "a", dt(2020, 1, 1), dt(2020, 6, 1)),
+            (1, "b", dt(2020, 6, 1), None),
+        ],
+        "k bigint, attr string, effective_from date, effective_to date",
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, dt(2020, 3, 1)),   # inside first version
+            (101, 1, dt(2020, 6, 1)),   # boundary: half-open -> second
+            (102, 1, dt(2019, 1, 1)),   # before any version
+            (103, 9, dt(2020, 1, 1)),   # key not in dim
+        ],
+        "fid bigint, k bigint, ts date",
+    )
+    inner = {r.fid: r.attr for r in pit_join(fact, dim, ["k"], "ts").collect()}
+    assert inner == {100: "a", 101: "b"}
+    left = {
+        r.fid: r.attr for r in pit_join(fact, dim, ["k"], "ts", how="left").collect()
+    }
+    assert left == {100: "a", 101: "b", 102: None, 103: None}
