@@ -126,3 +126,78 @@ def test_topk_fuses_sort_and_limit(spark, sf_dir):
 
     plan = _plan(q_order_limit_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_basket_pairs_two_real_exchanges(spark, sf_dir):
+    """Market-basket must NOT plan the naive self-join: one exchange
+    builds the per-order basket arrays (reused by every consumer of
+    the persisted relation), one counts pairs, and the item-count
+    side rides a broadcast — pair generation itself is map-side
+    codegen, so no other exchange may appear."""
+    from ecommerce_dataengineering_project_spark.queries.ext_commerce import q_basket_pairs
+
+    plan = _plan(q_basket_pairs(spark, sf_dir))
+    assert "SortMergeJoin" not in plan  # item joins broadcast
+    assert "EvalPython" not in plan
+    # pair explode comes straight off the cached basket relation
+    assert "InMemoryTableScan" in plan
+    # toString() reprints the cached basket relation's inner plan under
+    # every InMemoryTableScan (with fresh plan ids), so count DISTINCT
+    # partitioning KEYS: the basket build (order key), the pair count
+    # (pair key), and the broadcast-side item rollup — nothing else.
+    import re
+
+    keys = {
+        m.group(1)
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+        for m in [re.search(r"hashpartitioning\((\w+?)#", ln)]
+        if m
+    }
+    assert len(keys) <= 3, sorted(keys)
+
+
+def test_scd2_windows_share_one_exchange(spark, sf_dir):
+    """The SCD2 version chain: change-suppression lag and
+    effective_to lead both partition by the business key — exactly
+    one exchange on it for the whole current+updates branch (plus the
+    update dedup's own window upstream)."""
+    from ecommerce_dataengineering_project_spark.queries.ext_commerce import (
+        q_scd2_customer_dim,
+    )
+
+    plan = _plan(q_scd2_customer_dim(spark, sf_dir))
+    key_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(c_custkey" in ln and "Reused" not in ln
+    ]
+    assert len(key_exchanges) == 1, key_exchanges
+    assert "EvalPython" not in plan
+
+
+def test_pit_join_is_broadcast_equi(spark, sf_dir):
+    """Point-in-time join must plan as a broadcast hash equi-join on
+    the business key with the interval as a post-filter — never a
+    BroadcastNestedLoopJoin theta join over the validity ranges."""
+    from ecommerce_dataengineering_project_spark.queries.ext_commerce import (
+        q_pit_join_orders,
+    )
+
+    plan = _plan(q_pit_join_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_sample_filter_is_map_side(spark, sf_dir):
+    """The mixture keep decision must ride the scan stage: after the
+    broadcast rate attach, the hash-threshold filter is a map-side
+    predicate — no exchange downstream of the documents scan."""
+    from ecommerce_dataengineering_project_spark.queries.ext_text import q_mixture_sample
+
+    plan = _plan(q_mixture_sample(spark, sf_dir))
+    # exchanges exist only in the tiny counts branch (stratum rollup);
+    # the documents branch joins broadcast and filters in place
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
