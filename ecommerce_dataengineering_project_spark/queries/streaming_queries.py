@@ -346,6 +346,91 @@ def q_stream_upsert_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(gold_dir)
 
 
+def q_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance: the customer dimension's
+    tracked-attribute change events (first order of each customer-day,
+    as in the batch `scd2_customer_dim`) replay as three event-time-
+    ordered micro-batches, each applied with operators/scd.py
+    scd2_apply via foreachBatch onto a path-backed dim table.
+
+    Incremental-apply == one-shot-apply by induction: change
+    suppression only looks backward and every later batch carries
+    strictly later event dates, so the final table equals the batch
+    SCD2 build — which is exactly what the oracle checks. This is the
+    Delta-style `MERGE`-maintained dimension loop on the parquet
+    stand-in."""
+    import os
+    import shutil
+
+    from ecommerce_dataengineering_project_spark.operators.scd import scd2_apply
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        TMP_ROOT,
+        run_bounded_foreach,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DateType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    name = f"scd2_dim_{_sf_key(sf_dir)}"
+    dim_dir = os.path.join(TMP_ROOT, "streams", name, "dim")
+    shutil.rmtree(dim_dir, ignore_errors=True)
+
+    def stage(source_dir: str):
+        orders = load_table(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey", F.to_date("o_orderdate")).orderBy(
+            F.col("o_orderkey").asc()
+        )
+        upd = (
+            orders.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.col("o_orderpriority").alias("segment"),
+                F.to_date("o_orderdate").alias("effective_from"),
+            )
+        )
+        y97 = F.lit("1997-01-01").cast("date")
+        y99 = F.lit("1999-01-01").cast("date")
+        tag = (
+            F.when(F.col("effective_from") < y97, 0)
+            .when(F.col("effective_from") < y99, 1)
+            .otherwise(2)
+        )
+        stage_source_tagged(upd.withColumn("__batch", tag.cast("int")), 3, source_dir)
+        return ST(
+            [
+                SF("c_custkey", LongType()),
+                SF("segment", StringType()),
+                SF("effective_from", DateType()),
+            ]
+        )
+
+    src = staged_source(spark, f"scd2_upd_{_sf_key(sf_dir)}", stage)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(dim_dir):
+            dim = spark.read.parquet(dim_dir)
+        else:
+            cust = load_table(spark, sf_dir, "customer")
+            dim = cust.select(
+                "c_custkey",
+                F.col("c_mktsegment").alias("segment"),
+                F.lit("1990-01-01").cast("date").alias("effective_from"),
+                F.lit(None).cast("date").alias("effective_to"),
+                F.lit(True).alias("is_current"),
+            )
+        new_state = scd2_apply(
+            dim, batch_df, key_cols=["c_custkey"], attr_cols=["segment"]
+        ).localCheckpoint(eager=True)
+        new_state.write.mode("overwrite").parquet(dim_dir)
+
+    run_bounded_foreach(spark, name, None, lambda s: s, apply_batch, source=src)
+    return spark.read.parquet(dim_dir)
+
+
 QUERIES = {
     "stream_bronze_silver": q_stream_bronze_silver,
     "stream_tumbling_revenue": q_stream_tumbling_revenue,
@@ -356,6 +441,7 @@ QUERIES = {
     "stream_dedup_watermarked": q_stream_dedup_watermarked,
     "stream_stream_join": q_stream_stream_join,
     "stream_upsert_gold": q_stream_upsert_gold,
+    "stream_scd2_dim": q_stream_scd2_dim,
 }
 
 _REV = sql_round_half_up("SUM(value)", 2)
@@ -480,3 +566,12 @@ ORACLES = {
         SELECT event_id, user_id, qty, level_after, restocked FROM s
     """,
 }
+
+# The streaming SCD2 loop converges to the same table the batch build
+# produces (incremental-apply == one-shot-apply; see q_stream_scd2_dim
+# docstring), so it shares the batch oracle verbatim.
+from ecommerce_dataengineering_project_spark.queries.ext_commerce import (  # noqa: E402
+    ORACLES as _COMMERCE_ORACLES,
+)
+
+ORACLES["stream_scd2_dim"] = _COMMERCE_ORACLES["scd2_customer_dim"]
