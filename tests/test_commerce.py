@@ -213,3 +213,29 @@ def test_pit_join_left_edges(spark):
         r.fid: r.attr for r in pit_join(fact, dim, ["k"], "ts", how="left").collect()
     }
     assert left == {100: "a", 101: "b", 102: None, 103: None}
+
+
+def test_scd2_incremental_equals_one_shot(spark):
+    """The property the streaming SCD2 loop rests on: applying
+    time-ordered update batches one at a time converges to the same
+    table as a single combined apply (change suppression only looks
+    backward; later batches carry later event times)."""
+    from ecommerce_dataengineering_project_spark.operators.scd import scd2_apply
+
+    dt = datetime.date
+    dim0 = spark.createDataFrame(
+        [(k, "base", dt(2019, 1, 1), None, True) for k in (1, 2, 3)],
+        "k bigint, attr string, effective_from date, effective_to date, is_current boolean",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "base", dt(2020, 1, 5)), (2, "x", dt(2020, 1, 6))],
+        "k bigint, attr string, effective_from date",
+    )
+    b2 = spark.createDataFrame(
+        [(1, "y", dt(2020, 2, 1)), (2, "x", dt(2020, 2, 2)), (3, "z", dt(2020, 2, 3))],
+        "k bigint, attr string, effective_from date",
+    )
+    stepwise = scd2_apply(scd2_apply(dim0, b1, ["k"], ["attr"]), b2, ["k"], ["attr"])
+    oneshot = scd2_apply(dim0, b1.unionByName(b2), ["k"], ["attr"])
+    key = lambda r: (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
+    assert sorted(map(key, stepwise.collect())) == sorted(map(key, oneshot.collect()))
