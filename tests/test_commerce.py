@@ -239,3 +239,54 @@ def test_scd2_incremental_equals_one_shot(spark):
     oneshot = scd2_apply(dim0, b1.unionByName(b2), ["k"], ["attr"])
     key = lambda r: (r.k, r.attr, r.effective_from, r.effective_to, r.is_current)
     assert sorted(map(key, stepwise.collect())) == sorted(map(key, oneshot.collect()))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_UPDATE = st.tuples(
+    st.integers(min_value=1, max_value=4),       # key
+    st.sampled_from(["a", "b", "c"]),            # attr
+    st.integers(min_value=1, max_value=60),      # day offset
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_UPDATE, min_size=0, max_size=20))
+def test_scd2_invariants_on_random_updates(spark, raw):
+    """SCD2 structural invariants under arbitrary update streams:
+    exactly one open row per key, contiguous non-overlapping version
+    ranges, and no adjacent versions with equal attributes (the
+    suppression contract)."""
+    from ecommerce_dataengineering_project_spark.operators.scd import scd2_apply
+
+    dt = datetime.date
+    # one update per (key, day): the operator's documented tie contract
+    dedup = {}
+    for k, attr, off in raw:
+        dedup[(k, off)] = attr
+    rows = [
+        (k, attr, dt(2020, 1, 1) + datetime.timedelta(days=off))
+        for (k, off), attr in sorted(dedup.items())
+    ]
+    dim0 = spark.createDataFrame(
+        [(k, "base", dt(2019, 1, 1), None, True) for k in (1, 2, 3, 4)],
+        "k bigint, attr string, effective_from date, effective_to date, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        rows, "k bigint, attr string, effective_from date"
+    ) if rows else dim0.select("k", "attr", "effective_from").limit(0)
+    out = scd2_apply(dim0, updates, ["k"], ["attr"]).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == {1, 2, 3, 4}
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r.effective_from)
+        open_rows = [r for r in versions if r.is_current]
+        assert len(open_rows) == 1 and open_rows[0] is versions[-1]
+        for prev, nxt in zip(versions, versions[1:]):
+            assert prev.effective_to == nxt.effective_from  # contiguous
+            assert not prev.is_current
+            assert prev.attr != nxt.attr  # suppression held
+        assert versions[-1].effective_to is None
