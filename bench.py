@@ -68,6 +68,12 @@ HEADLINE = [
     "decontaminate",
     "canonical_docs",
     "heavy_hitter_tokens",
+    "semantic_dedup",
+    "mixture_sample",
+    "basket_pairs",
+    "rfm_segments",
+    "scd2_customer_dim",
+    "stream_upsert_gold",
 ]
 
 
