@@ -64,6 +64,36 @@ def hash_sample(
     return df.where(sample_key(key_cols, salt) < permille)
 
 
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    cuts_permille: dict[str, int],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: label every row by
+    which permille band its key hash falls in.  ``cuts_permille`` maps
+    label -> EXCLUSIVE upper cut, e.g. ``{"train": 800, "val": 900,
+    "test": 1000}`` → train [0,800), val [800,900), test [900,1000).
+    The last cut must be 1000 so every row gets a label.
+
+    Same contract as ``hash_sample`` (this IS the holdout-split pattern
+    that docstring promises): splits are disjoint by construction,
+    reproducible on any engine/partitioning, and key-consistent — all
+    rows of one key land in the same split, so a doc never leaks from
+    train into eval.  Map-only: one hash + one CASE appended to the
+    scan stage, no shuffle.
+    """
+    bands = sorted(cuts_permille.items(), key=lambda kv: kv[1])
+    assert bands and bands[-1][1] == MILLE, "last cut must be 1000 (exhaustive)"
+    assert all(0 < c <= MILLE for _, c in bands), "cuts must be in (0, 1000]"
+    h = sample_key(key_cols, salt)
+    label = F.lit(bands[-1][0])
+    for name, cut in reversed(bands[:-1]):
+        label = F.when(h < cut, F.lit(name)).otherwise(label)
+    return df.withColumn(split_col, label)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_cols: list[str],

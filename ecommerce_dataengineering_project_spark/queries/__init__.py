@@ -125,6 +125,7 @@ PRIORITY: tuple[str, ...] = (
 def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from ecommerce_dataengineering_project_spark.queries import (
         core,
+        dq_queries,
         ext_commerce,
         ext_dedup,
         ext_multimodal,
@@ -139,6 +140,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         core,
+        dq_queries,
         ext_commerce,
         ext_dedup,
         ext_multimodal,

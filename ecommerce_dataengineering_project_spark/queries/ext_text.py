@@ -250,7 +250,24 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "rate_permille")
 
 
+SPLIT_CUTS = {"train": 800, "val": 900, "test": 1000}
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split: every doc
+    labeled by the permille band of its salted key hash — map-only,
+    reproducible, leak-free by construction (see operators/sampling.py
+    hash_split)."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(docs, ["doc_id"], SPLIT_CUTS).select(
+        "doc_id", "source", "split"
+    )
+
+
 QUERIES = {
+    "split_train_val_test": q_split_train_val_test,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -655,4 +672,19 @@ ORACLES["mixture_sample"] = f"""
     WHERE CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'mixture',
               CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000
           < r.rate_permille
+"""
+
+# Mirrors operators/sampling.py hash_split: band of the salt-'split'
+# sha-prefix hash — [0,800) train, [800,900) val, [900,1000) test.
+ORACLES["split_train_val_test"] = """
+    SELECT doc_id, source,
+           CASE WHEN h < 800 THEN 'train'
+                WHEN h < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, source,
+               CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'split',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 AS h
+        FROM documents
+    )
 """
