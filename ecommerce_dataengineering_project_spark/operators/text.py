@@ -278,6 +278,69 @@ def chunk_documents(
     )
 
 
+def chunk_documents_udtf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Python UDTF twin of ``chunk_documents`` — the table-function arm
+    of the §2j UDF surface (scalar pandas UDF / grouped map /
+    mapInPandas / UDTF).  Semantics are IDENTICAL to the built-in
+    composition (same starts, same clamped slices, shared oracle SQL
+    and a row-for-row parity test), so the two are interchangeable;
+    the built-in map-only version remains the production path, and
+    this is the escape hatch shape for chunkers Spark expressions
+    can't write (a real BPE tokenizer, sentence splitting, ...).
+
+    Scale shape: Arrow-batched (``ArrowEvalPythonUDTF``) lateral join —
+    still map-only with no shuffle; rows stream through Python batches
+    with the input partitioning intact.
+    """
+    assert 0 <= overlap < chunk_tokens
+    from pyspark.sql.functions import udtf
+
+    stride = chunk_tokens - overlap
+
+    @udtf(
+        returnType=(
+            "chunk_id int, chunk_start int, chunk_text string, "
+            "n_chunk_tokens bigint"
+        ),
+        useArrow=True,
+    )
+    class _ChunkUdtf:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF signature
+            if text is None:
+                return
+            toks = text.split(" ")
+            # mirror chunk_documents: 1-based starts 1, 1+stride, ...,
+            # last start <= max(n - overlap, 1); final slice may be short
+            for start in range(1, max(len(toks) - overlap, 1) + 1, stride):
+                chunk = toks[start - 1 : start - 1 + chunk_tokens]
+                yield (
+                    (start - 1) // stride,
+                    start,
+                    " ".join(chunk),
+                    len(chunk),
+                )
+
+    spark = df.sparkSession
+    # per-config registration name: re-registering "chunk_udtf" with a
+    # different closure must not retarget a previously-built (lazy) plan
+    fn_name = f"chunk_udtf_{chunk_tokens}_{overlap}"
+    spark.udtf.register(fn_name, _ChunkUdtf)
+    return spark.sql(
+        f"""
+        SELECT t.{id_col}, c.chunk_id, c.chunk_start, c.chunk_text,
+               c.n_chunk_tokens
+        FROM {{df}} t, LATERAL {fn_name}(t.{text_col}) c
+        """,
+        df=df,
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

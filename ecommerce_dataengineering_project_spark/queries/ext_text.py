@@ -94,6 +94,21 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2j table-function arm: the same chunker as a Python UDTF
+    (Arrow-batched lateral join) — row-for-row identical to the
+    built-in, shares its oracle (see operators/text.py
+    chunk_documents_udtf)."""
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        chunk_documents_udtf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents_udtf(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
 SHUFFLE_SHARDS = 8
 
 
@@ -277,6 +292,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bm25_search": q_bm25_search,
     "chunk_documents": q_chunk_documents,
+    "chunk_documents_udtf": q_chunk_documents_udtf,
     "shuffle_corpus": q_shuffle_corpus,
     "pack_training_bins": q_pack_training_bins,
     "pii_scrub": q_pii_scrub,
@@ -688,3 +704,7 @@ ORACLES["split_train_val_test"] = """
         FROM documents
     )
 """
+
+# The UDTF twin is semantically identical to the built-in chunker by
+# contract (tests/test_chunking.py parity test) — same oracle.
+ORACLES["chunk_documents_udtf"] = ORACLES["chunk_documents"]

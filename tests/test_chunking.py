@@ -255,3 +255,31 @@ def test_decontaminate_empty_benchmark_keeps_all_clean(spark):
     bench = spark.createDataFrame([], "doc_id long, text string")
     r = decontaminate(corpus, bench, n=3).collect()[0]
     assert (r.n_grams, r.n_contaminated, r.is_contaminated) == (2, 0, False)
+
+
+def test_udtf_chunker_matches_builtin(spark):
+    """The §2j UDTF twin is row-for-row identical to the built-in
+    map-only chunker (shared oracle depends on this)."""
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        chunk_documents,
+        chunk_documents_udtf,
+    )
+
+    texts = [
+        "a",  # short doc: single clamped chunk
+        " ".join(f"w{i}" for i in range(8)),  # exact boundary
+        " ".join(f"w{i}" for i in range(23)),  # ragged tail
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cols = ("doc_id", "chunk_id", "chunk_start", "chunk_text", "n_chunk_tokens")
+    builtin = {
+        tuple(r[c] for c in cols)
+        for r in chunk_documents(df, chunk_tokens=8, overlap=2).collect()
+    }
+    via_udtf = {
+        tuple(r[c] for c in cols)
+        for r in chunk_documents_udtf(df, chunk_tokens=8, overlap=2).collect()
+    }
+    assert via_udtf == builtin

@@ -51,6 +51,7 @@ _PYTHON_OK = {
     "multimodal_frame_sample",
     "dedup_embedding_cosine",
     "heavy_hitter_tokens",  # mapInPandas MG partition summaries
+    "chunk_documents_udtf",  # ArrowEvalPythonUDTF — the §2j UDTF arm
 }
 
 _PY_NODES = (
