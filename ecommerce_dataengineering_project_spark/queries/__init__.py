@@ -45,7 +45,13 @@ PRIORITY: tuple[str, ...] = (
     "stream_bronze_silver",
     "stream_session_windows",
     "stream_inventory_restock",
-    "stream_dedup_watermarked",
+    # r5 late rotation: stream_static_enrich (zero evidence, the one
+    # §2i join shape missing from the surface until now) takes
+    # stream_dedup_watermarked's slot — the streaming-dedup/
+    # stream-stream-join SURVEY row stays represented in-cap by
+    # stream_stream_join, and dedup_watermarked (green r4) remains
+    # registered + locally oracle-checked.
+    "stream_static_enrich",
     "stream_stream_join",
     # LLM-pipeline: dedup family
     "dedup_exact",
@@ -89,7 +95,11 @@ PRIORITY: tuple[str, ...] = (
     "ngram_repetition",
     "segment_overlap_exact",
     "pack_training_bins",
-    "shuffle_corpus",
+    # r5 late rotation: the dbt-test layer report (zero evidence, new
+    # check-kind family) takes shuffle_corpus's slot — the (shard,pos)
+    # permutation math stays in-cap inside pack_training_bins, and
+    # shuffle_corpus remains registered + locally oracle-checked.
+    "dq_checks",
     "quantize_embeddings",
     # r5 new first-class shapes, both fully oracle-checked; they take
     # the slots of rolling_fingerprint (X4 keeps text_stats in-cap)
@@ -116,7 +126,12 @@ PRIORITY: tuple[str, ...] = (
     "rfm_segments",
     # sketches / pandas UDF / skew / ml
     "exact_distinct_quantiles",
-    "grouped_pandas_stats",
+    # r5 late rotation: the Python-UDTF chunker twin (zero evidence,
+    # the table-function arm of §2j) takes grouped_pandas_stats's slot
+    # — §2j stays represented in-cap by multimodal_decode (pandas UDF /
+    # mapInPandas) and stream_inventory_restock (GroupState), and the
+    # grouped-map arm keeps its r4 green row + local oracle checks.
+    "chunk_documents_udtf",
     "skew_salted_agg",
     "anomaly_isolation_forest",
 )

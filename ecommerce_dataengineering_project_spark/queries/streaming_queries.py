@@ -431,6 +431,37 @@ def q_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dim_dir)
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2i): the event stream enriched per
+    micro-batch against a static dimension (customer segment + nation
+    name, pre-joined once on the batch side).  Stateless — the static
+    side is re-broadcast to each micro-batch, no streaming state, no
+    watermark, so at 100 TB/day this costs exactly one broadcast per
+    batch and the stream never shuffles.  LEFT join: a user with no
+    dimension row passes through with NULL attributes rather than
+    silently dropping the event."""
+    src = _events_source(spark, sf_dir, n_flush=0)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.join(F.broadcast(dim), on="user_id", how="left").select(
+            "event_id", "user_id", "event_type", "value", "mktsegment", "nation_name"
+        )
+
+    return run_bounded_stream(spark, "static_enrich", None, transform, source=src)
+
+
 QUERIES = {
     "stream_bronze_silver": q_stream_bronze_silver,
     "stream_tumbling_revenue": q_stream_tumbling_revenue,
@@ -442,11 +473,24 @@ QUERIES = {
     "stream_stream_join": q_stream_stream_join,
     "stream_upsert_gold": q_stream_upsert_gold,
     "stream_scd2_dim": q_stream_scd2_dim,
+    "stream_static_enrich": q_stream_static_enrich,
 }
 
 _REV = sql_round_half_up("SUM(value)", 2)
 
 ORACLES = {
+    # Stream-static join is stateless and per-batch: the union of the
+    # per-batch joins IS the batch join over all events.
+    "stream_static_enrich": """
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               d.mktsegment, d.nation_name
+        FROM events e
+        LEFT JOIN (
+            SELECT c_custkey AS user_id, c_mktsegment AS mktsegment,
+                   n_name AS nation_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ) d USING (user_id)
+    """,
     # Round-trip parse returns the rows unchanged (ts serialized with
     # microsecond precision; drift alias coalesces to the same value).
     "stream_bronze_silver": """

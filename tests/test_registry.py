@@ -39,13 +39,19 @@ def test_priority_covers_every_operator_family():
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
     for name in ("text_stats", "tfidf_top_terms",
                  "training_corpus", "similarity_topk", "skew_salted_agg",
-                 "grouped_pandas_stats", "exact_distinct_quantiles",
+                 "exact_distinct_quantiles",
                  # r5 rotation: first driver evidence for these shapes
                  "pii_scrub", "doc_repetition", "ngram_repetition",
                  "segment_overlap_exact", "pack_training_bins",
-                 "shuffle_corpus", "quantize_embeddings", "ann_ivf_topk",
+                 "quantize_embeddings", "ann_ivf_topk",
                  # r5 new first-class operators, fully oracle-checked
-                 "decontaminate", "canonical_docs"):
+                 "decontaminate", "canonical_docs",
+                 # r5 late rotation (zero-evidence shapes; the slots they
+                 # took belonged to grouped_pandas_stats /
+                 # shuffle_corpus / stream_dedup_watermarked, all green
+                 # in r4 and still locally oracle-checked)
+                 "dq_checks", "chunk_documents_udtf",
+                 "stream_static_enrich"):
         assert name in PRIORITY
 
 
