@@ -310,6 +310,35 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", F.col("data.k").alias("prop_k"))
 
 
+QUARANTINE_MOD = 7  # every 7th event's payload is corrupted in-query
+
+
+def q_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1's bad-record path: every ~7th props payload is deterministically
+    corrupted (non-JSON prefix), then parsed with PERMISSIVE
+    ``from_json`` + corrupt-record capture (streaming/bronze_silver.py
+    parse_quarantine). Clean rows parse; corrupt rows keep their
+    original bytes and flag ``quarantined`` — nothing is silently
+    nulled or dropped. The oracle parses the clean rows with DuckDB's
+    own JSON engine, an independent check of the parse itself."""
+    from ecommerce_dataengineering_project_spark.streaming.bronze_silver import (
+        parse_quarantine,
+    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_id") % QUARANTINE_MOD == 0,
+            F.concat(F.lit("corrupt:"), F.col("props")),
+        )
+        .otherwise(F.col("props"))
+        .alias("value"),
+    )
+    schema = StructType([StructField("k", IntegerType())])
+    return parse_quarantine(e, schema)
+
+
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-sales anomaly scoring, SQL-native (P11/P12 +
     anomaly_detection.py:25-52 re-expressed without sklearn): global
@@ -527,6 +556,7 @@ QUERIES = {
     "union_segments": q_union_segments,
     "tumbling_window_events": q_tumbling_window_events,
     "json_extract_events": q_json_extract_events,
+    "json_quarantine": q_json_quarantine,
     "anomaly_zscore": q_anomaly_zscore,
     "order_limit_topk": q_order_limit_topk,
     "asof_join_events": q_asof_join_events,
@@ -535,6 +565,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Clean rows: DuckDB's own JSON engine parses k (independent of
+    # Spark's parser). Corrupt rows: NULL k, original payload kept.
+    "json_quarantine": f"""
+        SELECT event_id,
+               CASE WHEN event_id % {QUARANTINE_MOD} = 0 THEN NULL
+                    ELSE CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
+               END AS k,
+               CASE WHEN event_id % {QUARANTINE_MOD} = 0
+                    THEN 'corrupt:' || props END AS corrupt_payload,
+               event_id % {QUARANTINE_MOD} = 0 AS quarantined
+        FROM events
+    """,
     "range_join_coincident": f"""
         SELECT a.event_id AS event_id,
                CAST(COUNT(*) AS BIGINT) AS n_coincident,

@@ -83,6 +83,43 @@ def parse_with_drift(
     return parsed.select(*cols)
 
 
+def parse_quarantine(
+    df: DataFrame,
+    schema: StructType,
+    value_col: str = "value",
+    corrupt_col: str = "corrupt_payload",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """P1 with the bad-record path made explicit: PERMISSIVE
+    ``from_json`` with a corrupt-record column, so malformed payloads
+    are QUARANTINED (original bytes preserved, ``quarantined=true``)
+    instead of silently nulled — the ingest contract a production
+    bronze->silver hop needs (the reference's consumer has no bad-path
+    at all; a malformed Kafka message nulls every field and vanishes).
+
+    Returns the parsed columns + ``corrupt_payload`` (NULL for clean
+    rows) + ``quarantined``. Downstream splits on the flag: clean rows
+    continue to silver, quarantined originals land in a dead-letter
+    sink for replay. Narrow projections only — batch and streaming
+    plans are identical and stateless."""
+    wide = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    opts = dict(options or {})
+    opts.update(
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col}
+    )
+    parsed = df.withColumn(
+        "__data", F.from_json(F.col(value_col).cast("string"), wide, opts)
+    )
+    return parsed.select(
+        *[c for c in df.columns if c != value_col],
+        *[F.col(f"__data.{f.name}").alias(f.name) for f in schema.fields],
+        F.col(f"__data.{corrupt_col}").alias(corrupt_col),
+        F.col(f"__data.{corrupt_col}").isNotNull().alias("quarantined"),
+    )
+
+
 def to_kafka_shape(df: DataFrame, options: dict[str, str] | None = None) -> DataFrame:
     """K1: serialize every column into one JSON ``value`` string
     (producer.py:187-193's ``json.dumps(vars(message))``)."""
