@@ -310,6 +310,33 @@ def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", F.col("data.k").alias("prop_k"))
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus interchange (S2/K5-analog for the LLM-pipeline
+    format): events written as 4 gzip JSONL shards, read back with the
+    declared schema, returned verbatim. µs timestamps survive via the
+    explicit timestampFormat on both legs (the default JSON format
+    ms-truncates — the same pitfall the streaming bronze path guards).
+    The oracle is the source table itself: a value-identical round trip
+    is the whole claim."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.sources.readers import (
+        read_json_lines,
+    )
+    from ecommerce_dataengineering_project_spark.sources.writers import (
+        write_json_lines,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        TMP_ROOT, "jsonl", f"events_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    )
+    write_json_lines(ev.repartition(4), path)
+    fmt = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+    return read_json_lines(spark, path, ev.schema, options=fmt)
+
+
 QUARANTINE_MOD = 7  # every 7th event's payload is corrupted in-query
 
 
@@ -557,6 +584,7 @@ QUERIES = {
     "tumbling_window_events": q_tumbling_window_events,
     "json_extract_events": q_json_extract_events,
     "json_quarantine": q_json_quarantine,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "anomaly_zscore": q_anomaly_zscore,
     "order_limit_topk": q_order_limit_topk,
     "asof_join_events": q_asof_join_events,
@@ -565,6 +593,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    # A faithful round trip returns the source rows unchanged.
+    "jsonl_roundtrip": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
     # Clean rows: DuckDB's own JSON engine parses k (independent of
     # Spark's parser). Corrupt rows: NULL k, original payload kept.
     "json_quarantine": f"""

@@ -117,11 +117,18 @@ def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     return spark.read.csv(path, header=True, schema=schema)
 
 
-def read_json_lines(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
     """JSON-lines source with schema enforcement (bronze-analog).
 
     Equivalent of consuming the Kafka JSON topic in batch: schema
     declared up front so malformed rows null out instead of failing,
     matching ``from_json`` semantics (streaming_consumer.py:69-71).
+    Pass ``{"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}`` to
+    round-trip microsecond timestamps written by ``write_json_lines``.
     """
-    return spark.read.schema(schema).json(path)
+    return spark.read.options(**(options or {})).schema(schema).json(path)

@@ -61,6 +61,28 @@ def create_or_append_table(
         writer.create()
 
 
+def write_json_lines(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSS",
+) -> None:
+    """JSONL corpus sink — the LLM-pipeline interchange format (one
+    JSON object per line, gzip-compressed shards; what a tokenizer or
+    trainer job consumes downstream of the corpus reduction here).
+
+    One output file per partition, written in parallel — repartition
+    upstream to choose shard count/size. ``timestamp_format`` defaults
+    to microsecond precision: Spark's default JSON format truncates
+    timestamps to milliseconds, which would corrupt event times on a
+    round-trip (same pitfall the streaming bronze path guards)."""
+    w = df.write.mode(mode).option("timestampFormat", timestamp_format)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV results sink (K5, anomaly_detection.py:56-60)."""
     df.write.mode(mode).option("header", True).csv(path)
