@@ -181,6 +181,57 @@ def hyperplane(plane: int, dim: int) -> list[float]:
     return coeffs
 
 
+def projection_coeffs(j: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random projection row j: sha-256-derived
+    values in [-1, 1), namespaced apart from ``hyperplane`` so the JL
+    projection and the LSH planes never share coefficients. Pure data —
+    identical literals in engine code and oracle SQL."""
+    coeffs = []
+    for d in range(dim):
+        h = hashlib.sha256(f"proj_{j}_dim_{d}".encode()).hexdigest()
+        coeffs.append(((int(h[:15], 16) % 2001) - 1000) / 1000.0)
+    return coeffs
+
+
+def project_embeddings(
+    df: DataFrame,
+    dim: int,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection dim -> k: each output
+    coordinate is a dot product against a deterministic sha-derived
+    row (``projection_coeffs``), rounded half-up at 1e-6 so the doubles
+    hash-match any IEEE-754 engine. The cheap first stage before
+    clustering / ANN / near-dup when the source embedding is wide:
+    distances are preserved within (1±eps) at k = O(log n / eps^2),
+    and downstream operators (semantic_dedup, IVF, LSH) run on k dims
+    instead of dim.
+
+    Scale shape: MAP-ONLY — k unrolled multiply-add chains appended to
+    the scan inside one codegen stage (k*dim terms — 8x64 at the
+    registered query's config; small enough for JIT, see SCALE.md on
+    the fold-vs-unroll cutover). No
+    shuffle, no Python, parallelizes with the input partitioning.
+    """
+    cols = [F.col(id_col)]
+    for j in range(k):
+        coeffs = projection_coeffs(j, dim)
+        dot_txt = " + ".join(
+            f"CAST(element_at(`{vec_col}`, {i + 1}) AS DOUBLE) * {coeffs[i]!r}D"
+            for i in range(dim)
+        )
+        cols.append(
+            # double literals (D suffix): bare 1000000.0 is DECIMAL in
+            # Spark SQL and would promote the whole chain to decimal
+            F.expr(
+                f"FLOOR((0.0D + {dot_txt}) * 1000000.0D + 0.5D) / 1000000.0D"
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols)
+
+
 def lsh_bucket(vec: str, dim: int, num_planes: int = NUM_PLANES) -> Column:
     """Sign-bit bucket id for a named vector column:
     bit j = (vec . plane_j) >= 0. Plane coefficients are inlined as

@@ -104,7 +104,23 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROJ_K = 8
+
+
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 8 (operators/similarity.py
+    project_embeddings): the map-only dimensionality-reduction stage
+    ahead of clustering/ANN over wide embeddings."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return project_embeddings(emb, EMBEDDING_DIM, k=PROJ_K)
+
+
 QUERIES = {
+    "project_embeddings": q_project_embeddings,
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -305,3 +321,29 @@ ORACLES = {
         ) WHERE rank <= {TOP_K}
     """,
 }
+
+
+def _proj_row_sql(j: int) -> str:
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        projection_coeffs,
+    )
+
+    coeffs = "[" + ", ".join(
+        repr(c) for c in projection_coeffs(j, EMBEDDING_DIM)
+    ) + "]"
+    dot = (
+        f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v, {coeffs}), "
+        f"x -> x[1] * x[2]), (x, y) -> x + y)"
+    )
+    return f"FLOOR(({dot}) * 1000000.0 + 0.5) / 1000000.0 AS p{j}"
+
+
+# Same sha-derived projection rows as literals; LIST_REDUCE's
+# left-to-right fold is the same IEEE-754 accumulation order as the
+# engine's unrolled chain, so the rounded doubles hash-match exactly.
+ORACLES["project_embeddings"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           {", ".join(_proj_row_sql(j) for j in range(PROJ_K))}
+    FROM e
+"""

@@ -232,3 +232,82 @@ def test_semantic_dedup_cluster_scoped(spark):
         for r in semantic_dedup(split, [c0, c1], threshold=0.9).collect()
     }
     assert split_out == {0: True, 1: True}
+
+
+def test_projection_matches_numpy_reference(spark, sf_dir):
+    """project_embeddings == numpy matmul against the same sha-derived
+    rows (up to the declared 1e-6 half-up rounding)."""
+    import numpy as np
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        project_embeddings,
+        projection_coeffs,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = emb.collect()
+    dim = len(rows[0].embedding)
+    R = np.array([projection_coeffs(j, dim) for j in range(8)])  # (8, dim)
+    want = {
+        r.vec_id: np.floor(
+            (np.array(r.embedding, dtype=np.float64) @ R.T) * 1e6 + 0.5
+        )
+        / 1e6
+        for r in rows
+    }
+    got = project_embeddings(emb, dim, k=8).collect()
+    for r in got:
+        np.testing.assert_allclose(
+            [r[f"p{j}"] for j in range(8)], want[r.vec_id], atol=1e-6
+        )
+
+
+def test_projection_roughly_preserves_pairwise_distances(spark, sf_dir):
+    """The JL point: squared distances in the 8-dim projection track
+    the 64-dim originals. The fixture embeddings are near-isotropic —
+    all pairwise distances concentrate around one value, so at k=8 the
+    1/sqrt(k) estimator noise swamps the tiny true spread and
+    correlation is meaningless there (measured ~0.3). Scaling each
+    vector by a distinct magnitude puts real structure in the metric;
+    a projection that preserves distances must then correlate
+    strongly."""
+    import numpy as np
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        project_embeddings,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .limit(40)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: x * (1.0 + (F.col("vec_id") % 5).cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    orig = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    proj = {
+        r.vec_id: np.array([r[f"p{j}"] for j in range(8)])
+        for r in project_embeddings(emb, 64, k=8).collect()
+    }
+    ids = sorted(orig)
+    d_o, d_p = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d_o.append(np.sum((orig[ids[i]] - orig[ids[j]]) ** 2))
+            d_p.append(np.sum((proj[ids[i]] - proj[ids[j]]) ** 2))
+    # k=8 keeps ~35% per-distance estimator noise, so correlation can't
+    # reach 1 even on structured data (measured ~0.73; 0.87 at k=24) —
+    # 0.6 catches a broken projection without flaking on JL noise.
+    r = np.corrcoef(d_o, d_p)[0, 1]
+    assert r > 0.6, f"projection destroyed the metric: corr={r:.3f}"
+    # sharper: the estimator is unbiased — E[d_proj] = k*Var(coef)*d_orig
+    # with Var(uniform[-1,1)) = 1/3, so the mean ratio must sit near k/3
+    ratio = np.mean(np.array(d_p) / np.array(d_o))
+    assert 0.7 * 8 / 3 < ratio < 1.3 * 8 / 3, f"biased estimator: {ratio:.3f}"
