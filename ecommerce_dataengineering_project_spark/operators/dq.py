@@ -7,6 +7,8 @@ is the quality gate such a project runs on every build.  This module
 implements those four checks as composable DataFrame builders, each
 returning ONE summary row ``(check_name, n_violations)``, plus
 ``dq_suite`` to union a batch of them into a single report relation.
+``operators/quality.py`` wraps these same builders as scalar-returning
+assertion helpers — the counting logic lives only here.
 
 Scale shape (each check, at 100 TB):
 

@@ -1,15 +1,18 @@
-"""Data-quality operators.
+"""Data-quality operators — assertion-style wrappers.
 
 Two reference behaviors formalized:
 
 - The reference's dbt data tests (unique/not_null on fct_purchases)
-  are claimed in README.md:51 but absent from the repo (SURVEY §5);
-  here they are executable checks returning violation counts, usable
-  as assertions in pipelines and tests.
+  are claimed in README.md:51 but absent from the repo (SURVEY §5).
+  The counting logic lives in ``operators/dq.py`` as composable
+  DataFrame builders (one summary row per check, unioned into the
+  oracle-checked ``dq_checks`` report query); the functions here are
+  thin scalar wrappers over those builders for use as inline pipeline
+  assertions and in tests. One semantics, two call shapes.
 - The reference's schema enforcement silently NULLs malformed or
   drifted JSON (from_json PERMISSIVE default, streaming_consumer.py:70
-  — how the add_supplement(s) drift went unnoticed). ``parse_with
-  _quarantine`` keeps the raw record of every row that failed to parse
+  — how the add_supplement(s) drift went unnoticed). ``parse_with_
+  quarantine`` keeps the raw record of every row that failed to parse
   so bad data routes to a quarantine sink instead of vanishing.
 """
 
@@ -19,35 +22,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ecommerce_dataengineering_project_spark.operators import dq
+
+
+def _scalar(report: DataFrame) -> int:
+    return report.first()["n_violations"]
+
 
 def check_unique(df: DataFrame, cols: list[str]) -> int:
-    """dbt `unique` test: number of EXTRA rows sharing a key (0 = pass)."""
-    return (
-        df.groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1)
-        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)))
-        .first()[0]
-    )
+    """dbt `unique` test: key groups occurring more than once (0 = pass).
+    Delegates to :func:`dq.check_unique` (group semantics, like dbt's
+    list of duplicated values)."""
+    return _scalar(dq.check_unique(df, cols))
 
 
 def check_not_null(df: DataFrame, cols: list[str]) -> dict[str, int]:
     """dbt `not_null` test: null count per column (all 0 = pass)."""
-    row = df.agg(
-        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols]
-    ).first()
-    return {c: row[c] or 0 for c in cols}
+    return {c: _scalar(dq.check_not_null(df, c)) for c in cols}
 
 
 def check_accepted_values(df: DataFrame, col: str, values: list) -> int:
-    """dbt `accepted_values` test: rows outside the allowed set."""
-    return df.where(~F.col(col).isin(values) | F.col(col).isNull()).count()
+    """dbt `accepted_values` test: rows outside the allowed set
+    (NULL counts as a violation, matching :func:`dq.check_accepted_values`)."""
+    return _scalar(dq.check_accepted_values(df, col, values))
 
 
-def check_relationship(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> int:
-    """dbt `relationships` test: orphaned foreign keys (anti-join count)."""
-    p = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    return child.select(child_key).join(p, child_key, "left_anti").count()
+def check_relationship(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> int:
+    """dbt `relationships` test: orphaned foreign keys (anti-join count).
+    NULL FKs are ignored per dbt semantics — pair with check_not_null
+    to forbid them (see :func:`dq.check_referential`)."""
+    return _scalar(dq.check_referential(child, child_key, parent, parent_key))
 
 
 def parse_with_quarantine(
@@ -65,6 +71,14 @@ def parse_with_quarantine(
     schema's fields. Both outputs are narrow projections of one pass —
     on a stream, write the quarantine side via foreachBatch to a
     dead-letter sink.
+
+    Sibling: ``streaming/bronze_silver.parse_quarantine`` flags rows
+    via the parser's own corrupt-record capture (PERMISSIVE +
+    columnNameOfCorruptRecord) in ONE output leg. The parser-level
+    variant distinguishes malformed JSON from valid-but-foreign JSON
+    (only the former is corrupt); this all-fields-null variant
+    quarantines both, and additionally resolves drift aliases. Pick by
+    which contract the sink wants.
     """
     from ecommerce_dataengineering_project_spark.streaming.bronze_silver import _widen_schema
 

@@ -101,7 +101,13 @@ def parse_quarantine(
     rows) + ``quarantined``. Downstream splits on the flag: clean rows
     continue to silver, quarantined originals land in a dead-letter
     sink for replay. Narrow projections only — batch and streaming
-    plans are identical and stateless."""
+    plans are identical and stateless.
+
+    Sibling: ``operators/quality.parse_with_quarantine`` splits good
+    from bad by an all-schema-fields-null heuristic and resolves drift
+    aliases; this variant uses the parser's own corrupt-record
+    verdict, so valid-but-schema-foreign JSON passes (as NULLs) while
+    only genuinely malformed payloads quarantine."""
     wide = StructType(
         list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
     )
