@@ -555,6 +555,55 @@ def token_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Tokenizer-coverage report: build the top-``vocab_size``
+    corpus vocabulary by token frequency (ties broken by token asc —
+    deterministic on any engine) and score every document's
+    out-of-vocabulary token fraction. The standard pre-tokenizer
+    sanity check of an LLM data pipeline: a corpus slice with high OOV
+    against the training vocabulary inflates token counts and degrades
+    compression, so mixture decisions read this per-source.
+
+    Scale shape: token counts are ONE exchange over exploded tokens
+    (map-side combined); the vocabulary is a driver-bounded top-V sort
+    (TakeOrdered, never a full sort) broadcast to an anti-join; OOV
+    counts aggregate per doc on a second exchange. The ratio is a
+    single integer/integer division rounded half-up at 1e-6 —
+    bit-exact on any IEEE engine, no transcendentals.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+    )
+    oov = (
+        tok.join(F.broadcast(vocab), "token", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("bigint").alias("n_tokens")
+    )
+    return base.join(oov, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("bigint").alias("n_oov"),
+        round_half_up(
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("oov_ratio"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

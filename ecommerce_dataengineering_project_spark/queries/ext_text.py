@@ -281,8 +281,21 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_SIZE = 64
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage: top-64 corpus vocabulary, per-doc OOV token
+    fraction (see operators/text.py vocab_coverage)."""
+    from ecommerce_dataengineering_project_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=VOCAB_SIZE)
+
+
 QUERIES = {
     "split_train_val_test": q_split_train_val_test,
+    "vocab_coverage": q_vocab_coverage,
     "text_stats": q_text_stats,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -708,3 +721,31 @@ ORACLES["split_train_val_test"] = """
 # The UDTF twin is semantically identical to the built-in chunker by
 # contract (tests/test_chunking.py parity test) — same oracle.
 ORACLES["chunk_documents_udtf"] = ORACLES["chunk_documents"]
+
+# Mirrors operators/text.py vocab_coverage: same top-V cut (count desc,
+# token asc), same single integer/integer division for the ratio.
+ORACLES["vocab_coverage"] = f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c FROM tok GROUP BY 1
+        ) ORDER BY c DESC, token ASC LIMIT {VOCAB_SIZE}
+    ),
+    oov AS (
+        SELECT t.doc_id, COUNT(*) AS n_oov
+        FROM tok t LEFT JOIN vocab v USING (token)
+        WHERE v.token IS NULL
+        GROUP BY 1
+    ),
+    base AS (
+        SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+           FLOOR((CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS oov_ratio
+    FROM base b LEFT JOIN oov o USING (doc_id)
+"""
