@@ -222,6 +222,42 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAILING_DAYS = 7
+
+
+def q_range_frame_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2f RANGE frame (the value-based window arm, physically distinct
+    from ROWS frames): per user-event, the count and value-sum of that
+    user's events in the trailing 7 days — RANGE BETWEEN 6 days
+    PRECEDING AND CURRENT ROW over the event-time axis. One keyed
+    window sort; the frame is value-bounded so ties on ts aggregate
+    together regardless of row order (what makes RANGE deterministic
+    where a ROWS frame would not be).
+
+    Sum is over integer cents (value is 2-dp money in the fixture:
+    scale, sum exactly, unscale) — a double running sum's accumulation
+    order inside a RANGE frame is engine-private, cents are exact."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    day = 86400
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-(TRAILING_DAYS - 1) * day, 0)
+    )
+    # floor(x+0.5), not round(): Spark and DuckDB disagree on double
+    # rounding (functions/scalars.py) — this form is engine-portable
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        (F.sum(cents).over(w).cast("double") / 100.0).alias("value_trailing"),
+    )
+
+
 def q_running_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-key balance (A4 expressed relationally,
     producer.py:157-181): cumulative shipped quantity per part."""
@@ -444,6 +480,24 @@ def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the inverse of the pivot surface (§2d wide->long):
+    the pivoted quantity matrix back to (linestatus, returnflag, qty)
+    rows via DataFrame.unpivot (Spark's native UNPIVOT, one generate
+    node, no shuffle beyond the pivot's own agg). Composed with the
+    pivot so the pair proves melt(pivot(x)) reproduces the long form.
+    DataFrame.unpivot KEEPS null cells (absent status x flag combos);
+    the explicit notNull filter applies SQL UNPIVOT's EXCLUDE NULLS
+    default, which is what makes the round trip exact."""
+    wide = q_pivot_returnflag(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_linestatus"],
+        values=["A", "N", "R"],
+        variableColumnName="l_returnflag",
+        valueColumnName="sum_qty",
+    ).where(F.col("sum_qty").isNotNull())
+
+
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP with grouping id (OLAP surface): revenue at (flag,status),
     (flag), and grand-total levels."""
@@ -585,14 +639,37 @@ QUERIES = {
     "json_extract_events": q_json_extract_events,
     "json_quarantine": q_json_quarantine,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "range_frame_activity": q_range_frame_activity,
     "anomaly_zscore": q_anomaly_zscore,
     "order_limit_topk": q_order_limit_topk,
     "asof_join_events": q_asof_join_events,
     "pivot_returnflag": q_pivot_returnflag,
+    "unpivot_returnflag": q_unpivot_returnflag,
     "rollup_revenue": q_rollup_revenue,
 }
 
 ORACLES = {
+    # melt(pivot(x)) == the long-form aggregate (EXCLUDE NULLS).
+    "unpivot_returnflag": """
+        SELECT l_linestatus, l_returnflag,
+               FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+        FROM lineitem GROUP BY 1, 2
+    """,
+    # RANGE frame over integer epoch-seconds (Spark unix_timestamp
+    # truncates to seconds; DATE_DIFF('second', ...) is the same
+    # truncation) — sub-second ties share a frame in both engines.
+    "range_frame_activity": f"""
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_trailing,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100.0 AS value_trailing
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY DATE_DIFF('second', TIMESTAMP '1970-01-01', ts)
+            RANGE BETWEEN {(7 - 1) * 86400} PRECEDING AND CURRENT ROW
+        )
+    """,
     # A faithful round trip returns the source rows unchanged.
     "jsonl_roundtrip": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
