@@ -66,7 +66,12 @@ PRIORITY: tuple[str, ...] = (
     # text analysis
     "text_stats",
     "tfidf_top_terms",
-    "training_corpus",
+    # r5 late rotation: the five-stage corpus pipeline (quality ->
+    # dedup -> decontaminate -> leak-free split -> chunk) supersedes
+    # training_corpus's X9 slot — a strict superset of that query's
+    # three stages; training_corpus stays registered + locally
+    # oracle-checked with its r4 green row.
+    "corpus_pipeline_full",
     # r4 rotation: distinct shapes that sat past the 50-slot cap in
     # r1-r3, swapped in for same-SURVEY-row variants (multimodal
     # resize/frame_sample share X's row with decode/features, and

@@ -243,6 +243,58 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "token_count", "quality_score")
 
 
+def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data pipeline as one declarative plan:
+    quality filter -> exact-dedup keep-first -> benchmark
+    decontamination (drop flagged docs; short no-gram docs cannot be
+    contaminated and are kept) -> leak-free train split (80%) ->
+    sliding-window chunking. Five stages, each individually
+    oracle-checked elsewhere, here composed and oracle-checked
+    END-TO-END — the integration errors (wrong stage order, dropped
+    short docs, split leakage) are what this query pins.
+
+    Scale: quality, split and chunking are map-only in the scan stage;
+    the dedup window is one content-hash exchange; decontamination is
+    one doc-keyed exchange with the (MB-scale) benchmark gram set
+    broadcast; the anti-join rides the same doc key. ~3 exchanges
+    end-to-end for a five-stage pipeline."""
+    from pyspark.sql import Window
+
+    from ecommerce_dataengineering_project_spark.operators.sampling import hash_split
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        chunk_documents,
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % BENCH_MOD == 0)
+    kept = (
+        with_text_stats(docs)
+        .where(F.col("quality_score") >= QUALITY_MIN)
+        .where(F.col("doc_id") % BENCH_MOD != 0)
+    )
+    w = Window.partitionBy(F.sha2(F.lower(F.trim(F.col("text"))), 256)).orderBy(
+        F.col("doc_id").asc()
+    )
+    first = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    contaminated = (
+        decontaminate(first.select("doc_id", "text"), bench, n=3)
+        .where(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    clean = first.join(contaminated, "doc_id", "left_anti")
+    train = hash_split(clean, ["doc_id"], {"train": 800, "heldout": 1000}).where(
+        F.col("split") == "train"
+    )
+    return chunk_documents(
+        train, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).select("doc_id", "chunk_id", "chunk_start", "n_chunk_tokens")
+
+
 # Uniform target across the five fixture languages: each should end
 # at ~200 permille of the kept corpus (downsample-only, so dominant
 # 'en' is cut hard and the rare languages keep everything).
@@ -314,6 +366,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "mixture_sample": q_mixture_sample,
     "training_corpus": q_training_corpus,
+    "corpus_pipeline_full": q_corpus_pipeline_full,
 }
 
 
@@ -748,4 +801,69 @@ ORACLES["vocab_coverage"] = f"""
            FLOOR((CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE))
                  * 1000000.0 + 0.5) / 1000000.0 AS oov_ratio
     FROM base b LEFT JOIN oov o USING (doc_id)
+"""
+
+# The five-stage pipeline end-to-end: quality CTEs from
+# training_corpus, gram CTEs from decontaminate, the split band from
+# split_train_val_test, chunk arithmetic from chunk_documents — the
+# composition (stage order, no-gram docs kept, leak-free split) is
+# what this oracle pins.
+ORACLES["corpus_pipeline_full"] = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               LEN(STRING_SPLIT(text, ' ')) AS token_count,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                               w -> w IN ({_STOP_SQL}))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, text,
+               FLOOR((LEAST(1.0, token_count / 100.0)
+                      * (1.0 - n_stop * 1.0 / token_count)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS quality_score
+        FROM t
+    ),
+    k AS (
+        SELECT doc_id, text, ROW_NUMBER() OVER (
+            PARTITION BY SHA256(LOWER(TRIM(text))) ORDER BY doc_id) AS rn
+        FROM q
+        WHERE quality_score >= {QUALITY_MIN} AND doc_id % {BENCH_MOD} <> 0
+    ),
+    first AS (SELECT doc_id, text FROM k WHERE rn = 1),
+    bt AS (
+        SELECT STRING_SPLIT(text, ' ') AS toks FROM documents
+        WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    bench AS (
+        SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+        FROM bt, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0))) AS s(i)
+    ),
+    bad AS (
+        SELECT DISTINCT f.doc_id
+        FROM (
+            SELECT doc_id,
+                   toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM first),
+                 UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0))) AS s(i)
+        ) f JOIN bench b ON f.gram = b.gram
+    ),
+    train AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks
+        FROM first
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+          AND CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'split',
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000 < 800
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               UNNEST(RANGE(1, GREATEST(LEN(toks) - {CHUNK_OVERLAP}, 1) + 1,
+                            {_CHUNK_STRIDE})) AS chunk_start
+        FROM train
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(LEN(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1])
+                AS BIGINT) AS n_chunk_tokens
+    FROM s
 """

@@ -38,7 +38,7 @@ def test_priority_covers_every_operator_family():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
     for name in ("text_stats", "tfidf_top_terms",
-                 "training_corpus", "similarity_topk", "skew_salted_agg",
+                 "corpus_pipeline_full", "similarity_topk", "skew_salted_agg",
                  "exact_distinct_quantiles",
                  # r5 rotation: first driver evidence for these shapes
                  "pii_scrub", "doc_repetition", "ngram_repetition",
