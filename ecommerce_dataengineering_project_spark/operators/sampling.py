@@ -87,6 +87,11 @@ def hash_split(
     bands = sorted(cuts_permille.items(), key=lambda kv: kv[1])
     assert bands and bands[-1][1] == MILLE, "last cut must be 1000 (exhaustive)"
     assert all(0 < c <= MILLE for _, c in bands), "cuts must be in (0, 1000]"
+    cuts = [c for _, c in bands]
+    assert len(set(cuts)) == len(cuts), (
+        "duplicate cut values — one label's band would be empty and "
+        "which one is dict-order luck; give each split a distinct cut"
+    )
     h = sample_key(key_cols, salt)
     label = F.lit(bands[-1][0])
     for name, cut in reversed(bands[:-1]):

@@ -107,3 +107,9 @@ def test_hash_split_rejects_non_exhaustive_cuts(spark):
     df = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(AssertionError):
         hash_split(df, ["k"], {"train": 800, "val": 900})
+
+
+def test_hash_split_rejects_duplicate_cuts(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(AssertionError):
+        hash_split(df, ["k"], {"a": 1000, "b": 1000})
