@@ -373,6 +373,26 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_json_lines(spark, path, ev.schema, options=fmt)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar round trip (the second native columnar format):
+    events written as ORC, read back, returned verbatim — timestamps
+    are µs-native in ORC so no format plumbing is needed (contrast
+    jsonl_roundtrip). The oracle is the source table itself."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.sources.writers import write_orc
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    ev = load_table(spark, sf_dir, "events")
+    path = os.path.join(
+        TMP_ROOT, "orc", f"events_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    )
+    write_orc(ev.repartition(4), path)
+    from ecommerce_dataengineering_project_spark.sources.readers import normalize_ntz
+
+    return normalize_ntz(spark.read.schema(ev.schema).orc(path))
+
+
 QUARANTINE_MOD = 7  # every 7th event's payload is corrupted in-query
 
 
@@ -639,6 +659,7 @@ QUERIES = {
     "json_extract_events": q_json_extract_events,
     "json_quarantine": q_json_quarantine,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "orc_roundtrip": q_orc_roundtrip,
     "range_frame_activity": q_range_frame_activity,
     "anomaly_zscore": q_anomaly_zscore,
     "order_limit_topk": q_order_limit_topk,
@@ -672,6 +693,9 @@ ORACLES = {
     """,
     # A faithful round trip returns the source rows unchanged.
     "jsonl_roundtrip": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+    "orc_roundtrip": """
         SELECT event_id, ts, user_id, event_type, value, props FROM events
     """,
     # Clean rows: DuckDB's own JSON engine parses k (independent of

@@ -88,6 +88,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink — the second native columnar format beside
+    parquet (zlib by default; vectorized reader, predicate pushdown
+    and column pruning apply exactly as for parquet). Avro is NOT
+    available in this environment (jar absent — probed, same class of
+    constraint as Delta/Iceberg in `DELTA_PROBE.md`), so the
+    row-oriented interchange role falls to JSONL/CSV."""
+    df.write.mode(mode).orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
