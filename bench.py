@@ -74,6 +74,15 @@ HEADLINE = [
     "rfm_segments",
     "scd2_customer_dim",
     "stream_upsert_gold",
+    # r5 second-session first-class additions
+    "dq_checks",
+    "json_quarantine",
+    "jsonl_roundtrip",
+    "chunk_documents_udtf",
+    "stream_static_enrich",
+    "project_embeddings",
+    "vocab_coverage",
+    "corpus_pipeline_full",
 ]
 
 
