@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from ecommerce_dataengineering_project_spark.functions.revenue import final_amount, total_purchase
 from ecommerce_dataengineering_project_spark.functions.scalars import (
     round_half_up,
-    sql_round_half_up,
     stable_id,
     starts_with_any,
 )
@@ -255,6 +254,44 @@ def q_range_frame_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.count(F.lit(1)).over(w).alias("n_trailing"),
         (F.sum(cents).over(w).cast("double") / 100.0).alias("value_trailing"),
+    )
+
+
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2f value-navigation functions: per user, the first and last
+    event value in time order plus the 2nd event's type — FIRST_VALUE /
+    LAST_VALUE over the full-partition frame and NTH_VALUE(2). The
+    props-derived nullable column exercises IGNORE NULLS (first
+    non-null JSON k per user), the arm where engines commonly diverge.
+    Deterministic: ordered by (ts, event_id) — a total order."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.withColumn(
+        "k_val",
+        F.when(
+            F.col("event_id") % 5 != 0, F.get_json_object("props", "$.k").cast("int")
+        ),
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("user_id").orderBy(*order)
+    return (
+        base.select(
+            "user_id",
+            F.row_number().over(wo).alias("__rn"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+            F.first("value").over(w).alias("first_value"),
+            F.last("value").over(w).alias("last_value"),
+            F.nth_value("event_type", 2).over(w).alias("second_type"),
+            F.first("k_val", ignorenulls=True).over(w).alias("first_k"),
+        )
+        .where(F.col("__rn") == 1)  # one summary row per user, same sort
+        .drop("__rn")
     )
 
 
@@ -500,6 +537,27 @@ def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2d beyond rollup/cube): revenue at
+    (returnflag), (linestatus), and grand-total levels — the
+    asymmetric set neither ROLLUP nor CUBE expresses. grouping_id
+    disambiguates NULL-as-group-all from NULL data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    # D-suffixed double literals: sql_round_half_up's bare 100.0 parses
+    # as DECIMAL in Spark SQL (it targets the DuckDB oracle dialect)
+    rev = f"FLOOR((SUM({_REVENUE_SQL})) * 100.0D + 0.5D) / 100.0D"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {rev} AS revenue,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS g_id
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def q_unpivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt — the inverse of the pivot surface (§2d wide->long):
     the pivoted quantity matrix back to (linestatus, returnflag, qty)
@@ -667,6 +725,8 @@ QUERIES = {
     "pivot_returnflag": q_pivot_returnflag,
     "unpivot_returnflag": q_unpivot_returnflag,
     "rollup_revenue": q_rollup_revenue,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "window_first_last": q_window_first_last,
 }
 
 ORACLES = {
@@ -950,5 +1010,40 @@ ORACLES = {
                CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS g_id
         FROM lineitem
         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    "grouping_sets_revenue": f"""
+        SELECT l_returnflag, l_linestatus,
+               FLOOR((SUM({_REVENUE_SQL})) * 100.0 + 0.5) / 100.0 AS revenue,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS g_id
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    # Value-navigation window functions; IGNORE NULLS on the seeded
+    # nullable column is the arm engines most often get wrong.
+    "window_first_last": """
+        WITH b AS (
+            SELECT user_id, event_id, ts, event_type, value,
+                   CASE WHEN event_id % 5 <> 0
+                        THEN CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)
+                   END AS k_val
+            FROM events
+        ),
+        w AS (
+            SELECT user_id,
+                   ROW_NUMBER() OVER win AS rn,
+                   COUNT(*) OVER wfull AS n_events,
+                   FIRST_VALUE(value) OVER wfull AS first_value,
+                   LAST_VALUE(value) OVER wfull AS last_value,
+                   NTH_VALUE(event_type, 2) OVER wfull AS second_type,
+                   FIRST_VALUE(k_val IGNORE NULLS) OVER wfull AS first_k
+            FROM b
+            WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, n_events, first_value, last_value, second_type,
+               first_k
+        FROM w WHERE rn = 1
     """,
 }
