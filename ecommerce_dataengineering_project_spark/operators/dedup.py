@@ -129,14 +129,10 @@ def minhash_signatures(sh: DataFrame, id_col: str) -> DataFrame:
     return base.groupBy(id_col).agg(*sigs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """Band the signatures and self-join on band hashes.
-
-    Docs agreeing on all rows of any band become a candidate pair.
-    The join key is (band_id, band_hash) — candidate generation never
-    touches text and the shuffle is by bucket, so skew is bounded by
-    bucket size, not corpus size.
-    """
+def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
+    """LSH band keys (id, band_id, band_hash) from a signature
+    relation — the unit both the batch self-join and the persisted
+    incremental index are built from."""
     band_rows = []
     for b in range(BANDS):
         cols = [F.col(f"sig_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -148,9 +144,20 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
                 ),
             )
         )
-    bands = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures and self-join on band hashes.
+
+    Docs agreeing on all rows of any band become a candidate pair.
+    The join key is (band_id, band_hash) — candidate generation never
+    touches text and the shuffle is by bucket, so skew is bounded by
+    bucket size, not corpus size.
+    """
+    bands = band_keys(sig, id_col)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -704,6 +711,91 @@ def keep_canonical(
         .withColumn("__rn", F.row_number().over(w_rank))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The persisted state of incremental NEAR-dup: each accepted
+    doc's LSH band keys (id, band_id, band_hash) — 16 rows of ~40
+    bytes per doc, no text. The continuous-ingest caller appends the
+    kept docs' keys after every batch; bucket the stored index by
+    (band_id, band_hash) to make the probe join shuffle-free."""
+    sh = shingles(docs, id_col, text_col)
+    return band_keys(minhash_signatures(sh, id_col), id_col)
+
+
+def minhash_incremental(
+    new_docs: DataFrame,
+    history_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup — the continuous-ingest variant of X2:
+    a NEW batch checks against the persisted band index of everything
+    already accepted (``minhash_band_index``), never rescanning
+    historical text. The decision is sketch-level (≥1 band collision
+    ⇒ near-dup at the index's tuned threshold) — the standard trade
+    for incremental dedup at 100 TB, where exact Jaccard rescoring
+    against history would mean keeping and rejoining every accepted
+    document's shingle set. Per new doc:
+
+    - ``n_history_hits``: distinct accepted docs sharing ≥1 band;
+    - ``n_batch_hits``: distinct SMALLER-id batch docs sharing ≥1
+      band (greedy keep-first within the batch — reordering the
+      batch's partitions cannot change survivors);
+    - ``dup_of_history`` and ``keep`` (kept ⇔ no hits either way).
+
+    Docs with fewer than 3 tokens have no shingles, hence no bands —
+    they cannot collide and are always kept (same convention as the
+    exact-Jaccard baseline / decontaminate).
+
+    Scale shape: signatures are one exchange on the new-batch ids
+    (map-side combined mins); both probes are joins on the
+    high-entropy (band_id, band_hash) key — history-sized but
+    skew-free, and shuffle-free for the stored side if the index is
+    bucketed by that key. The final assembly is two left joins back
+    to the batch ids.
+    """
+    sh = shingles(new_docs, id_col, text_col)
+    nb = band_keys(minhash_signatures(sh, id_col), id_col)
+    hist = history_bands.select(
+        F.col(id_col).alias("__hist_id"), "band_id", "band_hash"
+    )
+    hist_hits = (
+        nb.join(hist, ["band_id", "band_hash"])
+        .select(id_col, "__hist_id")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_history_hits"))
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    batch_hits = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col), F.col(f"b.{id_col}").alias("__p"))
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_batch_hits"))
+    )
+    hh = F.coalesce(F.col("n_history_hits"), F.lit(0)).cast("bigint")
+    bh = F.coalesce(F.col("n_batch_hits"), F.lit(0)).cast("bigint")
+    return (
+        new_docs.select(id_col)
+        .join(hist_hits, id_col, "left")
+        .join(batch_hits, id_col, "left")
+        .select(
+            id_col,
+            hh.alias("n_history_hits"),
+            bh.alias("n_batch_hits"),
+            (hh > 0).alias("dup_of_history"),
+            ((hh == 0) & (bh == 0)).alias("keep"),
+        )
     )
 
 

@@ -161,6 +161,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental_exact(new_batch, history)
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest NEAR-dup (operators/dedup.py
+    minhash_incremental): even doc_ids play the accepted history as
+    its persisted LSH band index, odd doc_ids are the incoming batch —
+    sketch-level decisions, history text never rescanned."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = minhash_band_index(docs.where(F.col("doc_id") % 2 == 0))
+    new_batch = docs.where(F.col("doc_id") % 2 != 0)
+    return minhash_incremental(new_batch, history)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs, "doc_id")
@@ -203,6 +219,7 @@ QUERIES = {
     "dedup_clusters_star": q_dedup_clusters_star,
     "canonical_docs": q_canonical_docs,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semantic_dedup": q_semantic_dedup,
@@ -516,4 +533,45 @@ ORACLES["canonical_docs"] = f"""
     )
     SELECT cluster_id, doc_id, cluster_size, quality_score
     FROM ranked WHERE rn = 1
+"""
+
+# Mirrors operators/dedup.py minhash_incremental: identical shingle /
+# signature / band arithmetic on both populations, then the two
+# collision probes (history = even ids' band index, batch = odd ids).
+ORACLES["dedup_incremental_minhash"] = f"""
+    WITH {_SHINGLES},
+    hx AS (SELECT doc_id, shingle % {M31} AS x31 FROM sh),
+    sig AS (
+        SELECT doc_id,
+        {_SIG_EXPRS}
+        FROM hx GROUP BY doc_id
+    ),
+    bands AS (
+{_BAND_SELECTS}
+    ),
+    hist AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    nb AS (SELECT * FROM bands WHERE doc_id % 2 <> 0),
+    hh AS (
+        SELECT n.doc_id, COUNT(DISTINCT h.doc_id) AS n_history_hits
+        FROM nb n JOIN hist h
+          ON n.band_id = h.band_id AND n.band_hash = h.band_hash
+        GROUP BY 1
+    ),
+    bh AS (
+        SELECT a.doc_id, COUNT(DISTINCT b.doc_id) AS n_batch_hits
+        FROM nb a JOIN nb b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND b.doc_id < a.doc_id
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(hh.n_history_hits, 0) AS BIGINT) AS n_history_hits,
+           CAST(COALESCE(bh.n_batch_hits, 0) AS BIGINT) AS n_batch_hits,
+           COALESCE(hh.n_history_hits, 0) > 0 AS dup_of_history,
+           COALESCE(hh.n_history_hits, 0) = 0
+               AND COALESCE(bh.n_batch_hits, 0) = 0 AS keep
+    FROM documents d
+    LEFT JOIN hh ON hh.doc_id = d.doc_id
+    LEFT JOIN bh ON bh.doc_id = d.doc_id
+    WHERE d.doc_id % 2 <> 0
 """

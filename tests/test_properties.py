@@ -379,3 +379,34 @@ def test_dedup_incremental_exact_semantics(spark):
     rows2 = {r.doc_id: r for r in dedup_incremental_exact(batch, empty).collect()}
     assert {d for d, r in rows2.items() if r.keep} == {11, 13, 15, 19}
     assert not any(r.dup_of_history for r in rows2.values())
+
+
+def test_minhash_incremental_contracts(spark):
+    """Incremental near-dup: an exact copy of a history doc is flagged
+    dup_of_history; a batch-internal copy keeps only the smallest id;
+    a short (<3-token) doc has no bands and is always kept; a novel
+    doc is kept."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        minhash_band_index,
+        minhash_incremental,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    hist_docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    new_docs = spark.createDataFrame(
+        [
+            (1, text),  # exact copy of history -> dup_of_history
+            (3, "totally different content about spark incremental dedup pipelines"),
+            (5, "totally different content about spark incremental dedup pipelines"),
+            (7, "tiny doc"),  # < 3 tokens: no shingles, always kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in minhash_incremental(new_docs, minhash_band_index(hist_docs)).collect()
+    }
+    assert out[1].dup_of_history and not out[1].keep
+    assert out[3].keep and not out[3].dup_of_history  # batch-first copy
+    assert not out[5].keep and out[5].n_batch_hits == 1  # later copy dropped
+    assert out[7].keep and out[7].n_history_hits == 0 and out[7].n_batch_hits == 0
