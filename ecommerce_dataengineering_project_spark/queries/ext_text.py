@@ -255,9 +255,10 @@ def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: quality, split and chunking are map-only in the scan stage;
     the dedup window is one content-hash exchange; decontamination is
-    one doc-keyed exchange with the (MB-scale) benchmark gram set
-    broadcast; the anti-join rides the same doc key. ~3 exchanges
-    end-to-end for a five-stage pipeline."""
+    one doc-keyed exchange (its per-doc rollup reuses it) with the
+    (MB-scale) benchmark gram set broadcast; the flagged-id anti-join
+    adds a doc-keyed exchange pair. Measured plan: 4 shuffle + 2
+    broadcast exchanges end-to-end for a five-stage pipeline."""
     from pyspark.sql import Window
 
     from ecommerce_dataengineering_project_spark.operators.sampling import hash_split
