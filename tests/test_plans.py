@@ -201,3 +201,27 @@ def test_mixture_sample_filter_is_map_side(spark, sf_dir):
     # the documents branch joins broadcast and filters in place
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_corpus_pipeline_exchange_budget(spark, sf_dir):
+    """The five-stage corpus pipeline must hold its measured exchange
+    budget: 4 shuffle exchanges (dedup content-hash window,
+    decontamination doc rollup, the flagged-id anti-join pair) plus
+    broadcasts for the benchmark gram set. A new exchange appearing
+    here means a stage stopped reusing its neighbor's partitioning."""
+    from ecommerce_dataengineering_project_spark.queries.ext_text import (
+        q_corpus_pipeline_full,
+    )
+
+    plan = (
+        q_corpus_pipeline_full(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(shuffles) <= 4, shuffles
