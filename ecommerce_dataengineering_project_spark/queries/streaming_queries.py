@@ -462,6 +462,52 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded_stream(spark, "static_enrich", None, transform, source=src)
 
 
+def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bad-data path as a STREAM: every ~7th Kafka-shaped payload
+    is corrupted at the source; the streaming hop parses with
+    PERMISSIVE + corrupt-record capture (bronze_silver.parse_quarantine
+    — the same narrow projection as batch, zero state), so malformed
+    messages keep their original bytes and flag ``quarantined``
+    instead of silently nulling into silver (the reference's actual
+    failure mode). Downstream a foreachBatch sink would route the two
+    legs; here the flagged sink itself is the oracle-checked result.
+    Corrupt payloads are id-derived strings so the oracle can rebuild
+    them verbatim (double re-serialization is not engine-portable)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ecommerce_dataengineering_project_spark.streaming.bronze_silver import (
+        parse_quarantine,
+    )
+
+    opts = {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT}
+
+    def stage(source_dir: str):
+        tagged = _tagged_events(spark, sf_dir)
+        data_cols = [c for c in tagged.columns if c not in ("__batch", "event_id")]
+        kafka = tagged.select(
+            "event_id",
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(F.lit("corrupt:"), F.col("event_id").cast("string")),
+            )
+            .otherwise(F.to_json(F.struct(*data_cols), opts))
+            .alias("value"),
+            "__batch",
+        )
+        stage_source_tagged(kafka, 3, source_dir)
+        return kafka.drop("__batch").schema
+
+    src = staged_source(spark, f"events_quarantine_{_sf_key(sf_dir)}", stage)
+    parse_schema = StructType(
+        [f for f in EVENT_SCHEMA.fields if f.name != "event_id"]
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return parse_quarantine(stream, parse_schema, options=opts)
+
+    return run_bounded_stream(spark, "quarantine", None, transform, source=src)
+
+
 QUERIES = {
     "stream_bronze_silver": q_stream_bronze_silver,
     "stream_tumbling_revenue": q_stream_tumbling_revenue,
@@ -474,11 +520,27 @@ QUERIES = {
     "stream_upsert_gold": q_stream_upsert_gold,
     "stream_scd2_dim": q_stream_scd2_dim,
     "stream_static_enrich": q_stream_static_enrich,
+    "stream_quarantine": q_stream_quarantine,
 }
 
 _REV = sql_round_half_up("SUM(value)", 2)
 
 ORACLES = {
+    # Stateless parse: clean rows round-trip unchanged (µs format),
+    # corrupt rows null out with their original payload preserved.
+    "stream_quarantine": """
+        SELECT event_id,
+               CASE WHEN bad THEN NULL ELSE ts END AS ts,
+               CASE WHEN bad THEN NULL ELSE user_id END AS user_id,
+               CASE WHEN bad THEN NULL ELSE event_type END AS event_type,
+               CASE WHEN bad THEN NULL ELSE value END AS value,
+               CASE WHEN bad THEN NULL ELSE props END AS props,
+               CASE WHEN bad
+                    THEN 'corrupt:' || CAST(event_id AS VARCHAR) END
+                   AS corrupt_payload,
+               bad AS quarantined
+        FROM (SELECT *, event_id % 7 = 0 AS bad FROM events)
+    """,
     # Stream-static join is stateless and per-batch: the union of the
     # per-batch joins IS the batch join over all events.
     "stream_static_enrich": """
