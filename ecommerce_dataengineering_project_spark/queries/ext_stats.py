@@ -188,6 +188,26 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py salted_join): the events
+    fact joined to the customer segment dim on user_id with the hot
+    keys spread over 16 salted reducers — result identical to the
+    plain join (the salt never reaches the output), which is exactly
+    what the oracle checks. The scale case: a dim too big to
+    broadcast feeding a co-partitioned downstream op, where AQE's
+    skew splitting can't apply."""
+    from ecommerce_dataengineering_project_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    return salted_join(ev, dim, on=["user_id"])
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view -> click -> purchase funnel: a user converts at each stage
     only if the stage's FIRST event follows the previous stage's first
@@ -307,6 +327,7 @@ QUERIES = {
     "pandas_udf_score": q_pandas_udf_score,
     "grouped_pandas_stats": q_grouped_pandas_stats,
     "skew_salted_agg": q_skew_salted_agg,
+    "skew_salted_join": q_skew_salted_join,
 }
 
 _SAMPLE_RATE_CASE = "CASE l_returnflag " + " ".join(
@@ -415,6 +436,11 @@ ORACLES = {
                MEDIAN(value) AS median_value,
                MAX(value) - MIN(value) AS value_range
         FROM events GROUP BY 1
+    """,
+    # Salting never reaches the output: the salted join IS the join.
+    "skew_salted_join": """
+        SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment AS mktsegment
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
     """,
     "skew_salted_agg": """
         SELECT l_returnflag,
