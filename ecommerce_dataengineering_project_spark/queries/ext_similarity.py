@@ -119,7 +119,31 @@ def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_embeddings(emb, EMBEDDING_DIM, k=PROJ_K)
 
 
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2h higher-order array surface over the embedding column:
+    aggregate (sequential fold — same IEEE order as the oracle's
+    LIST_REDUCE), transform+filter (count of positive components),
+    exists, array_min/max. One map-only projection; every value
+    rounded or exact so the driver hash matches bit-for-bit."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        round_half_up(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("comp_sum"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.exists(v, lambda x: x > F.lit(2.0)).alias("has_large"),
+        round_half_up(F.array_min(v), 6).alias("comp_min"),
+        round_half_up(F.array_max(v), 6).alias("comp_max"),
+    )
+
+
 QUERIES = {
+    "array_functions": q_array_functions,
     "project_embeddings": q_project_embeddings,
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -345,5 +369,20 @@ ORACLES["project_embeddings"] = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_id,
            {", ".join(_proj_row_sql(j) for j in range(PROJ_K))}
+    FROM e
+"""
+
+# Mirrors q_array_functions: LIST_REDUCE with a 0.0 seed reproduces
+# Spark's F.aggregate fold order exactly.
+ORACLES["array_functions"] = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(LEN(v) AS INTEGER) AS dim,
+           FLOOR(LIST_REDUCE(LIST_PREPEND(0.0, v), (a, x) -> a + x)
+                 * 1000000.0 + 0.5) / 1000000.0 AS comp_sum,
+           CAST(LEN(LIST_FILTER(v, x -> x > 0)) AS INTEGER) AS n_positive,
+           LEN(LIST_FILTER(v, x -> x > 2.0)) > 0 AS has_large,
+           FLOOR(LIST_MIN(v) * 1000000.0 + 0.5) / 1000000.0 AS comp_min,
+           FLOOR(LIST_MAX(v) * 1000000.0 + 0.5) / 1000000.0 AS comp_max
     FROM e
 """
