@@ -137,6 +137,41 @@ def deterministic_shuffle(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list[Column],
+    n_shards: int,
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Curriculum training order: shard assignment stays the salted
+    key hash (reproducible, leak-free across epochs like
+    ``deterministic_shuffle``), but WITHIN each shard rows are ordered
+    by the caller's curriculum criterion (e.g. quality descending —
+    easy/clean examples first) instead of the hash. The common middle
+    ground between fully random order and a global quality sort: a
+    global sort would put all hard examples in the last shards (and
+    serialize on one partition at 100 TB); hash-sharding first keeps
+    every shard a uniform sample of the corpus while the curriculum
+    applies locally.
+
+    Caller contract: ``order_by`` + the key columns must be a total
+    order (pass deterministic tiebreakers) — otherwise ``pos`` is
+    partition-order luck. Same single-exchange shape as
+    ``deterministic_shuffle``.
+    """
+    h = hash60(F.concat_ws("_", F.lit(salt), *_key_parts(key_cols)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        *order_by, *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_cols: list[str],

@@ -243,6 +243,50 @@ def q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.select("doc_id", "lang", "token_count", "quality_score")
 
 
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (operators/sampling.py
+    curriculum_order): hash-sharded like shuffle_corpus, but within
+    each shard documents run quality-descending (clean examples
+    first) with deterministic tiebreaks."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    return curriculum_order(
+        docs,
+        ["doc_id"],
+        [F.col("quality_score").desc(), F.col("token_count").desc()],
+        SHUFFLE_SHARDS,
+    ).select("doc_id", "quality_score", "shard", "pos")
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report — the summary a data-curation run
+    prints at the end: doc/token totals, mean quality (exact rational,
+    rounded once), exact-duplicate count, and the quality-filter pass
+    rate. Every input relation is an already-oracle-checked operator;
+    the report is their scalar rollup (map-side partial aggregation
+    into a single-row combine — driver-sized at any corpus scale)."""
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    dup = F.count(F.lit(1)) - F.count_distinct(F.sha2(F.lower(F.trim(F.col("text"))), 256))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("token_count").cast("bigint").alias("total_tokens"),
+        # integer micro-units: quality_score is a 1e-6 multiple, so the
+        # inner FLOOR recovers exact ints — the SUM is order-independent
+        # (double sums are not), and only ONE double division remains
+        F.expr(
+            "FLOOR(CAST(SUM(CAST(FLOOR(quality_score * 1000000.0D + 0.5D) AS BIGINT))"
+            " AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5D) / 1000000.0D"
+        ).alias("mean_quality"),
+        dup.cast("bigint").alias("n_exact_dups"),
+        F.sum(
+            F.when(F.col("quality_score") >= QUALITY_MIN, 1).otherwise(0)
+        ).cast("bigint").alias("n_pass_quality"),
+    )
+
+
 def q_corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE pretraining-data pipeline as one declarative plan:
     quality filter -> exact-dedup keep-first -> benchmark
@@ -368,6 +412,8 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "training_corpus": q_training_corpus,
     "corpus_pipeline_full": q_corpus_pipeline_full,
+    "curriculum_order": q_curriculum_order,
+    "corpus_report": q_corpus_report,
 }
 
 
@@ -867,4 +913,64 @@ ORACLES["corpus_pipeline_full"] = f"""
            CAST(LEN(toks[chunk_start : chunk_start + {CHUNK_TOKENS} - 1])
                 AS BIGINT) AS n_chunk_tokens
     FROM s
+"""
+
+# Same shard hash as shuffle_corpus (salt 'curriculum'); within-shard
+# order is (quality desc, token_count desc, doc_id) — a total order.
+ORACLES["curriculum_order"] = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               LEN(STRING_SPLIT(text, ' ')) AS token_count,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                               w -> w IN ({_STOP_SQL}))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, token_count,
+               FLOOR((LEAST(1.0, token_count / 100.0)
+                      * (1.0 - n_stop * 1.0 / token_count)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS quality_score
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, quality_score, token_count,
+               CAST(CAST(CONCAT('0x', SUBSTR(SHA256(CONCAT_WS('_', 'curriculum',
+                   CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                   % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+        FROM q
+    )
+    SELECT doc_id, quality_score, shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shard
+               ORDER BY quality_score DESC, token_count DESC, doc_id ASC
+           ) AS BIGINT) AS pos
+    FROM s
+"""
+
+# Scalar rollup of already-checked relations; micro-unit mean.
+ORACLES["corpus_report"] = f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               LEN(STRING_SPLIT(text, ' ')) AS token_count,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                               w -> w IN ({_STOP_SQL}))) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, text, token_count,
+               FLOOR((LEAST(1.0, token_count / 100.0)
+                      * (1.0 - n_stop * 1.0 / token_count)) * 1000000.0 + 0.5)
+                   / 1000000.0 AS quality_score
+        FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(token_count) AS BIGINT) AS total_tokens,
+           FLOOR(CAST(SUM(CAST(FLOOR(quality_score * 1000000.0 + 0.5) AS BIGINT))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1000000.0
+               AS mean_quality,
+           CAST(COUNT(*) - COUNT(DISTINCT SHA256(LOWER(TRIM(text)))) AS BIGINT)
+               AS n_exact_dups,
+           CAST(SUM(CASE WHEN quality_score >= {QUALITY_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass_quality
+    FROM q
 """
