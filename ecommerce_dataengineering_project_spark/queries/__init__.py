@@ -152,6 +152,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_similarity,
         ext_stats,
         ext_text,
+        ext_timeseries,
         ml_queries,
         streaming_queries,
     )
@@ -167,6 +168,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_similarity,
         ext_stats,
         ext_text,
+        ext_timeseries,
         ml_queries,
         streaming_queries,
     ):

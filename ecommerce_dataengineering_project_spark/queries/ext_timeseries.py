@@ -1,0 +1,110 @@
+"""Time-series / BI queries (operators/timeseries.py): calendar
+gap-fill with forward fill, last-touch attribution, fixed-width
+histogram. All three fully oracle-checked.
+
+Reference parity: the reference's analytics layer is the per-day
+revenue rollup (``dbt/models/daily_sales.sql``); these extend it with
+the dense-calendar, attribution, and distribution shapes a warehouse
+user layers on top of exactly that rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
+from ecommerce_dataengineering_project_spark.operators.timeseries import (
+    daily_revenue,
+    gapfill_daily,
+    histogram_fixed,
+    last_touch_attribution,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+N_BINS = 20
+
+
+def q_gapfill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return gapfill_daily(daily_revenue(orders))
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(events)
+
+
+def q_revenue_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram_fixed(orders, "o_totalprice", N_BINS)
+
+
+QUERIES = {
+    "gapfill_daily_revenue": q_gapfill_daily_revenue,
+    "attribution_last_touch": q_attribution_last_touch,
+    "revenue_histogram": q_revenue_histogram,
+}
+
+ORACLES = {
+    "gapfill_daily_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {sql_round_half_up('SUM(o_totalprice)', 2)} AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        spine AS (
+            SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        )
+        SELECT s.day,
+               COALESCE(d.revenue, 0.0) AS revenue,
+               COALESCE(d.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               LAST_VALUE(d.revenue IGNORE NULLS) OVER (
+                   ORDER BY s.day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS carry_revenue,
+               (d.n_orders IS NULL) AS is_gap
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    "attribution_last_touch": f"""
+        WITH touched AS (
+            SELECT event_type, value,
+                   LAST_VALUE(
+                       CASE WHEN event_type <> 'purchase' THEN event_type END
+                       IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_touch
+            FROM events
+        )
+        SELECT COALESCE(last_touch, 'direct') AS channel,
+               {sql_round_half_up('SUM(value)', 2)} AS attributed_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    "revenue_histogram": f"""
+        WITH bounds AS (
+            SELECT MIN(o_totalprice) AS lo,
+                   (MAX(o_totalprice) - MIN(o_totalprice)) / {float(N_BINS)}
+                       AS width
+            FROM orders
+        ),
+        binned AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - lo) / width)
+                       AS INTEGER), 0), {N_BINS - 1}) AS bin,
+                   lo + LEAST(GREATEST(CAST(FLOOR((o_totalprice - lo) / width)
+                       AS INTEGER), 0), {N_BINS - 1}) * width AS bin_lo,
+                   o_totalprice AS v
+            FROM orders CROSS JOIN bounds
+        )
+        SELECT CAST(bin AS INTEGER) AS bin, bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {sql_round_half_up('SUM(v)', 2)} AS sum_value
+        FROM binned GROUP BY 1, 2
+    """,
+}

@@ -36,6 +36,7 @@ _BNLJ_OK = {
     "heavy_hitter_tokens",  # 1-row total-err scalar attach onto KB sketch state
     "rfm_segments",  # 1-row global-max-date scalar attach
     "mixture_sample",  # 1-row corpus-total scalar attach onto per-stratum counts
+    "revenue_histogram",  # 1-row (lo, width) bounds scalar attach
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
