@@ -150,6 +150,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_dedup,
         ext_multimodal,
         ext_similarity,
+        ext_search,
         ext_stats,
         ext_text,
         ext_timeseries,
@@ -166,6 +167,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_dedup,
         ext_multimodal,
         ext_similarity,
+        ext_search,
         ext_stats,
         ext_text,
         ext_timeseries,

@@ -37,6 +37,7 @@ _BNLJ_OK = {
     "rfm_segments",  # 1-row global-max-date scalar attach
     "mixture_sample",  # 1-row corpus-total scalar attach onto per-stratum counts
     "revenue_histogram",  # 1-row (lo, width) bounds scalar attach
+    "inverted_index",  # 1-row n_docs scalar attach for the df band
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
