@@ -152,6 +152,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_similarity,
         ext_search,
         ext_stats,
+        ext_storage,
         ext_text,
         ext_timeseries,
         ml_queries,
@@ -169,6 +170,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_similarity,
         ext_search,
         ext_stats,
+        ext_storage,
         ext_text,
         ext_timeseries,
         ml_queries,

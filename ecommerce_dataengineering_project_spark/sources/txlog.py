@@ -1,0 +1,126 @@
+"""Minimal parquet transaction log: versioned snapshots, atomic
+commits, time travel, and rollback — the *semantics* of the
+reference's Delta/Iceberg tables (streaming_consumer.py:81-88,
+delta_to_iceberg.py:44-52) on plain parquet, since neither format's
+jars exist in this environment (see ``DELTA_PROBE.md``).
+
+Design (a deliberately tiny Delta-log shape):
+- ``<root>/data/c<version>/part-*.parquet`` — each commit's data files,
+  written *before* the commit is published.
+- ``<root>/_txlog/v<version>.json`` — one manifest per version listing
+  every data file visible in that snapshot (full-snapshot manifests,
+  not deltas: O(files) per commit, O(1) resolution at read time).
+- Publishing = write manifest to a temp name + ``os.rename`` — atomic
+  on POSIX, so a reader never observes a partial commit; a crash
+  between data write and rename leaves an *unreferenced* data dir,
+  invisible to every reader (same guarantee Delta gets from its log).
+
+At 100 TB the manifest would list lake-relative paths exactly as here;
+only the listing itself would move into the engine's catalog. Readers
+pass explicit file lists to ``spark.read.parquet`` so partition pruning
+and pushdown behave identically to a plain scan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecommerce_dataengineering_project_spark.sources.readers import normalize_ntz
+
+_LOG_DIR = "_txlog"
+
+
+class TxTable:
+    """Single-writer versioned parquet table with snapshot reads."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+
+    # ------------------------------------------------------------- log
+    def versions(self) -> list[int]:
+        log = os.path.join(self.root, _LOG_DIR)
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(log)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.root, _LOG_DIR, f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def _publish(self, version: int, files: list[str], action: str) -> int:
+        """Atomic commit: manifest written to a temp name, then renamed
+        into the log. The rename is the commit point."""
+        log = os.path.join(self.root, _LOG_DIR)
+        final = os.path.join(log, f"v{version}.json")
+        if os.path.exists(final):
+            raise RuntimeError(
+                f"concurrent commit detected: version {version} already exists"
+            )
+        tmp = os.path.join(log, f".v{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "action": action, "files": sorted(files)}, fh)
+        os.rename(tmp, final)
+        return version
+
+    # ----------------------------------------------------------- write
+    def _write_commit_data(self, df: DataFrame, version: int) -> list[str]:
+        data_dir = os.path.join(self.root, "data", f"c{version}")
+        # Single-writer recovery: an existing dir for an *unpublished*
+        # version is a crashed commit's orphan (no manifest references
+        # it — see module docstring), so reclaim it.
+        if os.path.exists(data_dir) and version not in self.versions():
+            shutil.rmtree(data_dir)
+        df.write.mode("errorifexists").parquet(data_dir)
+        rel = os.path.join("data", f"c{version}")
+        return [
+            os.path.join(rel, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        ]
+
+    def append(self, df: DataFrame) -> int:
+        vs = self.versions()
+        version = (vs[-1] + 1) if vs else 1
+        prev = self._manifest(vs[-1])["files"] if vs else []
+        new_files = self._write_commit_data(df, version)
+        return self._publish(version, prev + new_files, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        vs = self.versions()
+        version = (vs[-1] + 1) if vs else 1
+        new_files = self._write_commit_data(df, version)
+        return self._publish(version, new_files, "overwrite")
+
+    def rollback(self, to_version: int) -> int:
+        """Roll-forward rollback: publish a NEW version whose file list
+        is the old snapshot's — history is never rewritten, exactly like
+        Delta's RESTORE."""
+        old = self._manifest(to_version)
+        vs = self.versions()
+        return self._publish(vs[-1] + 1, old["files"], f"rollback:{to_version}")
+
+    # ------------------------------------------------------------ read
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        v = vs[-1] if version is None else version
+        files = [os.path.join(self.root, f) for f in self._manifest(v)["files"]]
+        if not files:
+            raise FileNotFoundError(f"version {v} of {self.root} lists no files")
+        return normalize_ntz(spark.read.parquet(*files))
+
+
+def recreate(root: str) -> TxTable:
+    """Fresh table at ``root`` (drops any prior state) — test/staging
+    helper so repeated query runs are idempotent."""
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    return TxTable(root)

@@ -1,0 +1,92 @@
+"""Transaction-log semantics (sources/txlog.py): atomic publish,
+snapshot isolation, append vs overwrite, rollback-as-roll-forward, and
+invisibility of unreferenced (crashed) data."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from ecommerce_dataengineering_project_spark.sources.txlog import TxTable, recreate
+from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return recreate(str(tmp_path / "t"))
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 2 AS v")
+
+
+def test_append_accumulates_and_time_travels(spark, table):
+    v1 = table.append(_df(spark, 0, 10))
+    v2 = table.append(_df(spark, 10, 15))
+    assert (v1, v2) == (1, 2)
+    assert table.read(spark).count() == 15  # latest
+    assert table.read(spark, version=1).count() == 10  # snapshot
+    assert sorted(r.id for r in table.read(spark, version=1).collect()) == list(
+        range(10)
+    )
+
+
+def test_overwrite_replaces_snapshot_history_survives(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 103))
+    assert sorted(r.id for r in table.read(spark).collect()) == [100, 101, 102]
+    # version 1 still reads the pre-overwrite rows
+    assert table.read(spark, version=1).count() == 10
+
+
+def test_rollback_rolls_forward(spark, table):
+    table.append(_df(spark, 0, 10))
+    table.append(_df(spark, 10, 20))
+    v3 = table.rollback(1)
+    assert v3 == 3
+    assert table.read(spark).count() == 10
+    # history untouched: v2 still shows 20 rows
+    assert table.read(spark, version=2).count() == 20
+    assert table._manifest(3)["action"] == "rollback:1"
+
+
+def test_unreferenced_data_is_invisible(spark, table):
+    """A crash after writing data but before the manifest rename leaves
+    a data dir no reader can see."""
+    table.append(_df(spark, 0, 10))
+    # simulate the crash: data for "version 2" lands, no manifest
+    orphan = _df(spark, 900, 950)
+    orphan.write.parquet(os.path.join(table.root, "data", "c2"))
+    assert table.versions() == [1]
+    assert table.read(spark).count() == 10
+    # the next real commit reclaims the orphan dir (single-writer
+    # recovery) — the orphan's rows never surface
+    table.append(_df(spark, 10, 20))
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(20))
+
+
+def test_publish_refuses_duplicate_version(spark, table):
+    table.append(_df(spark, 0, 5))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        table._publish(1, [], "append")
+
+
+def test_no_partial_manifest_visible(spark, table):
+    """Temp manifests (pre-rename) are never listed as versions."""
+    table.append(_df(spark, 0, 5))
+    tmp = os.path.join(table.root, "_txlog", ".v9.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": 9, "files": []}, fh)
+    assert table.versions() == [1]
+
+
+def test_recreate_is_idempotent(spark):
+    root = os.path.join(TMP_ROOT, "txlog", "idempotent-test")
+    t1 = recreate(root)
+    t1.append(_df(spark, 0, 3))
+    t2 = recreate(root)
+    assert t2.versions() == []
+    t2.append(_df(spark, 0, 4))
+    assert t2.read(spark).count() == 4
