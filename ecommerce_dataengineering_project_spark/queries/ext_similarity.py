@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.operators.similarity import (
     NUM_PLANES,
+    arrow_quantized_norms,
     SEED_MOD,
     SEED_MULT,
     brute_force_topk,
@@ -142,8 +143,18 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2j's third UDF arm — raw-Arrow ``mapInArrow`` (no pandas
+    materialization) computing the quantized squared norm of every
+    embedding; integer arithmetic makes it oracle-exact (see
+    operators/similarity.py arrow_quantized_norms)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return arrow_quantized_norms(emb)
+
+
 QUERIES = {
     "array_functions": q_array_functions,
+    "mapinarrow_norms": q_mapinarrow_norms,
     "project_embeddings": q_project_embeddings,
     "similarity_topk": q_similarity_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -385,4 +396,18 @@ ORACLES["array_functions"] = """
            FLOOR(LIST_MIN(v) * 1000000.0 + 0.5) / 1000000.0 AS comp_min,
            FLOOR(LIST_MAX(v) * 1000000.0 + 0.5) / 1000000.0 AS comp_max
     FROM e
+"""
+
+
+# Integer arithmetic end-to-end (float32->float64 widening is exact,
+# one IEEE multiply+floor per component, then integer squares/sums), so
+# the mapInArrow result hash-matches exactly.
+ORACLES["mapinarrow_norms"] = """
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dims,
+           CAST(LIST_SUM(LIST_TRANSFORM(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)))
+               AS BIGINT) AS norm_q
+    FROM embeddings
 """

@@ -54,12 +54,14 @@ _PYTHON_OK = {
     "dedup_embedding_cosine",
     "heavy_hitter_tokens",  # mapInPandas MG partition summaries
     "chunk_documents_udtf",  # ArrowEvalPythonUDTF — the §2j UDTF arm
+    "mapinarrow_norms",  # raw-Arrow mapInArrow — the §2j third arm
 }
 
 _PY_NODES = (
     "ArrowEvalPython",
     "BatchEvalPython",
     "MapInPandas",
+    "MapInArrow",
     "FlatMapGroupsInPandas",
 )
 
