@@ -148,6 +148,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dq_queries,
         ext_commerce,
         ext_dedup,
+        ext_graph,
         ext_multimodal,
         ext_similarity,
         ext_search,
@@ -166,6 +167,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dq_queries,
         ext_commerce,
         ext_dedup,
+        ext_graph,
         ext_multimodal,
         ext_similarity,
         ext_search,
