@@ -1,0 +1,51 @@
+"""Change-data-capture apply: the full MERGE semantics the reference
+gets from Delta (``MERGE ... WHEN MATCHED UPDATE / DELETE / WHEN NOT
+MATCHED INSERT``, streaming_consumer.py:81-88) as one declarative
+batch operator — including DELETEs, which the upsert-only
+``sources/maintenance.merge_upsert`` deliberately does not model.
+
+Semantics: ``changes`` is a CDC feed ``(key..., seq, op, payload...)``
+with ``op ∈ {'I','U','D'}``. Per key, the highest ``seq`` wins (ties
+broken by op descending — 'U' > 'I' > 'D' ordering never matters for
+well-formed feeds, but the tiebreak keeps degenerate inputs
+deterministic). The result is:
+
+- base rows whose key has NO change row: untouched (pass through the
+  anti-join without a rewrite);
+- keys whose winning op is I/U: the change's payload (insert-or-update
+  — upsert);
+- keys whose winning op is D: dropped.
+
+Scale shape: one exchange on the key for the winner window, one
+key-keyed anti-join + the upsert union — Spark broadcasts the change
+side automatically when a micro-batch is small, which is the streaming
+foreachBatch case. History is never rescanned; only the base snapshot
+and the new feed move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC feed to a base snapshot (see module docstring)."""
+    payload_cols = [c for c in base.columns]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    untouched = base.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(*payload_cols)
+    return untouched.unionByName(upserts)

@@ -85,3 +85,70 @@ ORACLES = {
         WHERE doc_id % {BIN_MOD} = 0
     """,
 }
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE semantics (operators/cdc.py apply_cdc) — the Delta
+    ``WHEN MATCHED UPDATE / DELETE / WHEN NOT MATCHED INSERT`` loop the
+    upsert-only merge can't model. The feed is derived from orders:
+    seq-1 price updates for every 5th key, seq-2 DELETES for every 10th
+    (overriding half the updates — latest-wins is exercised, not
+    assumed), and brand-new insert keys for every 7th."""
+    from ecommerce_dataengineering_project_spark.operators.cdc import apply_cdc
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = orders.columns
+    u1 = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        *[c for c in cols if c != "o_totalprice"],
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+    ).select(*cols).withColumn("seq", F.lit(1)).withColumn("op", F.lit("U"))
+    d2 = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select(*cols)
+        .withColumn("seq", F.lit(2))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + F.lit(100000000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ).withColumn("seq", F.lit(1)).withColumn("op", F.lit("I"))
+    changes = u1.unionByName(d2).unionByName(ins)
+    return apply_cdc(orders, changes, ["o_orderkey"])
+
+
+QUERIES["cdc_apply"] = q_cdc_apply
+
+ORACLES["cdc_apply"] = """
+    WITH changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderdate, o_orderpriority, 1 AS seq, 'U' AS op
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 2 AS seq, 'D' AS op
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 1 AS seq, 'I' AS op
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    latest AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+            FROM changes) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           b.o_orderdate, b.o_orderpriority
+    FROM orders b ANTI JOIN latest l ON b.o_orderkey = l.o_orderkey
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM latest WHERE op <> 'D'
+"""

@@ -681,3 +681,43 @@ from ecommerce_dataengineering_project_spark.queries.ext_commerce import (  # no
 )
 
 ORACLES["stream_scd2_dim"] = _COMMERCE_ORACLES["scd2_customer_dim"]
+
+
+def q_stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/K4 with a REAL atomic commit per micro-batch: each batch of
+    the bounded event replay appends to the parquet transaction log
+    (sources/txlog.py) — manifest-rename publication closes the
+    non-atomicity window `merge_upsert_path` documents, giving the
+    exactly-Delta-shaped streaming loop (data files first, atomic log
+    entry second, readers only ever see committed snapshots). The
+    final snapshot is the whole replayed stream, which the oracle
+    checks against the source table; version count == batch count is
+    pinned in tests/test_txlog.py's streaming twin below the query
+    layer (each append is one snapshot)."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        TMP_ROOT,
+        run_bounded_foreach,
+    )
+
+    src = _events_source(spark, sf_dir, n_flush=0)
+    name = f"txlog_append_{_sf_key(sf_dir)}"
+    table = recreate(os.path.join(TMP_ROOT, "streams", name, "table"))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("event_id", "user_id", "ts", "event_type", "value")
+        if batch.isEmpty():
+            return
+        table.append(batch)
+
+    run_bounded_foreach(spark, name, None, lambda s: s, commit, source=src)
+    return table.read(spark)
+
+
+QUERIES["stream_txlog_append"] = q_stream_txlog_append
+
+ORACLES["stream_txlog_append"] = """
+    SELECT event_id, user_id, ts, event_type, value FROM events
+"""

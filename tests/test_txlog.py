@@ -90,3 +90,25 @@ def test_recreate_is_idempotent(spark):
     assert t2.versions() == []
     t2.append(_df(spark, 0, 4))
     assert t2.read(spark).count() == 4
+
+
+def test_stream_txlog_append_one_version_per_batch(spark):
+    """The streaming loop commits exactly one snapshot per non-empty
+    micro-batch (3 staged event-time ranges -> 3 versions), and every
+    intermediate snapshot is a prefix of the replay."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.queries.streaming_queries import (
+        q_stream_txlog_append,
+        _sf_key,
+    )
+    from ecommerce_dataengineering_project_spark.sources.txlog import TxTable
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    final = q_stream_txlog_append(spark, sf_dir)
+    root = os.path.join(TMP_ROOT, "streams", f"txlog_append_{_sf_key(sf_dir)}", "table")
+    table = TxTable(root)
+    assert table.versions() == [1, 2, 3]
+    counts = [table.read(spark, v).count() for v in table.versions()]
+    assert counts == sorted(counts)  # monotone growth
+    assert counts[-1] == final.count()
