@@ -1047,3 +1047,37 @@ ORACLES = {
         FROM w WHERE rn = 1
     """,
 }
+
+
+# One ANSI string, two engines: the SQL front door is exercised with
+# the IDENTICAL text DuckDB runs as the oracle (shipping-priority
+# shape: unshipped-revenue top-10 with a deterministic tiebreak;
+# half-up rounding spelled as FLOOR(x*100+0.5)/100 because both
+# engines implement that formula identically, unlike their round()).
+_SQL_API_TEXT = """
+    SELECT l_orderkey,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+"""
+
+
+def q_sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `spark.sql` entry point (the API arm every DataFrame query
+    here deliberately does NOT use): temp views + one ANSI statement,
+    run verbatim by both engines. Catalyst plans it identically to the
+    DataFrame formulation — same pushdown, same broadcast decisions —
+    which is the point: SQL users of the engine lose nothing."""
+    for t in ("orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_TEXT)
+
+
+QUERIES["sql_shipping_priority"] = q_sql_shipping_priority
+ORACLES["sql_shipping_priority"] = _SQL_API_TEXT
