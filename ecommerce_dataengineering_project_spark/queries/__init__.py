@@ -65,7 +65,12 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode",
     # text analysis
     "text_stats",
-    "tfidf_top_terms",
+    # r5 second-session rotation: X8 term scoring stays repped by
+    # bm25_search (green r4); tfidf_top_terms (green r1-r4, locally
+    # oracle-checked at three SFs) cedes its slot to the snapshot/
+    # time-travel read — the K3/K4 table-format semantics now proven
+    # at value level on the new parquet transaction log.
+    "time_travel_read",
     # r5 late rotation: the five-stage corpus pipeline (quality ->
     # dedup -> decontaminate -> leak-free split -> chunk) supersedes
     # training_corpus's X9 slot — a strict superset of that query's
@@ -84,7 +89,11 @@ PRIORITY: tuple[str, ...] = (
     # stream_inventory_restock as its hash-checked representative, and
     # the LLM context-prep chunker is a first-class shape with no
     # in-cap stand-in.
-    "chunk_documents",
+    # r5 second-session rotation: the chunker keeps in-cap evidence
+    # through chunk_documents_udtf (row-for-row equal, shares the
+    # oracle); the freed slot goes to the new iterative-graph family
+    # (integer-exact PageRank, oracle-unrolled CTEs).
+    "pagerank_copurchase",
     # r5 rotation (VERDICT r4 item 3): eight shapes with zero driver
     # evidence swapped in for long-green same-SURVEY-row variants
     # (language_id/token_counts shared X4 with text_stats +
@@ -97,7 +106,11 @@ PRIORITY: tuple[str, ...] = (
     # locally oracle-checked at three SFs.
     "pii_scrub",
     "doc_repetition",
-    "ngram_repetition",
+    # r5 second-session rotation: repetition filters stay repped by
+    # doc_repetition (same family); ngram_repetition (locally
+    # oracle-checked at three SFs) cedes its slot to cdc_apply — the
+    # first driver check of full MERGE semantics incl. DELETEs.
+    "cdc_apply",
     "segment_overlap_exact",
     "pack_training_bins",
     # r5 late rotation: the dbt-test layer report (zero evidence, new

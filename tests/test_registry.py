@@ -37,11 +37,11 @@ def test_priority_covers_every_operator_family():
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
-    for name in ("text_stats", "tfidf_top_terms",
+    for name in ("text_stats", "bm25_search",
                  "corpus_pipeline_full", "similarity_topk", "skew_salted_agg",
                  "exact_distinct_quantiles",
                  # r5 rotation: first driver evidence for these shapes
-                 "pii_scrub", "doc_repetition", "ngram_repetition",
+                 "pii_scrub", "doc_repetition",
                  "segment_overlap_exact", "pack_training_bins",
                  "quantize_embeddings", "ann_ivf_topk",
                  # r5 new first-class operators, fully oracle-checked
@@ -51,7 +51,12 @@ def test_priority_covers_every_operator_family():
                  # shuffle_corpus / stream_dedup_watermarked, all green
                  # in r4 and still locally oracle-checked)
                  "dq_checks", "chunk_documents_udtf",
-                 "stream_static_enrich"):
+                 "stream_static_enrich",
+                 # r5 second-session rotation: three new first-class
+                 # families into the cap (X8 keeps bm25_search, the
+                 # chunker keeps chunk_documents_udtf, repetition keeps
+                 # doc_repetition)
+                 "time_travel_read", "pagerank_copurchase", "cdc_apply"):
         assert name in PRIORITY
 
 
