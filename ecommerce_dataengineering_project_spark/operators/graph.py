@@ -72,7 +72,10 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     und = edges.select("a", "b").unionAll(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds every iteration's rank rebuild AND the adjacency —
+    # without the persist each iteration would recompute the full
+    # edge derivation (at sf0.1 that tripled the runtime)
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
     adj = und.join(deg, "a").persist()
     ranks = deg.select(F.col("a").alias("node"), F.lit(SCALE).cast("bigint").alias("rank"))
     for _ in range(iterations):
