@@ -243,3 +243,75 @@ def decayed_daily_revenue(
     return smoothed.join(daily.select("day", "revenue"), "day").select(
         "day", "revenue", "decayed_revenue", "days_in_window"
     )
+
+
+def item_item_recs(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Item-item collaborative filtering: top-``k`` recommendations per
+    item by binary cosine over the order universe —
+    ``sim(a,b) = co_orders(a,b) / sqrt(orders(a) * orders(b))``.
+
+    Same one-exchange basket-array shape as :func:`basket_pairs` (the
+    pair explode never self-joins lineitem); item order-counts come off
+    the same persisted basket relation; similarity is ranked AFTER
+    cents-style rounding so the deterministic ``(sim DESC, rec ASC)``
+    order is identical in any engine. All inputs to the one
+    double-division are exact integers, and sqrt is a single IEEE op —
+    oracle-exact at 6 decimals.
+    """
+    baskets = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
+    ).persist()
+    item_counts = baskets.select(F.explode("items").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (x, i) -> "
+                    "transform(slice(items, i + 2, size(items)), "
+                    "y -> named_struct('a', x, 'b', y))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.a", "pr.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), F.col("support")
+        )
+    )
+    ia = item_counts.select(F.col("p").alias("a"), F.col("c").alias("ca"))
+    ib = item_counts.select(F.col("p").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            "a",
+            "b",
+            "support",
+            round_half_up(
+                F.col("support") / F.sqrt(F.col("ca") * F.col("cb")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.col("sim").desc(), F.col("b").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.col("a").alias("item"),
+            F.col("b").alias("rec"),
+            "support",
+            "sim",
+        )
+    )

@@ -97,3 +97,49 @@ ORACLES = {
                           WHERE o.o_orderkey = l.l_orderkey)
     """,
 }
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (the stats an optimizer or a
+    data catalog collects): per-column null count + exact NDV for every
+    orders column, in ONE scan — the multi-count-distinct aggregate
+    plans as a single pass (Spark's expand strategy), never one scan
+    per column; the stack() unpivot is map-only on the 1-row result."""
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"n_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"d_{c}"))
+    one = orders.agg(*aggs)
+    stack = ", ".join(f"'{c}', n_{c}, d_{c}" for c in _PROFILE_COLS)
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack}) "
+            "AS (col_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+QUERIES["table_profile"] = q_table_profile
+
+ORACLES["table_profile"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders"""
+    for c in _PROFILE_COLS
+)

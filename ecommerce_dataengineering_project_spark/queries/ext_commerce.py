@@ -284,3 +284,45 @@ ORACLES["pit_join_orders"] = f"""
      AND (d.effective_to IS NULL
           OR CAST(o.o_orderdate AS DATE) < d.effective_to)
 """
+
+
+def q_item_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (operators/commerce.py
+    item_item_recs): top-5 recommendations per part by binary cosine
+    over the order universe, ranked after 6-dp rounding so the order is
+    engine-identical."""
+    from ecommerce_dataengineering_project_spark.operators.commerce import (
+        item_item_recs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_item_recs(li, min_support=MIN_SUPPORT, k=5)
+
+
+QUERIES["item_recommendations"] = q_item_recommendations
+
+ORACLES["item_recommendations"] = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+    pairs AS (
+        SELECT x.p AS a, y.p AS b, CAST(COUNT(*) AS BIGINT) AS support
+        FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    sym AS (
+        SELECT a, b, support FROM pairs
+        UNION ALL SELECT b AS a, a AS b, support FROM pairs
+    ),
+    scored AS (
+        SELECT s.a, s.b, s.support,
+               FLOOR(s.support / SQRT(ia.c * ib.c) * 1000000.0 + 0.5)
+                   / 1000000.0 AS sim
+        FROM sym s JOIN ic ia ON s.a = ia.p JOIN ic ib ON s.b = ib.p
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY a ORDER BY sim DESC, b ASC) AS rn
+        FROM scored
+    )
+    SELECT a AS item, b AS rec, support, sim FROM ranked WHERE rn <= 5
+"""

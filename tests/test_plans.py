@@ -225,3 +225,74 @@ def test_corpus_pipeline_exchange_budget(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "Reused" not in ln
     ]
     assert len(shuffles) <= 4, shuffles
+
+
+def test_inverted_index_single_token_exchange(spark, sf_dir):
+    """The df window and the postings groupBy must share ONE
+    hash exchange on the token key (the bounded-state design in
+    operators/search.py); a second token shuffle would mean the
+    groupBy lost the window's partitioning."""
+    from ecommerce_dataengineering_project_spark.queries.ext_search import (
+        q_inverted_index,
+    )
+
+    plan = _plan(q_inverted_index(spark, sf_dir))
+    token_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(token" in ln and "Reused" not in ln
+    ]
+    assert len(token_ex) == 1, plan
+
+
+def test_bigram_lm_two_exchanges(spark, sf_dir):
+    """Map-side pair windows -> pair-count shuffle -> w1 window: two
+    hash exchanges total, no self-join."""
+    from ecommerce_dataengineering_project_spark.queries.ext_search import (
+        q_bigram_lm,
+    )
+
+    plan = _plan(q_bigram_lm(spark, sf_dir))
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(ex) == 2, plan
+    assert "SortMergeJoin" not in plan and "Cartesian" not in plan
+
+
+def test_item_recs_no_lineitem_self_join(spark, sf_dir):
+    """Pair generation must be the basket-array explode — the naive
+    formulation shows up as a sort-merge self-join on the order key."""
+    from ecommerce_dataengineering_project_spark.queries.ext_commerce import (
+        q_item_recommendations,
+    )
+
+    plan = _plan(q_item_recommendations(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """The 12-metric profile must plan as ONE pass over orders (the
+    expand strategy), not one scan per column."""
+    from ecommerce_dataengineering_project_spark.queries.dq_queries import (
+        q_table_profile,
+    )
+
+    plan = _plan(q_table_profile(spark, sf_dir))
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert len(scans) == 1, plan
+
+
+def test_gapfill_window_on_spine_not_facts(spark, sf_dir):
+    """The forward-fill window runs on the date-cardinality spine: the
+    orders scan feeds an aggregate BEFORE any window, and the spine
+    join is broadcast."""
+    from ecommerce_dataengineering_project_spark.queries.ext_timeseries import (
+        q_gapfill_daily_revenue,
+    )
+
+    plan = _plan(q_gapfill_daily_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan
