@@ -107,7 +107,17 @@ class TxTable:
         return self._publish(vs[-1] + 1, old["files"], f"rollback:{to_version}")
 
     # ------------------------------------------------------------ read
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Snapshot read. ``merge_schema=True`` is the schema-evolution
+        path: commits may add columns over time, and the union schema is
+        reconciled at read (parquet ``mergeSchema``) with missing
+        columns null-filled — additive evolution exactly like Delta's
+        ``mergeSchema`` writes."""
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no commits in {self.root}")
@@ -115,7 +125,10 @@ class TxTable:
         files = [os.path.join(self.root, f) for f in self._manifest(v)["files"]]
         if not files:
             raise FileNotFoundError(f"version {v} of {self.root} lists no files")
-        return normalize_ntz(spark.read.parquet(*files))
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return normalize_ntz(reader.parquet(*files))
 
 
 def recreate(root: str) -> TxTable:
@@ -124,3 +137,37 @@ def recreate(root: str) -> TxTable:
     if os.path.exists(root):
         shutil.rmtree(root)
     return TxTable(root)
+
+
+def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:
+    """Delta-style VACUUM: drop data files referenced ONLY by versions
+    older than the newest ``keep_versions`` manifests, plus any orphan
+    files no manifest references at all. Returns the deleted paths.
+
+    Old manifests stay in the log (history is metadata-cheap); reading
+    a vacuumed version raises on the missing files — exactly Delta's
+    behavior after its retention window. Deletion order is safe under
+    a concurrent reader of a *kept* version: kept files are never
+    touched, and the manifest set is snapshotted before any unlink.
+    """
+    vs = table.versions()
+    if not vs:
+        return []
+    kept = vs[-keep_versions:]
+    keep_files = set()
+    for v in kept:
+        keep_files.update(table._manifest(v)["files"])
+    deleted = []
+    data_root = os.path.join(table.root, "data")
+    if not os.path.isdir(data_root):
+        return []
+    for commit_dir in sorted(os.listdir(data_root)):
+        cdir = os.path.join(data_root, commit_dir)
+        for f in sorted(os.listdir(cdir)):
+            rel = os.path.join("data", commit_dir, f)
+            if f.endswith(".parquet") and rel not in keep_files:
+                os.remove(os.path.join(cdir, f))
+                deleted.append(rel)
+        if not os.listdir(cdir):
+            os.rmdir(cdir)
+    return deleted

@@ -112,3 +112,38 @@ def test_stream_txlog_append_one_version_per_batch(spark):
     counts = [table.read(spark, v).count() for v in table.versions()]
     assert counts == sorted(counts)  # monotone growth
     assert counts[-1] == final.count()
+
+
+def test_vacuum_retention(spark, table):
+    from ecommerce_dataengineering_project_spark.sources.txlog import vacuum
+
+    table.append(_df(spark, 0, 10))
+    table.overwrite(_df(spark, 100, 105))
+    table.append(_df(spark, 200, 203))
+    deleted = vacuum(table, keep_versions=2)
+    # v1's files are referenced only by v1 -> gone; v2+v3 share c2
+    assert deleted and all(d.startswith(os.path.join("data", "c1")) for d in deleted)
+    assert table.read(spark, 2).count() == 5
+    assert table.read(spark, 3).count() == 8
+    with pytest.raises(Exception):
+        table.read(spark, 1).count()
+
+
+def test_vacuum_removes_crash_orphans(spark, table):
+    from ecommerce_dataengineering_project_spark.sources.txlog import vacuum
+
+    table.append(_df(spark, 0, 5))
+    _df(spark, 900, 910).write.parquet(os.path.join(table.root, "data", "c9"))
+    deleted = vacuum(table, keep_versions=1)
+    assert all(d.startswith(os.path.join("data", "c9")) for d in deleted)
+    assert table.read(spark).count() == 5
+
+
+def test_schema_evolution_merge_read(spark, table):
+    table.append(_df(spark, 0, 5))
+    evolved = _df(spark, 5, 8).selectExpr("id", "v", "id * 10 AS extra")
+    table.append(evolved)
+    merged = table.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "extra"}
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows[0] is None and rows[7] == 70
