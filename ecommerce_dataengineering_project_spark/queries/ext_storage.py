@@ -157,3 +157,42 @@ ORACLES["cdc_apply"] = """
            o_orderdate, o_orderpriority
     FROM latest WHERE op <> 'D'
 """
+
+
+GEN_ROWS = 10_000
+
+
+def q_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's event producer as a custom Python DataSource
+    (sources/pyds.py): partition-parallel, Arrow-batched, and —
+    unlike the reference's ``random.random()`` producer — derived from
+    overflow-free integer-hash arithmetic, so DuckDB reproduces every
+    generated row from RANGE() and the source itself is hash-checked."""
+    from ecommerce_dataengineering_project_spark.sources import pyds
+
+    pyds.register(spark)
+    return (
+        spark.read.format("ecommerce_events")
+        .option("rows", GEN_ROWS)
+        .option("partitions", 8)
+        .load()
+    )
+
+
+QUERIES["generator_source"] = q_generator_source
+
+ORACLES["generator_source"] = f"""
+    WITH ids AS (SELECT UNNEST(RANGE(0, {GEN_ROWS})) AS event_id),
+    h AS (
+        SELECT event_id,
+               ((event_id % 999983) * 1000003) % 999983 AS h
+        FROM ids
+    )
+    SELECT event_id,
+           h % 1000 AS user_id,
+           CASE ((h // 1000) % 5)
+               WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'cart'
+               WHEN 3 THEN 'purchase' ELSE 'refund' END AS event_type,
+           h % 100000 AS amount_cents
+    FROM h
+"""

@@ -1,0 +1,86 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+the reference's event *producer* (pipeline/generator/producer.py —
+random purchase events pushed to Kafka at ~2/s) re-expressed as a
+first-class, partition-parallel engine source.
+
+Two deliberate design points:
+
+1. **Deterministic generation.** Every field derives from the event id
+   through overflow-free integer-hash arithmetic (the seeded-centroid
+   trick from operators/similarity.py: reduce mod M *before*
+   multiplying), so the source is reproducible row-for-row by ANY
+   engine evaluating the same arithmetic — which is what lets a
+   generated table be oracle-checked against DuckDB's ``RANGE()``.
+   The reference's producer uses ``random.random()``; determinism is
+   the engine-grade upgrade (replayable backfills, diffable tests).
+
+2. **Arrow batches, not Python rows.** ``read()`` yields one pyarrow
+   RecordBatch per partition computed vectorized in numpy — the Python
+   DataSource API's fast path. Still Python-mediated, so this source
+   is for generation/testing scale (millions of rows), not a 100 TB
+   scan path; real ingest stays on the native parquet/Kafka sources.
+
+Partition split is the standard ``[i*n/P, (i+1)*n/P)`` range shard —
+P independent tasks, no coordination, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+HASH_MOD = 999983
+HASH_MULT = 1000003
+EVENT_TYPES = ("view", "click", "cart", "purchase", "refund")
+USER_MOD = 1000
+CENTS_MOD = 100_000
+
+
+class EcommerceEventsDataSource(DataSource):
+    """``spark.read.format("ecommerce_events").option("rows", n)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ecommerce_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, user_id bigint, event_type string, "
+            "amount_cents bigint"
+        )
+
+    def reader(self, schema) -> "EcommerceEventsReader":
+        return EcommerceEventsReader(self.options)
+
+
+class EcommerceEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.parts = int(options.get("partitions", 4))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.parts)]
+
+    def read(self, partition):
+        import numpy as np
+        import pyarrow as pa
+
+        i = partition.value
+        lo = i * self.rows // self.parts
+        hi = (i + 1) * self.rows // self.parts
+        ids = np.arange(lo, hi, dtype=np.int64)
+        h = ((ids % HASH_MOD) * HASH_MULT) % HASH_MOD
+        types = np.array(EVENT_TYPES, dtype=object)[(h // USER_MOD) % len(EVENT_TYPES)]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(h % USER_MOD, pa.int64()),
+                pa.array(types, pa.string()),
+                pa.array(h % CENTS_MOD, pa.int64()),
+            ],
+            names=["event_id", "user_id", "event_type", "amount_cents"],
+        )
+
+
+def register(spark) -> None:
+    """Idempotent registration (re-registering replaces the entry)."""
+    spark.dataSource.register(EcommerceEventsDataSource)
