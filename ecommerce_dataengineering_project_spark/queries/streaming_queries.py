@@ -721,3 +721,71 @@ QUERIES["stream_txlog_append"] = q_stream_txlog_append
 ORACLES["stream_txlog_append"] = """
     SELECT event_id, user_id, ts, event_type, value FROM events
 """
+
+
+GEN_STREAM_ROWS = 5_000
+GEN_STREAM_BATCH = 1_000
+
+
+def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 via the Spark 4 Python streaming DataSource API: the
+    deterministic event generator (sources/pyds.py) consumed as a REAL
+    custom streaming source — position offsets, checkpointed progress,
+    `readBetweenOffsets` replay — not a file-staged stand-in.
+
+    availableNow snapshots only the offsets already prefetched at
+    start, so the bounded drain restarts the query on the RETAINED
+    checkpoint until the sink holds every row: each restart resumes
+    from the last committed offset, which exercises exactly the
+    recovery path a crashed ingest job takes. Generation is
+    integer-hash deterministic, so the final sink is hash-checked
+    against DuckDB's RANGE()."""
+    import os
+    import shutil
+
+    from ecommerce_dataengineering_project_spark.sources import pyds
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    pyds.register(spark)
+    base = os.path.join(TMP_ROOT, "streams", f"gen_ingest_{_sf_key(sf_dir)}")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+
+    stream = (
+        spark.readStream.format("ecommerce_events")
+        .option("batchRows", GEN_STREAM_BATCH)
+        .option("maxRows", GEN_STREAM_ROWS)
+        .load()
+    )
+    # ceil(rows/batch) restarts + 1 no-op pass; each is one availableNow drain
+    for _ in range(GEN_STREAM_ROWS // GEN_STREAM_BATCH + 1):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if spark.read.parquet(sink).count() >= GEN_STREAM_ROWS:
+            break
+    return spark.read.parquet(sink)
+
+
+QUERIES["stream_generator_ingest"] = q_stream_generator_ingest
+
+ORACLES["stream_generator_ingest"] = f"""
+    WITH ids AS (SELECT UNNEST(RANGE(0, {GEN_STREAM_ROWS})) AS event_id),
+    h AS (
+        SELECT event_id,
+               ((event_id % 999983) * 1000003) % 999983 AS h
+        FROM ids
+    )
+    SELECT event_id,
+           h % 1000 AS user_id,
+           CASE ((h // 1000) % 5)
+               WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'cart'
+               WHEN 3 THEN 'purchase' ELSE 'refund' END AS event_type,
+           h % 100000 AS amount_cents
+    FROM h
+"""

@@ -26,7 +26,12 @@ P independent tasks, no coordination, no driver materialization.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 HASH_MOD = 999983
 HASH_MULT = 1000003
@@ -50,6 +55,9 @@ class EcommerceEventsDataSource(DataSource):
 
     def reader(self, schema) -> "EcommerceEventsReader":
         return EcommerceEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "EcommerceEventsStreamReader":
+        return EcommerceEventsStreamReader(self.options)
 
 
 class EcommerceEventsReader(DataSourceReader):
@@ -84,3 +92,46 @@ class EcommerceEventsReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration (re-registering replaces the entry)."""
     spark.dataSource.register(EcommerceEventsDataSource)
+
+
+class EcommerceEventsStreamReader(SimpleDataSourceStreamReader):
+    """Bounded deterministic event stream: offsets are plain row
+    positions, each micro-batch advances by ``batchRows`` until
+    ``maxRows`` — a replayable, exactly-once Kafka stand-in (the
+    ``readBetweenOffsets`` replay path re-derives the identical rows
+    from the offset range, which is what checkpoint recovery calls).
+    """
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batchRows", 1000))
+        self.max_rows = int(options.get("maxRows", 5000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        if pos >= self.max_rows:
+            return iter([]), start
+        end = min(pos + self.batch_rows, self.max_rows)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(int(start["pos"]), int(end["pos"]))
+
+    def _rows(self, lo: int, hi: int):
+        # a LIST iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator for replay, and generators aren't
+        # copyable (TypeError: cannot pickle 'generator' object)
+        out = []
+        for i in range(lo, hi):
+            h = ((i % HASH_MOD) * HASH_MULT) % HASH_MOD
+            out.append(
+                (
+                    i,
+                    h % USER_MOD,
+                    EVENT_TYPES[(h // USER_MOD) % len(EVENT_TYPES)],
+                    h % CENTS_MOD,
+                )
+            )
+        return iter(out)
