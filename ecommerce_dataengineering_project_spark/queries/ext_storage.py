@@ -174,7 +174,7 @@ def q_generator_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.format("ecommerce_events")
         .option("rows", GEN_ROWS)
-        .option("partitions", 8)
+        .option("partitions", 4)
         .load()
     )
 

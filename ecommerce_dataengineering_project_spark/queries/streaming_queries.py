@@ -723,7 +723,7 @@ ORACLES["stream_txlog_append"] = """
 """
 
 
-GEN_STREAM_ROWS = 5_000
+GEN_STREAM_ROWS = 3_000
 GEN_STREAM_BATCH = 1_000
 
 
