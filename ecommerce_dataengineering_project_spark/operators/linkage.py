@@ -1,0 +1,82 @@
+"""Record linkage / entity resolution: blocked fuzzy matching on
+string keys — the classic dedupe-candidates shape (same family as the
+MinHash near-dup layer, but edit-distance semantics on short entity
+names rather than shingle overlap on documents).
+
+Scale shape: candidate generation is a *blocked* self-join — never
+all-pairs. The block key is a cheap deterministic derivation of the
+name (here its last token); within-block pairs are quadratic in block
+size, which is the standard record-linkage trade: recall is bounded by
+the blocking function (two names whose block keys differ are never
+compared — e.g. a typo in the last token escapes this blocking), and
+cost is bounded by the largest block. Production multi-key blocking
+(noun + length band + first char, unioned) slots into ``block_fn``
+unchanged. Both sides scan the same relation, so Spark plans ONE
+exchange on the block key and reuses it for the probe side.
+
+Exactness: Levenshtein with unit costs is engine-portable (Spark's
+``levenshtein`` and DuckDB's ``LEVENSHTEIN`` agree on every pair), and
+the nearest-neighbor pick orders by ``(dist ASC, key_b ASC)`` — fully
+deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _last_token(col: str) -> Column:
+    return F.element_at(F.split(F.col(col), " "), -1)
+
+
+def fuzzy_nearest(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_dist: int = 2,
+    block_fn: Callable[[str], Column] = _last_token,
+) -> DataFrame:
+    """Nearest fuzzy neighbor per row: within each block, join rows
+    pairwise (``key_a < key_b`` once, then symmetrized so every row can
+    surface a neighbor), keep edit distance in ``[1, max_dist]``
+    (0 = exact duplicate — the exact-dedup operator's job, excluded
+    here), and return each key's single best match.
+    """
+    p = df.select(
+        F.col(key_col).alias("key"),
+        F.col(name_col).alias("name"),
+        block_fn(name_col).alias("blk"),
+    )
+    a = p.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "blk")
+    b = p.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "blk")
+    pairs = (
+        a.join(b, "blk")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("key_b").alias("key_a"),
+            F.col("key_a").alias("key_b"),
+            F.col("name_b").alias("name_a"),
+            F.col("name_a").alias("name_b"),
+            "dist",
+        )
+    )
+    w = Window.partitionBy("key_a").orderBy(F.col("dist").asc(), F.col("key_b").asc())
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("key_a").alias("key"),
+            F.col("name_a").alias("name"),
+            F.col("key_b").alias("nearest_key"),
+            F.col("name_b").alias("nearest_name"),
+            "dist",
+        )
+    )

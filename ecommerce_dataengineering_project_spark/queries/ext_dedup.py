@@ -575,3 +575,47 @@ ORACLES["dedup_incremental_minhash"] = f"""
     LEFT JOIN bh ON bh.doc_id = d.doc_id
     WHERE d.doc_id % 2 <> 0
 """
+
+
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): nearest edit-distance
+    neighbor per part name under last-token blocking — the entity-
+    resolution sibling of the shingle-based near-dup layer, with an
+    exact engine-portable metric (unit-cost Levenshtein)."""
+    from ecommerce_dataengineering_project_spark.operators.linkage import (
+        fuzzy_nearest,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_nearest(part, "p_partkey", "p_name", max_dist=2)
+
+
+QUERIES["fuzzy_name_matches"] = q_fuzzy_name_matches
+
+ORACLES["fuzzy_name_matches"] = """
+    WITH p AS (
+        SELECT p_partkey AS key, p_name AS name,
+               STRING_SPLIT(p_name, ' ')[-1] AS blk
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.key AS key_a, b.key AS key_b,
+               a.name AS name_a, b.name AS name_b,
+               CAST(LEVENSHTEIN(a.name, b.name) AS INTEGER) AS dist
+        FROM p a JOIN p b ON a.blk = b.blk AND a.key < b.key
+        WHERE LEVENSHTEIN(a.name, b.name) BETWEEN 1 AND 2
+    ),
+    sym AS (
+        SELECT key_a, key_b, name_a, name_b, dist FROM pairs
+        UNION ALL
+        SELECT key_b, key_a, name_b, name_a, dist FROM pairs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY key_a ORDER BY dist ASC, key_b ASC) AS rn
+        FROM sym
+    )
+    SELECT key_a AS key, name_a AS name, key_b AS nearest_key,
+           name_b AS nearest_name, dist
+    FROM ranked WHERE rn = 1
+"""
