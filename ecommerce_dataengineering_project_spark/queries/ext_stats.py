@@ -449,3 +449,85 @@ ORACLES = {
         FROM lineitem GROUP BY 1
     """,
 }
+
+
+PATH_LEN = 3
+PATH_TOP_K = 20
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the top starting event-type paths (first
+    PATH_LEN events of each gap-based session, '>'-joined) with session
+    counts — the path-analysis query a product team runs on exactly the
+    sessionize relation. Same one-exchange sessionization as
+    `sessionize_events`; path extraction sorts each session's (tiny)
+    struct array map-side, never a second window pass."""
+    from pyspark.sql import Window
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) > gap_us)
+    ).cast("int")
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.expr(
+                "transform(slice(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), 1, "
+                f"{PATH_LEN}), x -> x.event_type)"
+            ),
+        ).alias("path")
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOP_K)
+    )
+
+
+QUERIES["session_paths"] = q_session_paths
+
+ORACLES["session_paths"] = f"""
+    WITH o AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, event_id ASC) AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR DATE_DIFF('microsecond', prev_ts, ts)
+                            > {SESSION_GAP_MIN * 60 * 1000000}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+    ),
+    s AS (
+        SELECT *,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM m
+    ),
+    per_session AS (
+        SELECT user_id, session_seq,
+               ARRAY_TO_STRING(
+                   (LIST(event_type ORDER BY ts ASC, event_id ASC))[1:{PATH_LEN}],
+                   '>') AS path
+        FROM s GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM per_session
+    GROUP BY 1
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT {PATH_TOP_K}
+"""
