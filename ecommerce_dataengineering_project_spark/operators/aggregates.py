@@ -75,3 +75,43 @@ def dedup_keep_first(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def mergeable_partials(
+    df, day_col, amount_col, split_col=None
+):
+    """Per-day mergeable partial aggregates ``(day, psum, pcount)`` —
+    the stored state of an incrementally maintained daily rollup.
+    ``split_col`` (optional) keeps sub-day partials separate (e.g. one
+    partial per ingest batch), which is what makes refresh additive."""
+    from pyspark.sql import functions as F
+
+    keys = [F.to_date(day_col).alias("day")]
+    if split_col is not None:
+        keys.append(F.col(split_col))
+    return df.groupBy(*keys).agg(
+        F.sum(amount_col).alias("psum"),
+        F.count(F.lit(1)).alias("pcount"),
+    )
+
+
+def merge_partials(*partials):
+    """Merge partial-aggregate relations into the final rollup:
+    re-aggregation over partials only — the base FACT rows are never
+    rescanned, which is the entire point of incremental materialized-
+    view maintenance (at 100 TB the fact scan is the cost; partials
+    are date-cardinality). Sum/count are mergeable; the cents rounding
+    happens once, at the final boundary."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.functions.scalars import (
+        round_half_up,
+    )
+
+    all_p = reduce(lambda a, b: a.unionByName(b), [p.select("day", "psum", "pcount") for p in partials])
+    return all_p.groupBy("day").agg(
+        round_half_up(F.sum("psum"), 2).alias("revenue"),
+        F.sum("pcount").alias("n_orders"),
+    )

@@ -11,6 +11,7 @@ user layers on top of exactly that rollup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
 from ecommerce_dataengineering_project_spark.operators.timeseries import (
@@ -108,3 +109,35 @@ ORACLES = {
         FROM binned GROUP BY 1, 2
     """,
 }
+
+
+def q_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily-revenue
+    gold table kept fresh from mergeable partials. Orders are split by
+    key parity into a "historical base" and a "new batch" — every day
+    has rows in BOTH halves, so the refresh genuinely merges partial
+    states rather than appending disjoint days. The result must equal
+    (and the oracle IS) the full recompute over all orders; the refresh
+    path never rescans base facts, only date-cardinality partials."""
+    from ecommerce_dataengineering_project_spark.operators.aggregates import (
+        merge_partials,
+        mergeable_partials,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 2 == 0)
+    batch = orders.where(F.col("o_orderkey") % 2 == 1)
+    return merge_partials(
+        mergeable_partials(base, "o_orderdate", "o_totalprice"),
+        mergeable_partials(batch, "o_orderdate", "o_totalprice"),
+    )
+
+
+QUERIES["incremental_mv_refresh"] = q_incremental_mv_refresh
+
+ORACLES["incremental_mv_refresh"] = f"""
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           {sql_round_half_up('SUM(o_totalprice)', 2)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+"""
