@@ -82,3 +82,63 @@ ORACLES = {
         LIMIT {BIGRAM_K}
     """,
 }
+
+
+def q_doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-likelihood quality score (the KenLM-style heuristic with
+    the engine-portable twist): each document scored by the mean
+    corpus-wide frequency of its own bigrams. Counts are exact
+    integers; the one double division per doc is bit-identical in any
+    engine — no logs, whose libm rounding differs across engines.
+    Docs shorter than 2 tokens have no bigrams and drop out (the
+    quality filter handles those separately). Self-join-free: the
+    per-doc pair relation aggregates to counts and joins back on the
+    identical subplan, so Spark reuses the pair exchange."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("__toks"))
+    pair_windows = F.expr(
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS w1, "
+        "element_at(__toks, i + 1) AS w2))"
+    )
+    guarded = F.when(F.size("__toks") >= 2, pair_windows).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bg = toks.select("doc_id", F.explode(guarded).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    joined = bg.join(pc, ["w1", "w2"])
+    from ecommerce_dataengineering_project_spark.functions.scalars import (
+        round_half_up,
+    )
+
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        round_half_up(
+            F.sum("pair_count").cast("double") / F.count(F.lit(1)), 6
+        ).alias("familiarity"),
+    )
+
+
+QUERIES["doc_familiarity"] = q_doc_familiarity
+
+ORACLES["doc_familiarity"] = """
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0))) s(i)
+    ),
+    pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM bg GROUP BY 1, 2
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(CAST(SUM(p.pair_count) AS DOUBLE) / COUNT(*)
+                 * 1000000.0 + 0.5) / 1000000.0 AS familiarity
+    FROM bg b JOIN pc p ON b.w1 = p.w1 AND b.w2 = p.w2
+    GROUP BY 1
+"""
