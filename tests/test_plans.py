@@ -296,3 +296,33 @@ def test_gapfill_window_on_spine_not_facts(spark, sf_dir):
     plan = _plan(q_gapfill_daily_revenue(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a filter on the DIMENSION side must prune the partitioned
+    FACT's directories at runtime (the subquery-broadcast mechanism a
+    star join lives on at 100 TB — the fact's partition list is not
+    known until the dim filter runs)."""
+    fact_path = str(tmp_path / "fact_part")
+    fact = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") % 10).cast("int").alias("day_bucket"),
+    )
+    fact.write.partitionBy("day_bucket").parquet(fact_path)
+    # the filter is on a NON-partition dim column, so the matching fact
+    # partitions are unknowable until runtime — static pushdown can't
+    # help; only the DPP subquery can prune the scan
+    dim = spark.range(10).select(
+        F.col("id").cast("int").alias("day_bucket"),
+        F.concat(F.lit("d"), F.col("id")).alias("label"),
+    ).where(F.col("label") == "d3")
+    joined = (
+        spark.read.parquet(fact_path)
+        .join(dim, "day_bucket")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    assert [r.n for r in joined.collect()] == [1000]
