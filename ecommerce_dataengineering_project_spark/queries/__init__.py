@@ -30,7 +30,13 @@ PRIORITY: tuple[str, ...] = (
     "daily_sales",
     "fct_purchases",
     "total_purchase_producer",
-    "json_extract_events",
+    # r5 second-session rotation: P1-P4 (from_json parse/flatten)
+    # stays repped in-cap by stream_bronze_silver's streaming parse;
+    # json_extract_events (green r1-r4, locally oracle-checked) cedes
+    # its slot to the Python streaming DataSource ingest — S1 evidence
+    # for a real custom streaming source (offsets, checkpointed
+    # restart-resume, replay), not a file-staged stand-in.
+    "stream_generator_ingest",
     "asof_join_events",
     "incremental_watermark",
     "broadcast_enrich",
