@@ -974,3 +974,67 @@ ORACLES["corpus_report"] = f"""
                 AS BIGINT) AS n_pass_quality
     FROM q
 """
+
+
+PAD_BATCH = 32
+
+
+def q_padding_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference batching: docs sorted by token count and cut into
+    fixed-size batches, so each batch pads to a near-uniform length —
+    the length-bucketing every serving stack uses. Per batch: size,
+    max token length (the padded width), total real tokens, and the
+    padding waste fraction as one exact-integer-ratio double.
+
+    The global length order is a single ntile-style window on the
+    (doc_id-tiebroken) token count — it ranks the date-cardinality-like
+    scored relation, not raw text; at extreme scale the same contract
+    holds with a range-partitioned sort."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import (
+        round_half_up,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    batched = docs.withColumn(
+        "batch_id",
+        F.expr(f"(row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) - 1) "
+               f"div {PAD_BATCH}").cast("int"),
+    )
+    return batched.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("batch_size"),
+        F.max("n_tokens").alias("padded_len"),
+        F.sum("n_tokens").cast("bigint").alias("real_tokens"),
+        round_half_up(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.count(F.lit(1)) * F.max("n_tokens")).cast("double"),
+            6,
+        ).alias("pad_waste"),
+    )
+
+
+QUERIES["padding_batches"] = q_padding_batches
+
+ORACLES["padding_batches"] = f"""
+    WITH d AS (
+        SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER)
+                   AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT *, CAST((ROW_NUMBER() OVER (
+                   ORDER BY n_tokens ASC, doc_id ASC) - 1)
+                   // {PAD_BATCH} AS INTEGER) AS batch_id
+        FROM d
+    )
+    SELECT batch_id,
+           CAST(COUNT(*) AS BIGINT) AS batch_size,
+           MAX(n_tokens) AS padded_len,
+           CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+           FLOOR((1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                  / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pad_waste
+    FROM r GROUP BY 1
+"""
