@@ -757,8 +757,18 @@ def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxRows", GEN_STREAM_ROWS)
         .load()
     )
-    # ceil(rows/batch) restarts + 1 no-op pass; each is one availableNow drain
-    for _ in range(GEN_STREAM_ROWS // GEN_STREAM_BATCH + 1):
+    def _sink_rows() -> int:
+        # a drain pass that races the offset prefetcher can commit
+        # nothing — then the sink dir doesn't exist yet; that pass is
+        # a no-op, not an error, so count it as 0 and keep draining
+        try:
+            return spark.read.parquet(sink).count()
+        except Exception:
+            return 0
+
+    # ceil(rows/batch) productive drains, with headroom for no-op
+    # passes where availableNow snapshotted before the prefetch landed
+    for _ in range(2 * (GEN_STREAM_ROWS // GEN_STREAM_BATCH) + 4):
         q = (
             stream.writeStream.format("parquet")
             .option("path", sink)
@@ -767,7 +777,7 @@ def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(120)
-        if spark.read.parquet(sink).count() >= GEN_STREAM_ROWS:
+        if _sink_rows() >= GEN_STREAM_ROWS:
             break
     return spark.read.parquet(sink)
 
