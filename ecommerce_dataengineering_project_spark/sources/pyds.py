@@ -90,8 +90,42 @@ class EcommerceEventsReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Idempotent registration (re-registering replaces the entry)."""
-    spark.dataSource.register(EcommerceEventsDataSource)
+    """Idempotent, session-correct registration.
+
+    Spark 4.1 quirk (classic sessions): the public
+    ``spark.dataSource.register`` duplicate check fires JVM-wide, but
+    format *resolution* consults the session-local DataSourceManager —
+    so in a ``newSession()`` whose parent already registered, the
+    public path raises DATA_SOURCE_ALREADY_EXISTS while reads still
+    fail with DATA_SOURCE_NOT_FOUND. Handle both sides: no-op when the
+    session's own manager has the source, and on the
+    ALREADY_EXISTS/NOT_FOUND split register directly into the
+    session's manager (same ``UserDefinedPythonDataSource`` wrapping
+    the public path uses)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    name = EcommerceEventsDataSource.name()
+    try:
+        manager = spark._jsparkSession.sessionState().dataSourceManager()
+        if manager.dataSourceExists(name):
+            return
+    except Exception:
+        manager = None  # non-classic session: fall through to public path
+    try:
+        spark.dataSource.register(EcommerceEventsDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e) or manager is None:
+            raise
+        from pyspark.sql.udf import _wrap_function
+
+        sc = spark.sparkContext
+        wrapped = _wrap_function(sc, EcommerceEventsDataSource)
+        uds = getattr(
+            sc._jvm,
+            "org.apache.spark.sql.execution.datasources.v2.python."
+            "UserDefinedPythonDataSource",
+        )(wrapped)
+        manager.registerDataSource(name, uds)
 
 
 class EcommerceEventsStreamReader(SimpleDataSourceStreamReader):
