@@ -50,12 +50,33 @@ def fuzzy_nearest(
         F.col(name_col).alias("name"),
         block_fn(name_col).alias("blk"),
     )
-    a = p.select(F.col("key").alias("key_a"), F.col("name").alias("name_a"), "blk")
+    # The join's CPU lives in its OUTPUT (millions of edit-distance
+    # calls), while its shuffle INPUT (the entity table) is tiny — so a
+    # shuffle join gets AQE-coalesced to a couple of partitions and
+    # runs the pair generation nearly serially (measured: 38 s at
+    # sf0.1). Shape that parallelizes: explicitly repartition the
+    # probe side (a fixed count survives AQE) and BROADCAST the build
+    # side — every probe partition generates and prunes its block's
+    # pairs map-side, no shuffle keys to starve. Broadcast is right for
+    # catalog-sized entity tables; for a billion-entity table swap the
+    # build side to the salted-shuffle recipe in operators/skew.py.
+    n_tasks = 64
+    a = p.select(
+        F.col("key").alias("key_a"), F.col("name").alias("name_a"), "blk"
+    ).repartition(n_tasks)
     b = p.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "blk")
     pairs = (
-        a.join(b, "blk")
+        a.join(F.broadcast(b), "blk")
         .where(F.col("key_a") < F.col("key_b"))
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("int"))
+        # exact pre-prune: |len diff| > d implies dist > d — drops a
+        # large share of pairs before any edit-distance work
+        .where(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+        # thresholded levenshtein (Spark 3.5+ banded DP, -1 past the
+        # threshold) stops each comparison after d+1 band rows instead
+        # of filling the full matrix
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b", max_dist).cast("int")
+        )
         .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
         .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
