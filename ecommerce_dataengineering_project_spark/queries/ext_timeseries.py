@@ -141,3 +141,49 @@ ORACLES["incremental_mv_refresh"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_orders
     FROM orders GROUP BY 1
 """
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram — the optimizer-stats
+    twin of the fixed-width `revenue_histogram`: 20 ntile buckets of
+    order value with per-bucket bounds and mass. ntile's equal-split-
+    remainder-first semantics are standard SQL, and the (value, key)
+    tiebreak makes bucket assignment engine-identical. The global rank
+    runs on the per-order relation (same caveat + contract as
+    rfm_segments' ntiles)."""
+    from pyspark.sql import Window
+
+    from ecommerce_dataengineering_project_spark.functions.scalars import (
+        round_half_up,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("bucket", F.ntile(N_BINS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("sum_value"),
+        )
+    )
+
+
+QUERIES["equidepth_histogram"] = q_equidepth_histogram
+
+ORACLES["equidepth_histogram"] = f"""
+    WITH b AS (
+        SELECT o_totalprice,
+               NTILE({N_BINS}) OVER (
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+        FROM orders
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           {sql_round_half_up('SUM(o_totalprice)', 2)} AS sum_value
+    FROM b GROUP BY 1
+"""
