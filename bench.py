@@ -120,6 +120,19 @@ def main() -> None:
 
     _sq._events_source(spark, sf_dir, n_flush=2)
 
+    # Machine-noise calibration (VERDICT r5 item 7): a constant-cost
+    # pure-codegen query whose round-over-round drift quantifies
+    # co-tenant load, so suite inflation can be read against it instead
+    # of argued. Excluded from the suite total (it's not a workload).
+    def _calib_run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 20_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) as s", "count(*) as n"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    calib_runs = [_calib_run() for _ in range(max(repeats, 3))]
+
     suite_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -155,6 +168,8 @@ def main() -> None:
         "repeats": repeats,
         "queries": timings,
         "samples": samples,
+        "calib": {"median": round(statistics.median(calib_runs), 3),
+                  "best": min(calib_runs), "samples": calib_runs},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -174,6 +189,7 @@ def main() -> None:
         "queries": {
             n: [timings[n], best[n]] for n in HEADLINE if n in timings
         },
+        "__calib__": [round(statistics.median(calib_runs), 3), min(calib_runs)],
         "sf": full["sf"],
     }
     if errors:

@@ -17,6 +17,7 @@ expressed as broadcast(queries) x corpus — the corpus never shuffles.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -312,6 +313,23 @@ def fit_ivf_centroids(
             if len(members):
                 C[j] = members.mean(axis=0)
     return [list(map(float, c)) for c in C]
+
+
+def suggest_n_cells(
+    n_rows: int, min_cells: int = 4, max_cells: int = 4096
+) -> int:
+    """Cell-count rule for SemDeDup / IVF coarse quantizers: ~sqrt(n)
+    cells keeps expected per-cell occupancy ~sqrt(n), so total
+    intra-cell pair work stays ~n^1.5 instead of degrading back toward
+    n^2 as the corpus grows past a fixed cell count (VERDICT r5 #3).
+
+    Uses floor(IEEE-double sqrt) + clamp so a SQL oracle reproduces the
+    count exactly (``GREATEST(min, LEAST(max, CAST(FLOOR(SQRT(n)) AS
+    INT)))``). The ceiling exists because centroids ship as plan
+    literals — 4096 x 64 doubles is ~2 MB of plan, the practical limit
+    before a trained quantizer + broadcast join is the better shape.
+    """
+    return int(min(max_cells, max(min_cells, math.floor(math.sqrt(max(n_rows, 0))))))
 
 
 SEED_MULT = 1000003

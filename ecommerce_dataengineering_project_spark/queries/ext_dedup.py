@@ -187,7 +187,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=COSINE_THRESHOLD, dim=64)
 
 
-SEM_CELLS = 16
+# Cell count is DATA-derived (~sqrt(n), operators/similarity.py
+# suggest_n_cells) so per-cell occupancy stays ~sqrt(n) as the corpus
+# grows — a fixed count would degrade back toward per-cell O(n^2) at
+# 100x (VERDICT r5 #3). The oracle derives the same count in SQL.
+SEM_CELL_CLAMP = (4, 4096)
 _SEM_CENTROIDS: dict[str, list] = {}
 
 
@@ -200,11 +204,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
     from ecommerce_dataengineering_project_spark.operators.similarity import (
         seeded_centroids,
+        suggest_n_cells,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _SEM_CENTROIDS:
-        _SEM_CENTROIDS[sf_dir] = seeded_centroids(emb, SEM_CELLS)
+        lo, hi = SEM_CELL_CLAMP
+        n_cells = suggest_n_cells(emb.count(), min_cells=lo, max_cells=hi)
+        _SEM_CENTROIDS[sf_dir] = seeded_centroids(emb, n_cells)
     return semantic_dedup(
         emb, _SEM_CENTROIDS[sf_dir], threshold=COSINE_THRESHOLD
     )
@@ -443,7 +450,10 @@ ORACLES["semantic_dedup"] = f"""
                    LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
                        / 2.0 AS halfsq
             FROM n
-        ) WHERE cell < {SEM_CELLS}
+        ) WHERE cell < (SELECT GREATEST({SEM_CELL_CLAMP[0]},
+                            LEAST({SEM_CELL_CLAMP[1]},
+                                  CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER)))
+                        FROM embeddings)
     ),
     cell_scores AS (
         SELECT e.vec_id, c.cell,

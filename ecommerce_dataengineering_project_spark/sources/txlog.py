@@ -10,10 +10,15 @@ Design (a deliberately tiny Delta-log shape):
 - ``<root>/_txlog/v<version>.json`` — one manifest per version listing
   every data file visible in that snapshot (full-snapshot manifests,
   not deltas: O(files) per commit, O(1) resolution at read time).
-- Publishing = write manifest to a temp name + ``os.rename`` — atomic
-  on POSIX, so a reader never observes a partial commit; a crash
-  between data write and rename leaves an *unreferenced* data dir,
-  invisible to every reader (same guarantee Delta gets from its log).
+- Publishing = write manifest to a temp name + ``os.link`` to the
+  final name — atomic on POSIX AND exclusive (link fails with EEXIST
+  if the version was already published), so a reader never observes a
+  partial commit and two racing writers can never both win the same
+  version: the loser gets ``ConcurrentCommitError`` and must re-read
+  the latest snapshot and retry — exactly Delta's optimistic-
+  concurrency loop (its "win the N+1 log entry" rule on a
+  put-if-absent store). A crash between data write and publish leaves
+  an *unreferenced* data dir, invisible to every reader.
 
 At 100 TB the manifest would list lake-relative paths exactly as here;
 only the listing itself would move into the engine's catalog. Readers
@@ -26,12 +31,19 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ecommerce_dataengineering_project_spark.sources.readers import normalize_ntz
 
 _LOG_DIR = "_txlog"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency): the commit's data files are orphaned (invisible;
+    VACUUM collects them) and the writer should re-read + retry."""
 
 
 class TxTable:
@@ -55,30 +67,41 @@ class TxTable:
             return json.load(fh)
 
     def _publish(self, version: int, files: list[str], action: str) -> int:
-        """Atomic commit: manifest written to a temp name, then renamed
-        into the log. The rename is the commit point."""
+        """Atomic commit: manifest written to a temp name, then hard-
+        linked into the log. The link is the commit point AND the
+        conflict check in one syscall — ``os.rename`` would silently
+        overwrite a concurrent winner (check-then-rename has a TOCTOU
+        window), while ``os.link`` fails with EEXIST, giving true
+        compare-and-swap on the version number."""
         log = os.path.join(self.root, _LOG_DIR)
         final = os.path.join(log, f"v{version}.json")
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"concurrent commit detected: version {version} already exists"
-            )
-        tmp = os.path.join(log, f".v{version}.json.tmp")
+        tmp = os.path.join(log, f".v{version}.{os.getpid()}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump({"version": version, "action": action, "files": sorted(files)}, fh)
-        os.rename(tmp, final)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {version} was committed by another writer; "
+                "re-read the latest snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     # ----------------------------------------------------------- write
     def _write_commit_data(self, df: DataFrame, version: int) -> list[str]:
-        data_dir = os.path.join(self.root, "data", f"c{version}")
-        # Single-writer recovery: an existing dir for an *unpublished*
-        # version is a crashed commit's orphan (no manifest references
-        # it — see module docstring), so reclaim it.
-        if os.path.exists(data_dir) and version not in self.versions():
-            shutil.rmtree(data_dir)
+        # Per-ATTEMPT staging dir (version + a unique token): two
+        # writers racing for the same version can never clobber each
+        # other's staged files, so the publish-time CAS is the only
+        # arbitration needed. A crashed or losing attempt's dir is
+        # unreferenced by any manifest — invisible to readers, and
+        # VACUUM collects it (Delta stages uniquely-named part files
+        # into the table dir for the same reason).
+        attempt = f"c{version}-{uuid.uuid4().hex[:12]}"
+        data_dir = os.path.join(self.root, "data", attempt)
         df.write.mode("errorifexists").parquet(data_dir)
-        rel = os.path.join("data", f"c{version}")
+        rel = os.path.join("data", attempt)
         return [
             os.path.join(rel, f)
             for f in os.listdir(data_dir)

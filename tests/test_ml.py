@@ -60,3 +60,23 @@ def test_anomaly_query_runs(spark, sf_dir):
     again = {r.purchase_date: r.anomaly_score for r in q_anomaly_isolation_forest(spark, sf_dir).collect()}
     for r in rows:
         assert again[r.purchase_date] == r.anomaly_score
+
+
+def test_distributed_scoring_matches_driver_side(spark, sf_dir):
+    """The broadcast-model mapInPandas arm (VERDICT r5 item 6) must be
+    row-for-row equal to the driver-side fit+score path — same forest,
+    same features, scoring moved executor-side for the case where the
+    scored relation is too large to collect."""
+    from ecommerce_dataengineering_project_spark.queries.ml_queries import (
+        q_anomaly_isolation_forest,
+        q_anomaly_scores_distributed,
+    )
+
+    drv = {
+        r.purchase_date: (r.anomaly_score, r.is_anomaly)
+        for r in q_anomaly_isolation_forest(spark, sf_dir).collect()
+    }
+    dist = q_anomaly_scores_distributed(spark, sf_dir).collect()
+    assert len(dist) == len(drv)
+    for r in dist:
+        assert drv[r.purchase_date] == (r.anomaly_score, r.is_anomaly)

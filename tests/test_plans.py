@@ -340,3 +340,7 @@ def test_fuzzy_match_broadcast_parallel(spark, sf_dir):
     plan = _plan(q_fuzzy_name_matches(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # the probe-side fan-out must track the session, not a constant
+    # that caps a 1000-executor cluster at local-mode widths
+    want = spark.sparkContext.defaultParallelism * 2
+    assert f"RoundRobinPartitioning({want}" in plan, plan

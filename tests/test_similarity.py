@@ -311,3 +311,29 @@ def test_projection_roughly_preserves_pairwise_distances(spark, sf_dir):
     # with Var(uniform[-1,1)) = 1/3, so the mean ratio must sit near k/3
     ratio = np.mean(np.array(d_p) / np.array(d_o))
     assert 0.7 * 8 / 3 < ratio < 1.3 * 8 / 3, f"biased estimator: {ratio:.3f}"
+
+
+def test_suggest_n_cells_bounds_occupancy_across_sf():
+    """SemDeDup cell-count rule (VERDICT r5 item 3): with ~sqrt(n)
+    cells, per-cell occupancy grows like sqrt(n) — NOT like n, which is
+    what a fixed cell count degrades to. Checked on the actual fixture
+    row counts (sf0.001/0.01: 500 embeddings, sf0.1: 2000)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        suggest_n_cells,
+    )
+
+    assert suggest_n_cells(0) == 4
+    assert suggest_n_cells(100) == 10
+    assert suggest_n_cells(10**9) == 4096  # plan-literal ceiling
+    for small, big in [(500, 2000), (500, 50_000_000), (2000, 2_000_000)]:
+        occ_small = small / suggest_n_cells(small)
+        occ_big = big / suggest_n_cells(big)
+        growth = big / small
+        # occupancy must grow at most ~sqrt(data growth) until the
+        # clamp kicks in, never linearly
+        import math
+
+        assert occ_big / occ_small <= math.sqrt(growth) * 1.05 or (
+            suggest_n_cells(big) == 4096
+        )
+        assert occ_big / occ_small < growth

@@ -9,7 +9,11 @@ import os
 
 import pytest
 
-from ecommerce_dataengineering_project_spark.sources.txlog import TxTable, recreate
+from ecommerce_dataengineering_project_spark.sources.txlog import (
+    ConcurrentCommitError,
+    TxTable,
+    recreate,
+)
 from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
 
 
@@ -53,24 +57,55 @@ def test_rollback_rolls_forward(spark, table):
 
 
 def test_unreferenced_data_is_invisible(spark, table):
-    """A crash after writing data but before the manifest rename leaves
-    a data dir no reader can see."""
+    """A crash after writing data but before the manifest publish
+    leaves a data dir no reader can see; VACUUM collects it."""
     table.append(_df(spark, 0, 10))
-    # simulate the crash: data for "version 2" lands, no manifest
+    # simulate the crash: staged data for "version 2" lands, no manifest
     orphan = _df(spark, 900, 950)
-    orphan.write.parquet(os.path.join(table.root, "data", "c2"))
+    orphan.write.parquet(os.path.join(table.root, "data", "c2-deadattempt"))
     assert table.versions() == [1]
     assert table.read(spark).count() == 10
-    # the next real commit reclaims the orphan dir (single-writer
-    # recovery) — the orphan's rows never surface
+    # later commits are unaffected by the orphan (per-attempt staging
+    # dirs never collide) and the orphan's rows never surface
     table.append(_df(spark, 10, 20))
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(20))
+    # VACUUM with full history retention still collects the orphan
+    # (referenced by no manifest at all)
+    from ecommerce_dataengineering_project_spark.sources.txlog import vacuum
+
+    deleted = vacuum(table, keep_versions=len(table.versions()))
+    assert all("c2-deadattempt" in p for p in deleted) and deleted
     assert sorted(r.id for r in table.read(spark).collect()) == list(range(20))
 
 
 def test_publish_refuses_duplicate_version(spark, table):
     table.append(_df(spark, 0, 5))
-    with pytest.raises(RuntimeError, match="concurrent commit"):
+    with pytest.raises(ConcurrentCommitError, match="another writer"):
         table._publish(1, [], "append")
+
+
+def test_two_writers_cannot_both_win_a_version(spark, tmp_path):
+    """Optimistic concurrency (VERDICT r5 item 8): two handles on the
+    same root race for version 2 — the link CAS lets exactly one win;
+    the loser raises, its staged rows stay invisible, and its retry
+    lands as version 3 on the fresh snapshot."""
+    root = str(tmp_path / "race")
+    w1, w2 = TxTable(root), TxTable(root)
+    assert w1.append(_df(spark, 0, 10)) == 1
+    # both writers have read v1 and stage data for v2; w2's data lands
+    # on disk but w1 publishes first
+    loser_files = w2._write_commit_data(_df(spark, 500, 505), 2)
+    assert w1.append(_df(spark, 10, 20)) == 2
+    with pytest.raises(ConcurrentCommitError, match="version 2"):
+        w2._publish(2, w2._manifest(1)["files"] + loser_files, "append")
+    # the losing commit's rows never surface in any snapshot
+    assert sorted(r.id for r in w2.read(spark).collect()) == list(range(20))
+    # retry against the refreshed snapshot wins version 3 and keeps
+    # BOTH winners' rows
+    assert w2.append(_df(spark, 20, 25)) == 3
+    assert sorted(r.id for r in w1.read(spark).collect()) == list(range(25))
+    # the log never contains a torn or duplicate manifest
+    assert w1.versions() == [1, 2, 3]
 
 
 def test_no_partial_manifest_visible(spark, table):
