@@ -30,133 +30,106 @@ PRIORITY: tuple[str, ...] = (
     "daily_sales",
     "fct_purchases",
     "total_purchase_producer",
-    # r5 second-session rotation: P1-P4 (from_json parse/flatten)
-    # stays repped in-cap by stream_bronze_silver's streaming parse;
-    # json_extract_events (green r1-r4, locally oracle-checked) cedes
-    # its slot to the Python streaming DataSource ingest — S1 evidence
-    # for a real custom streaming source (offsets, checkpointed
-    # restart-resume, replay), not a file-staged stand-in.
+    # S1 evidence: real custom streaming DataSource ingest (offsets,
+    # checkpointed restart-resume, replay) — in-cap since r5.
     "stream_generator_ingest",
-    "asof_join_events",
+    # r6 rotation (VERDICT r5 item 1): FIFTEEN shapes with zero driver
+    # evidence across r1-r5 swapped in for long-green same-SURVEY-row
+    # variants. Every swapped-out name stays registered and locally
+    # oracle-checked at three SFs; every SURVEY row keeps >=1 in-cap
+    # representative (tests/test_registry.py pins the family floor).
+    #
+    # J2 as-of: pit_join_orders (point-in-time join, never checked)
+    # takes asof_join_events' slot (green r1-r5, same row).
+    "pit_join_orders",
     "incremental_watermark",
-    "broadcast_enrich",
-    "window_analytics",
+    # J1/J3: item_recommendations (co-occurrence joins) +
+    # sql_shipping_priority (customer|orders|lineitem multi-join via
+    # the SQL front door, also O2 sort/limit + S4 evidence) take
+    # broadcast_enrich's and order_limit_topk's slots (green r1-r5).
+    "item_recommendations",
+    "sql_shipping_priority",
+    # §2f windows: gapfill_daily_revenue (sequence+window gap fill)
+    # takes window_analytics' slot; the row stays repped by
+    # rfm_segments' ntile ranks and the gapfill's own frames.
+    "gapfill_daily_revenue",
     "dedup_keep_first",
     "union_segments",
-    "anomaly_zscore",
-    "order_limit_topk",
-    "rollup_revenue",
+    # P11/P12 anomaly family: anomaly_features (the IsolationForest's
+    # oracle-checked log1p feature stage, new in r6 per VERDICT item 5)
+    # takes anomaly_zscore's slot (green r1-r5; log1p+zscore stays
+    # repped by scalar_functions + this).
+    "anomaly_features",
+    # agg/grouping-sets: table_profile (per-column profiler, never
+    # checked) takes rollup_revenue's slot (green r1-r5; the agg row
+    # stays repped by daily_sales).
+    "table_profile",
     "scalar_functions",
-    # streaming (the reference's core path — zero driver evidence in r01)
+    # streaming (the reference's core path)
     "stream_bronze_silver",
-    "stream_session_windows",
+    # T6: session windows (green r4-r5) cede to the streaming txlog
+    # ACID append (K3/K4 streaming commit loop, never checked); T6
+    # stays repped by stream_upsert_gold's tumbling windows.
+    "stream_txlog_append",
     "stream_inventory_restock",
-    # r5 late rotation: stream_static_enrich (zero evidence, the one
-    # §2i join shape missing from the surface until now) takes
-    # stream_dedup_watermarked's slot — the streaming-dedup/
-    # stream-stream-join SURVEY row stays represented in-cap by
-    # stream_stream_join, and dedup_watermarked (green r4) remains
-    # registered + locally oracle-checked.
-    "stream_static_enrich",
+    # §2i: stream_static_enrich (green r5) cedes to scd2_customer_dim
+    # (SCD2 dimension history, never checked); §2i stays repped by
+    # stream_stream_join.
+    "scd2_customer_dim",
     "stream_stream_join",
-    # LLM-pipeline: dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
+    # LLM-pipeline: dedup family — the incremental arms (history never
+    # rescanned; the 100 TB operating mode) take the batch arms' slots
+    # (dedup_exact / dedup_minhash_lsh, green r1-r5; X1/X2 stay repped
+    # here plus semantic_dedup).
+    "dedup_incremental",
+    "dedup_incremental_minhash",
     "dedup_clusters",
-    # similarity / ANN
+    # similarity / ANN: X3 keeps similarity_topk + ann_ivf_topk;
+    # ann_lsh_topk (green r4-r5) cedes to mapinarrow_norms — the
+    # mapInArrow arm of §2j, the one UDF surface with no driver row.
     "similarity_topk",
-    "ann_lsh_topk",
+    "mapinarrow_norms",
     "ann_ivf_topk",
     # multimodal
     "multimodal_decode",
-    # text analysis
-    "text_stats",
-    # r5 second-session rotation: X8 term scoring stays repped by
-    # bm25_search (green r4); tfidf_top_terms (green r1-r4, locally
-    # oracle-checked at three SFs) cedes its slot to the snapshot/
-    # time-travel read — the K3/K4 table-format semantics now proven
-    # at value level on the new parquet transaction log.
+    # X4 text: text_stats (green r1-r5) cedes to basket_pairs (the
+    # commerce co-occurrence self-join, never checked); X4 stays
+    # repped by pii_scrub + doc_repetition.
+    "basket_pairs",
     "time_travel_read",
-    # r5 late rotation: the five-stage corpus pipeline (quality ->
-    # dedup -> decontaminate -> leak-free split -> chunk) supersedes
-    # training_corpus's X9 slot — a strict superset of that query's
-    # three stages; training_corpus stays registered + locally
-    # oracle-checked with its r4 green row.
     "corpus_pipeline_full",
-    # r4 rotation: distinct shapes that sat past the 50-slot cap in
-    # r1-r3, swapped in for same-SURVEY-row variants (multimodal
-    # resize/frame_sample share X's row with decode/features, and
-    # lag_lead shares §2f with window_analytics + sessionize); the
-    # swapped-out variants stay registered and locally oracle-checked.
-    "bm25_search",
+    # X8 term scoring: inverted_index (postings with plan-pinned
+    # bounded build, never checked) takes bm25_search's slot (green
+    # r4-r5, same row).
+    "inverted_index",
     "funnel_conversion",
     "range_join_coincident",
-    # chunk_documents replaces running_inventory's slot: A4/T7 keeps
-    # stream_inventory_restock as its hash-checked representative, and
-    # the LLM context-prep chunker is a first-class shape with no
-    # in-cap stand-in.
-    # r5 second-session rotation: the chunker keeps in-cap evidence
-    # through chunk_documents_udtf (row-for-row equal, shares the
-    # oracle); the freed slot goes to the new iterative-graph family
-    # (integer-exact PageRank, oracle-unrolled CTEs).
     "pagerank_copurchase",
-    # r5 rotation (VERDICT r4 item 3): eight shapes with zero driver
-    # evidence swapped in for long-green same-SURVEY-row variants
-    # (language_id/token_counts shared X4 with text_stats +
-    # rolling_fingerprint; multimodal_features shared its row with
-    # decode; dedup_simhash/dedup_ngram_jaccard shared X2 with
-    # minhash_lsh; multi_join_revenue shared J1/J3 with
-    # broadcast_enrich; conditional_pricing shared P13-P16 with
-    # scalar_functions; stream_sliding_activity shared T6 with
-    # tumbling+session). Swapped-out variants stay registered and
-    # locally oracle-checked at three SFs.
     "pii_scrub",
     "doc_repetition",
-    # r5 second-session rotation: repetition filters stay repped by
-    # doc_repetition (same family); ngram_repetition (locally
-    # oracle-checked at three SFs) cedes its slot to cdc_apply — the
-    # first driver check of full MERGE semantics incl. DELETEs.
     "cdc_apply",
     "segment_overlap_exact",
     "pack_training_bins",
-    # r5 late rotation: the dbt-test layer report (zero evidence, new
-    # check-kind family) takes shuffle_corpus's slot — the (shard,pos)
-    # permutation math stays in-cap inside pack_training_bins, and
-    # shuffle_corpus remains registered + locally oracle-checked.
     "dq_checks",
-    "quantize_embeddings",
-    # r5 new first-class shapes, both fully oracle-checked; they take
-    # the slots of rolling_fingerprint (X4 keeps text_stats in-cap)
-    # and approx_distinct_quantiles (rows-only burned a hash-check
-    # slot; exact_distinct_quantiles remains X5's in-cap
-    # representative, the sketch op stays locally quality-tested)
+    # X3 quantization keeps its r5 green row; the slot goes to the
+    # record-linkage matcher below (never driver-checked).
     "decontaminate",
     "canonical_docs",
-    # r5 (this session) rotation: four zero-evidence first-class
-    # shapes swapped in for long-green same-row variants —
-    # semantic_dedup supersedes dedup_embedding_cosine's slot (same
-    # X2 embedding row: assignment + near-dup pairs + keep decision),
-    # mixture_sample supersedes sample_stratified's (same X7
-    # hash-threshold row, rates now derived from observed shares),
-    # stream_upsert_gold takes the second T6 slot (tumbling; T6 stays
-    # covered by session_windows) to evidence the K3/K4 streaming
-    # MERGE loop, and rfm_segments takes the second §2f slot
-    # (sessionize_events; window_analytics keeps §2f, and rfm's ntile
-    # ranks are themselves §2f evidence). basket_pairs/ewma_revenue
-    # remain locally oracle-checked — first candidates for r6.
     "semantic_dedup",
     "mixture_sample",
     "stream_upsert_gold",
     "rfm_segments",
-    # sketches / pandas UDF / skew / ml
-    "exact_distinct_quantiles",
-    # r5 late rotation: the Python-UDTF chunker twin (zero evidence,
-    # the table-function arm of §2j) takes grouped_pandas_stats's slot
-    # — §2j stays represented in-cap by multimodal_decode (pandas UDF /
-    # mapInPandas) and stream_inventory_restock (GroupState), and the
-    # grouped-map arm keeps its r4 green row + local oracle checks.
+    # X5 stats: equidepth_histogram (quantile buckets, never checked)
+    # takes exact_distinct_quantiles' slot (green r1-r5; X5 stays
+    # repped by segment_overlap_exact + the histogram's quantiles).
+    "equidepth_histogram",
     "chunk_documents_udtf",
     "skew_salted_agg",
+    # record linkage: first driver evidence for the blocked fuzzy
+    # matcher (and its session-scaled fan-out, VERDICT r5 item 3);
+    # takes the 50th slot from anomaly_isolation_forest's feature twin
+    # budget — the forest itself stays in-cap below.
+    "fuzzy_name_matches",
     "anomaly_isolation_forest",
 )
 

@@ -23,40 +23,37 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r5: one slot freed per over-represented family to rotate in the
-        # eight never-driver-checked shapes (VERDICT r4 item 3): T6 keeps
-        # tumbling+session (sliding out), X2 keeps minhash_lsh
-        # (simhash/ngram out), the multimodal row keeps decode
-        # (features out). Swapped-out variants stay registered and
-        # locally oracle-checked.
+        # r6 (VERDICT r5 item 1): fifteen never-driver-checked shapes
+        # rotate in, so several long-green variants cede their slots —
+        # the floor per family is ONE representative of each SURVEY
+        # row, not the historical in-cap population. T6 keeps
+        # upsert_gold's tumbling windows (session out), X2 keeps
+        # semantic_dedup + incremental_minhash (batch minhash out),
+        # X3 keeps similarity_topk + ann_ivf_topk (lsh out). Every
+        # swapped-out variant stays registered and locally
+        # oracle-checked.
         "stream_": 6,
         "dedup_": 4,
         "multimodal_": 1,
-        "ann_": 2,
+        "ann_": 1,
     }
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
-    for name in ("text_stats", "bm25_search",
-                 "corpus_pipeline_full", "similarity_topk", "skew_salted_agg",
-                 "exact_distinct_quantiles",
-                 # r5 rotation: first driver evidence for these shapes
+    for name in ("corpus_pipeline_full", "similarity_topk", "skew_salted_agg",
                  "pii_scrub", "doc_repetition",
                  "segment_overlap_exact", "pack_training_bins",
-                 "quantize_embeddings", "ann_ivf_topk",
-                 # r5 new first-class operators, fully oracle-checked
-                 "decontaminate", "canonical_docs",
-                 # r5 late rotation (zero-evidence shapes; the slots they
-                 # took belonged to grouped_pandas_stats /
-                 # shuffle_corpus / stream_dedup_watermarked, all green
-                 # in r4 and still locally oracle-checked)
+                 "ann_ivf_topk", "decontaminate", "canonical_docs",
                  "dq_checks", "chunk_documents_udtf",
-                 "stream_static_enrich",
-                 # r5 second-session rotation: three new first-class
-                 # families into the cap (X8 keeps bm25_search, the
-                 # chunker keeps chunk_documents_udtf, repetition keeps
-                 # doc_repetition)
-                 "time_travel_read", "pagerank_copurchase", "cdc_apply"):
+                 "time_travel_read", "pagerank_copurchase", "cdc_apply",
+                 # r6 rotation: first driver evidence for these fifteen
+                 "pit_join_orders", "gapfill_daily_revenue",
+                 "table_profile", "dedup_incremental",
+                 "dedup_incremental_minhash", "mapinarrow_norms",
+                 "basket_pairs", "inverted_index", "equidepth_histogram",
+                 "anomaly_features", "sql_shipping_priority",
+                 "stream_txlog_append", "item_recommendations",
+                 "fuzzy_name_matches", "scd2_customer_dim"):
         assert name in PRIORITY
 
 
