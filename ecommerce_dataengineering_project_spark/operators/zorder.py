@@ -1,0 +1,79 @@
+"""Z-order (Morton) clustering: a space-filling-curve sort key that
+makes file-level min/max statistics selective on MULTIPLE columns at
+once — the layout lever behind Delta's OPTIMIZE ZORDER BY and
+Databricks/Iceberg multi-dimensional clustering.
+
+Why it matters at 100 TB: a range-partitioned layout on column A gives
+perfect skipping on A and none on B; interleaving the bits of A and B
+into one sort key gives ~sqrt-grade skipping on EACH — a predicate on
+either column prunes most files (Morton 1966; the standard data-
+skipping result). Pair with the transaction log's per-file min/max
+manifest stats (sources/txlog.py) or plain parquet row-group stats:
+the curve bounds each file's footprint in (A, B) space, so the stats
+become tight in both dimensions.
+
+The key is pure integer arithmetic (`>> & <<` unrolled per bit) —
+whole-stage codegen on the Spark side, and the SAME expression string
+is valid DuckDB SQL, so queries built on it are oracle-checked
+bit-for-bit. Columns must first be mapped to non-negative ints of
+``bits`` width (bucketize / clamp — the helpers below); the mapping is
+monotone so range predicates survive it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """Bit-interleave SQL for two non-negative ``bits``-wide ints:
+    x occupies even bit positions, y odd. Valid in Spark SQL and
+    DuckDB unchanged (both support >> << & and BIGINT arithmetic), so
+    one generated string serves the engine and the oracle."""
+    if bits * 2 > 62:
+        raise ValueError("morton key must fit a signed 64-bit int")
+    # every term fully parenthesized: SQL gives `+` HIGHER precedence
+    # than `<<`, so `a << 0 + b << 1` would parse as `a << (0 + b) << 1`
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((({x_sql}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({y_sql}) >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def clamp_sql(col_sql: str, bits: int) -> str:
+    """Clamp a non-negative integer expression into ``bits`` width
+    (monotone: order is preserved up to the cap)."""
+    cap = (1 << bits) - 1
+    return f"LEAST(CAST({col_sql} AS BIGINT), {cap})"
+
+
+def morton_key(x_sql: str, y_sql: str, bits: int = 16) -> Column:
+    """The interleaved key as a Spark column (pure codegen)."""
+    return F.expr(morton_sql(clamp_sql(x_sql, bits), clamp_sql(y_sql, bits), bits))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x_sql: str,
+    y_sql: str,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """OPTIMIZE ZORDER-style layout: range-partition on the Morton key
+    (one exchange with a sampled range boundary pass — the same cost
+    profile as any sorted write), sort within partitions, one parquet
+    file per partition. Each file then covers a compact square-ish
+    region of (x, y) space, so min/max stats are tight on BOTH columns.
+    """
+    keyed = df.withColumn("__z", morton_key(x_sql, y_sql, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -142,6 +142,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_dedup,
         ext_graph,
         ext_multimodal,
+        ext_scale,
         ext_similarity,
         ext_search,
         ext_stats,
@@ -161,6 +162,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_dedup,
         ext_graph,
         ext_multimodal,
+        ext_scale,
         ext_similarity,
         ext_search,
         ext_stats,

@@ -1,0 +1,151 @@
+"""Scale-lever queries: the three mechanisms that keep a 100 TB scan
+from touching 100 TB — manifest-stats file skipping over the
+transaction log, bloom-filter semi-join reduction ahead of a shuffle,
+and Z-order multi-dimensional clustering.
+
+All three are oracle-checked at VALUE level: skipping and bloom
+pruning are optimizations whose results must equal the plain
+filter/join (stats skip only provably-dead files; blooms have no
+false negatives and the real join removes false positives), and the
+Morton key is pure integer arithmetic whose SQL is engine-portable —
+the oracle runs the literally-same expression string.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+from ecommerce_dataengineering_project_spark.operators.bloom import bloom_semi_join
+from ecommerce_dataengineering_project_spark.operators.zorder import (
+    clamp_sql,
+    morton_sql,
+)
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+from ecommerce_dataengineering_project_spark.sources.txlog import TxTable, recreate
+from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+N_RANGE_COMMITS = 4
+
+
+def _sf_name(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1]
+
+
+def _range_committed_orders(spark: SparkSession, sf_dir: str) -> tuple[TxTable, int]:
+    """Stage orders as N_RANGE_COMMITS transaction-log commits split by
+    o_orderkey range, so each commit's files carry DISJOINT key ranges
+    in their manifest stats — the layout a streaming ingest keyed on a
+    monotone id produces naturally. Reused across calls per process
+    (the fixtures are immutable)."""
+    root = os.path.join(TMP_ROOT, "txlog", f"orders_ranged_{_sf_name(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    table = TxTable(root)
+    if len(table.versions()) != N_RANGE_COMMITS:
+        table = recreate(root)
+        q = max_key // N_RANGE_COMMITS + 1
+        for i in range(N_RANGE_COMMITS):
+            table.append(
+                orders.where(
+                    (F.col("o_orderkey") >= i * q) & (F.col("o_orderkey") < (i + 1) * q)
+                )
+            )
+    return table, max_key
+
+
+def q_txlog_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping (sources/txlog.py scan): a key-range
+    read over the range-committed table resolves its file list from the
+    log's per-file min/max BEFORE the engine lists or opens anything —
+    only ~1/4 of the snapshot's files survive (tests/test_txlog.py pins
+    the skip count); the oracle is the plain predicate, because
+    skipping only ever drops provably-dead files."""
+    table, max_key = _range_committed_orders(spark, sf_dir)
+    hi = max_key // N_RANGE_COMMITS  # inside commit 1's range only
+    return table.scan(spark, "o_orderkey", lo=None, hi=hi).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+# Shared Spark/DuckDB Morton expression: x = customer key, y = day of
+# year of the order date — two business dimensions a point query might
+# filter on independently.
+_Z_BITS = 16
+_Z_EXPR = morton_sql(
+    clamp_sql("o_custkey", _Z_BITS),
+    clamp_sql("dayofyear(o_orderdate)", _Z_BITS),
+    _Z_BITS,
+)
+
+
+def q_zorder_orders_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (operators/zorder.py): the bit-interleave
+    of (o_custkey, dayofyear(o_orderdate)) — the sort key an OPTIMIZE
+    ZORDER pass would range-partition on so file stats go tight in both
+    dimensions. Map-only pure-codegen arithmetic; the oracle evaluates
+    the literally-same expression string."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr(_Z_EXPR).alias("z_key"),
+    )
+
+
+def q_bloom_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/bloom.py): lineitem is
+    pre-filtered map-side by a bitmap of the urgent orders' keys before
+    the join shuffle — at 100 TB the probe shuffle shrinks to ~the
+    matching fraction (plus fpp) while broadcast stays off the table
+    for build sides beyond executor memory. The bloom never drops a
+    true match and the real join removes false positives, so the
+    oracle is the plain join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", fpp=0.01)
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("urgent_revenue"),
+            F.count("l_linenumber").alias("n_lines"),
+        )
+    )
+
+
+QUERIES = {
+    "txlog_pruned_read": q_txlog_pruned_read,
+    "zorder_orders_key": q_zorder_orders_key,
+    "bloom_semi_reduce": q_bloom_semi_reduce,
+}
+
+ORACLES = {
+    "txlog_pruned_read": f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / {N_RANGE_COMMITS})
+                                        AS BIGINT) FROM orders)
+    """,
+    "zorder_orders_key": f"""
+        SELECT o_orderkey, {_Z_EXPR} AS z_key FROM orders
+    """,
+    "bloom_semi_reduce": """
+        SELECT o.o_orderkey,
+               FLOOR((SUM(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5)
+                   / 100.0 AS urgent_revenue,
+               COUNT(l.l_linenumber) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY o.o_orderkey
+    """,
+}

@@ -46,6 +46,40 @@ class ConcurrentCommitError(RuntimeError):
     VACUUM collects them) and the writer should re-read + retry."""
 
 
+def _file_minmax(path: str) -> dict[str, list]:
+    """Per-file [min, max] from the parquet footer (row-group stats
+    folded across groups) for JSON-safe scalar columns — pure metadata,
+    no data read. This is what Delta add-actions / Iceberg manifests
+    carry; keeping it in the commit manifest lets the reader prune
+    files from the LOG alone, before the engine ever lists or opens
+    them (footer-level skipping still applies inside survivors)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
 class TxTable:
     """Single-writer versioned parquet table with snapshot reads."""
 
@@ -66,7 +100,13 @@ class TxTable:
         with open(os.path.join(self.root, _LOG_DIR, f"v{version}.json")) as fh:
             return json.load(fh)
 
-    def _publish(self, version: int, files: list[str], action: str) -> int:
+    def _publish(
+        self,
+        version: int,
+        files: list[str],
+        action: str,
+        stats: dict[str, dict] | None = None,
+    ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
         conflict check in one syscall — ``os.rename`` would silently
@@ -77,7 +117,18 @@ class TxTable:
         final = os.path.join(log, f"v{version}.json")
         tmp = os.path.join(log, f".v{version}.{os.getpid()}.json.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "action": action, "files": sorted(files)}, fh)
+            json.dump(
+                {
+                    "version": version,
+                    "action": action,
+                    "files": sorted(files),
+                    # per-file column min/max (Delta add-action /
+                    # Iceberg manifest stats): lets scan() prune files
+                    # from the log alone
+                    "stats": stats or {},
+                },
+                fh,
+            )
         try:
             os.link(tmp, final)
         except FileExistsError:
@@ -90,7 +141,9 @@ class TxTable:
         return version
 
     # ----------------------------------------------------------- write
-    def _write_commit_data(self, df: DataFrame, version: int) -> list[str]:
+    def _write_commit_data(
+        self, df: DataFrame, version: int
+    ) -> tuple[list[str], dict[str, dict]]:
         # Per-ATTEMPT staging dir (version + a unique token): two
         # writers racing for the same version can never clobber each
         # other's staged files, so the publish-time CAS is the only
@@ -102,24 +155,33 @@ class TxTable:
         data_dir = os.path.join(self.root, "data", attempt)
         df.write.mode("errorifexists").parquet(data_dir)
         rel = os.path.join("data", attempt)
-        return [
+        files = [
             os.path.join(rel, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         ]
+        stats = {
+            f: _file_minmax(os.path.join(self.root, f)) for f in sorted(files)
+        }
+        return files, stats
 
     def append(self, df: DataFrame) -> int:
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
-        prev = self._manifest(vs[-1])["files"] if vs else []
-        new_files = self._write_commit_data(df, version)
-        return self._publish(version, prev + new_files, "append")
+        prev_files, prev_stats = [], {}
+        if vs:
+            man = self._manifest(vs[-1])
+            prev_files, prev_stats = man["files"], man.get("stats", {})
+        new_files, new_stats = self._write_commit_data(df, version)
+        return self._publish(
+            version, prev_files + new_files, "append", {**prev_stats, **new_stats}
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
-        new_files = self._write_commit_data(df, version)
-        return self._publish(version, new_files, "overwrite")
+        new_files, new_stats = self._write_commit_data(df, version)
+        return self._publish(version, new_files, "overwrite", new_stats)
 
     def rollback(self, to_version: int) -> int:
         """Roll-forward rollback: publish a NEW version whose file list
@@ -127,7 +189,9 @@ class TxTable:
         Delta's RESTORE."""
         old = self._manifest(to_version)
         vs = self.versions()
-        return self._publish(vs[-1] + 1, old["files"], f"rollback:{to_version}")
+        return self._publish(
+            vs[-1] + 1, old["files"], f"rollback:{to_version}", old.get("stats", {})
+        )
 
     # ------------------------------------------------------------ read
     def read(
@@ -152,6 +216,64 @@ class TxTable:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         return normalize_ntz(reader.parquet(*files))
+
+    def candidate_files(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-stats file pruning for ``lo <= col <= hi`` (either
+        bound may be None): a file is skipped iff its [min, max] proves
+        no row can match. Files without stats for ``col`` (old
+        manifests, non-scalar columns) are conservatively kept.
+        Returns (surviving relative paths, total files in snapshot)."""
+        vs = self.versions()
+        v = vs[-1] if version is None else version
+        man = self._manifest(v)
+        stats = man.get("stats", {})
+        keep = []
+        for f in man["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is not None:
+                mn, mx = s
+                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                    continue
+            keep.append(f)
+        return keep, len(man["files"])
+
+    def scan(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned snapshot scan: resolve the file list through
+        ``candidate_files`` (log-level skipping — the engine never even
+        LISTS pruned files, the skipping Delta/Iceberg readers get from
+        their manifests), then apply the real predicate for exactness
+        — stats pruning is an optimization, never a semantics change.
+        At 100 TB this is the difference between planning over every
+        file in the lake and planning over the handful a point/range
+        query touches."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.candidate_files(col, lo, hi, version)
+        if not keep:
+            # provably-empty result: schema from one snapshot file,
+            # zero rows, no scan
+            return self.read(spark, version).limit(0)
+        df = normalize_ntz(
+            spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
+        )
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+        return df
 
 
 def recreate(root: str) -> TxTable:

@@ -55,6 +55,7 @@ _PYTHON_OK = {
     "heavy_hitter_tokens",  # mapInPandas MG partition summaries
     "chunk_documents_udtf",  # ArrowEvalPythonUDTF — the §2j UDTF arm
     "mapinarrow_norms",  # raw-Arrow mapInArrow — the §2j third arm
+    "anomaly_scores_distributed",  # broadcast-model mapInPandas scoring
 }
 
 _PY_NODES = (

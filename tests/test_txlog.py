@@ -94,10 +94,10 @@ def test_two_writers_cannot_both_win_a_version(spark, tmp_path):
     assert w1.append(_df(spark, 0, 10)) == 1
     # both writers have read v1 and stage data for v2; w2's data lands
     # on disk but w1 publishes first
-    loser_files = w2._write_commit_data(_df(spark, 500, 505), 2)
+    loser_files, loser_stats = w2._write_commit_data(_df(spark, 500, 505), 2)
     assert w1.append(_df(spark, 10, 20)) == 2
     with pytest.raises(ConcurrentCommitError, match="version 2"):
-        w2._publish(2, w2._manifest(1)["files"] + loser_files, "append")
+        w2._publish(2, w2._manifest(1)["files"] + loser_files, "append", loser_stats)
     # the losing commit's rows never surface in any snapshot
     assert sorted(r.id for r in w2.read(spark).collect()) == list(range(20))
     # retry against the refreshed snapshot wins version 3 and keeps
