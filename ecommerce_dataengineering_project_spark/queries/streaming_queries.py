@@ -710,7 +710,10 @@ def q_stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = batch_df.select("event_id", "user_id", "ts", "event_type", "value")
         if batch.isEmpty():
             return
-        table.append(batch)
+        # idempotent exactly-once: foreachBatch is at-least-once, so a
+        # retried batch must SKIP, not double-append — the manifest's
+        # SetTransaction watermark (append_txn) detects the replay
+        table.append_txn(batch, name, batch_id)
 
     run_bounded_foreach(spark, name, None, lambda s: s, commit, source=src)
     return table.read(spark)

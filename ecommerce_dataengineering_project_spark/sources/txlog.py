@@ -106,6 +106,7 @@ class TxTable:
         files: list[str],
         action: str,
         stats: dict[str, dict] | None = None,
+        txn: dict[str, int] | None = None,
     ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
@@ -126,6 +127,10 @@ class TxTable:
                     # Iceberg manifest stats): lets scan() prune files
                     # from the log alone
                     "stats": stats or {},
+                    # Delta SetTransaction twin: per-writer-app highest
+                    # committed transaction version, the watermark
+                    # idempotent streaming appends dedup against
+                    "txn": txn or {},
                 },
                 fh,
             )
@@ -173,15 +178,55 @@ class TxTable:
             man = self._manifest(vs[-1])
             prev_files, prev_stats = man["files"], man.get("stats", {})
         new_files, new_stats = self._write_commit_data(df, version)
+        prev_txn = self._manifest(vs[-1]).get("txn", {}) if vs else {}
         return self._publish(
-            version, prev_files + new_files, "append", {**prev_stats, **new_stats}
+            version,
+            prev_files + new_files,
+            "append",
+            {**prev_stats, **new_stats},
+            prev_txn,
         )
 
     def overwrite(self, df: DataFrame) -> int:
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
         new_files, new_stats = self._write_commit_data(df, version)
-        return self._publish(version, new_files, "overwrite", new_stats)
+        prev_txn = self._manifest(vs[-1]).get("txn", {}) if vs else {}
+        return self._publish(version, new_files, "overwrite", new_stats, prev_txn)
+
+    def append_txn(self, df: DataFrame, app_id: str, txn_version: int) -> int:
+        """Idempotent append — the Delta ``txnAppId``/``txnVersion``
+        (SetTransaction) contract for exactly-once streaming sinks:
+        foreachBatch delivers at-least-once, so a retried micro-batch
+        re-runs its commit; recording the writer app's highest
+        committed transaction version in the manifest lets the replay
+        detect "already committed" and SKIP instead of double-append.
+        Combined with the publish CAS this also closes the
+        concurrent-retry race: if another attempt of the same batch
+        wins the version, the loser re-reads, sees the watermark, and
+        skips."""
+        for _ in range(8):
+            vs = self.versions()
+            man = self._manifest(vs[-1]) if vs else {}
+            txns = man.get("txn", {})
+            if txns.get(app_id, -1) >= txn_version:
+                return vs[-1]  # this batch already committed: no-op
+            version = (vs[-1] + 1) if vs else 1
+            files, stats = self._write_commit_data(df, version)
+            try:
+                return self._publish(
+                    version,
+                    man.get("files", []) + files,
+                    f"append-txn:{app_id}:{txn_version}",
+                    {**man.get("stats", {}), **stats},
+                    {**txns, app_id: txn_version},
+                )
+            except ConcurrentCommitError:
+                continue  # lost the CAS: re-read the watermark, retry
+        raise ConcurrentCommitError(
+            f"append_txn({app_id}, {txn_version}): lost the version CAS "
+            "8 times in a row"
+        )
 
     def rollback(self, to_version: int) -> int:
         """Roll-forward rollback: publish a NEW version whose file list
@@ -189,8 +234,13 @@ class TxTable:
         Delta's RESTORE."""
         old = self._manifest(to_version)
         vs = self.versions()
+        cur_txn = self._manifest(vs[-1]).get("txn", {})
         return self._publish(
-            vs[-1] + 1, old["files"], f"rollback:{to_version}", old.get("stats", {})
+            vs[-1] + 1,
+            old["files"],
+            f"rollback:{to_version}",
+            old.get("stats", {}),
+            cur_txn,
         )
 
     # ------------------------------------------------------------ read

@@ -182,3 +182,37 @@ def test_schema_evolution_merge_read(spark, table):
     assert set(merged.columns) == {"id", "v", "extra"}
     rows = {r.id: r.extra for r in merged.collect()}
     assert rows[0] is None and rows[7] == 70
+
+
+def test_append_txn_skips_replayed_batch(spark, table):
+    """Delta SetTransaction semantics: foreachBatch is at-least-once,
+    so a retried micro-batch re-runs its commit — append_txn must
+    no-op the replay instead of double-appending."""
+    v1 = table.append_txn(_df(spark, 0, 10), "appA", 0)
+    assert v1 == 1
+    # retry of batch 0: skipped, version unchanged, rows not duplicated
+    assert table.append_txn(_df(spark, 0, 10), "appA", 0) == 1
+    assert table.read(spark).count() == 10
+    # next batch commits normally
+    assert table.append_txn(_df(spark, 10, 15), "appA", 1) == 2
+    assert table.read(spark).count() == 15
+    # a DIFFERENT app's batch 0 is not confused with appA's
+    assert table.append_txn(_df(spark, 100, 102), "appB", 0) == 3
+    assert table.read(spark).count() == 17
+    # stale replay of an OLD batch after newer commits: still skipped
+    assert table.append_txn(_df(spark, 0, 10), "appA", 0) == 3
+    assert table.read(spark).count() == 17
+
+
+def test_txn_watermark_survives_rollback(spark, table):
+    """Rollback restores the old snapshot's FILES but must keep the
+    CURRENT idempotency watermark — otherwise a post-rollback replay of
+    an already-committed batch would double-append."""
+    table.append_txn(_df(spark, 0, 10), "app", 0)
+    table.append_txn(_df(spark, 10, 20), "app", 1)
+    table.rollback(1)
+    assert table.read(spark).count() == 10
+    # replay of batch 1 after the rollback: still recognized
+    v = table.append_txn(_df(spark, 10, 20), "app", 1)
+    assert table.read(spark).count() == 10
+    assert v == 3
