@@ -18,6 +18,14 @@ is valid DuckDB SQL, so queries built on it are oracle-checked
 bit-for-bit. Columns must first be mapped to non-negative ints of
 ``bits`` width (bucketize / clamp — the helpers below); the mapping is
 monotone so range predicates survive it.
+
+BALANCE THE WIDTHS: the curve only clusters both dimensions if both
+use comparable bit widths — interleave a 16-bit x with a 10-bit y and
+x's six surplus high bits sit above every y bit, so the sort degrades
+to x-major and y stats stay file-wide (measured: zero y-skipping).
+Scale each column into the shared ``bits`` range first (shift a wider
+id down, or map through quantile ranks the way Delta's OPTIMIZE
+ZORDER range-partitions per-column ranks before interleaving).
 """
 
 from __future__ import annotations
@@ -76,4 +84,52 @@ def zorder_write(
         .drop("__z")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def zorder_layout(
+    df: DataFrame, x_sql: str, y_sql: str, n_files: int, bits: int = 16
+) -> DataFrame:
+    """The same clustering as ``zorder_write`` but returned as a
+    DataFrame (range-exchanged + sorted on the Morton key, key
+    dropped), for sinks that take a frame — e.g. a transaction-log
+    OPTIMIZE commit."""
+    keyed = df.withColumn("__z", morton_key(x_sql, y_sql, bits))
+    return (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def optimize_zorder(
+    table,
+    spark,
+    x_sql: str,
+    y_sql: str,
+    n_files: int,
+    bits: int = 16,
+) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY``: rewrite the latest snapshot
+    z-ordered as a NEW commit (history intact — old versions still
+    time-travel; VACUUM reclaims the old layout's files after the
+    retention window). Because the txlog manifest re-harvests per-file
+    min/max at commit time, the rewrite immediately makes
+    ``table.scan`` selective on BOTH clustered columns — the full
+    ingest -> optimize -> skip loop a lakehouse runs at 100 TB.
+
+    Returns the new version number. ``table`` is a
+    ``sources.txlog.TxTable`` (duck-typed to avoid a module cycle).
+    """
+    clustered = zorder_layout(table.read(spark), x_sql, y_sql, n_files, bits)
+    vs = table.versions()
+    version = vs[-1] + 1
+    man = table._manifest(vs[-1])
+    files, stats = table._write_commit_data(clustered, version)
+    return table._publish(
+        version,
+        files,
+        f"optimize-zorder:{x_sql},{y_sql}",
+        stats,
+        man.get("txn", {}),
     )

@@ -187,3 +187,42 @@ def test_txlog_stats_survive_rollback_and_prune_old_snapshots(spark, tmp_path):
     t.rollback(1)
     keep3, total3 = t.candidate_files("k", lo=1000)  # latest == rollback
     assert keep3 == [] and total3 > 0
+
+def test_optimize_zorder_makes_scan_selective_on_second_dim(spark, tmp_path):
+    """End-to-end lakehouse loop: monotone-id ingest leaves the second
+    dimension unprunable (every file spans its full domain); OPTIMIZE
+    ZORDER rewrites the snapshot and the SAME manifest-stats scan now
+    skips most files for a second-dimension range predicate. History
+    stays time-travelable."""
+    from ecommerce_dataengineering_project_spark.operators.zorder import (
+        optimize_zorder,
+    )
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "t"))
+    # 4 ingest commits ordered by id; y is hash-scattered, so every
+    # commit's files span ~the full y domain
+    for i in range(4):
+        t.append(
+            spark.range(i * 10_000, (i + 1) * 10_000)
+            .selectExpr(
+                "id", "xxhash64(id, 7) & 1023 AS y", "id * 2 AS payload"
+            )
+            .repartition(2)
+        )
+    before_keep, before_total = t.candidate_files("y", lo=0, hi=63)
+    assert len(before_keep) == before_total  # no skipping possible
+
+    # balanced widths: id (0..40k) shifted into the same 10-bit range
+    # as y — unbalanced widths degrade to x-major order (see docstring)
+    v = optimize_zorder(t, spark, "id >> 6", "y", n_files=16, bits=10)
+    after_keep, after_total = t.candidate_files("y", lo=0, hi=63)
+    assert after_total >= 8
+    assert len(after_keep) <= after_total // 2, (len(after_keep), after_total)
+    # semantics unchanged, history intact
+    assert t.scan(spark, "y", lo=0, hi=63).count() == t.read(
+        spark, version=4
+    ).where("y BETWEEN 0 AND 63").count()
+    assert t.read(spark).count() == 40_000
+    assert t.read(spark, version=1).count() == 10_000
+    assert t._manifest(v)["action"].startswith("optimize-zorder")
