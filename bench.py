@@ -49,16 +49,12 @@ HEADLINE = [
     "stream_stream_join",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_clusters",
     "similarity_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "multimodal_features",
     "text_stats",
-    "tfidf_top_terms",
     "training_corpus",
     "chunk_documents",
     "pack_training_bins",
@@ -83,6 +79,15 @@ HEADLINE = [
     "project_embeddings",
     "vocab_coverage",
     "corpus_pipeline_full",
+    # r6 first-class additions (dedup_simhash/ngram_jaccard,
+    # multimodal_features, tfidf_top_terms rotate out of the headline —
+    # long-stable, still timed in the full payload)
+    "anomaly_features",
+    "bloom_semi_reduce",
+    "txlog_pruned_read",
+    "zorder_orders_key",
+    "fuzzy_name_matches",
+    "stream_txlog_append",
 ]
 
 
