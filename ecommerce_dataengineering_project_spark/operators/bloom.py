@@ -21,11 +21,16 @@ positives. That makes every query built on it oracle-checkable with
 the plain join as the oracle.
 
 Driver state: the bitmap words are collected (m/64 longs — bounded by
-the CHOSEN m, not the data) and re-enter the plan as an array literal,
-so probing is pure codegen: xxhash64 + shift + mask per hash function,
-no Python, no UDF, no broadcast variable. Boundary: past m ≈ 2^28 the
-literal (~32 MB) stops being plan-friendly — at that size use Spark's
-runtime filter or partition the filter by key range.
+the CHOSEN m, not the data) and re-enter the plan as an array literal
+bound EXACTLY ONCE: the k membership checks run as a `forall` over the
+k-element positions array, so plan size is O(m/64 + k), not O(k * m/64)
+(the r6 shape inlined the literal once per hash function — a ~2 MB
+predicate at m=2^19, k=12). Probing stays JVM-side: xxhash64 + shift +
+mask per hash function, no Python, no UDF, no broadcast variable.
+Boundary: past m ≈ 2^27 the single literal (~16 MB of SQL text) stops
+being plan-friendly — at that size use Spark's runtime filter
+(`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) or partition
+the filter by key range.
 """
 
 from __future__ import annotations
@@ -81,19 +86,21 @@ def bloom_build(build: DataFrame, key_col: str, m_bits: int, k: int) -> list[int
 
 
 def might_contain(key_col: str, words: list[int], m_bits: int, k: int) -> Column:
-    """Pure-codegen membership test against the collected bitmap: all
-    k bits set. The words array is a plan literal (m/64 longs).
-    ``key_col`` must be a column name (the test is built as one SQL
-    expression so build and probe share identical hash arithmetic)."""
+    """JVM-side membership test against the collected bitmap: all k
+    bits set. The words array is a plan literal bound ONCE — the k
+    checks run as ``forall`` over the k-element positions array, so the
+    expression is O(m/64 + k) in plan size, sub-linear in k (pinned by
+    tests/test_scale_levers.py::test_bloom_probe_plan_sublinear_in_k).
+    ``key_col`` must be a column name (the positions use the same
+    ``_pos_sql`` arithmetic as the build, which is what guarantees no
+    false negatives)."""
     warr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
-    checks = []
-    for i in range(1, k + 1):
-        p = _pos_sql(f"`{key_col}`", i, m_bits)
-        checks.append(
-            f"((shiftright(element_at({warr}, CAST(shiftright({p}, 6) AS INT) + 1), "
-            f"CAST({p} & 63 AS INT)) & 1) = 1)"
-        )
-    return F.expr(" AND ".join(checks))
+    pos_arr = ", ".join(_pos_sql(f"`{key_col}`", i, m_bits) for i in range(1, k + 1))
+    return F.expr(
+        f"forall(array({pos_arr}), p -> "
+        f"(shiftright(element_at({warr}, CAST(shiftright(p, 6) AS INT) + 1), "
+        f"CAST(p & 63 AS INT)) & 1) = 1)"
+    )
 
 
 def bloom_semi_join(

@@ -881,43 +881,44 @@ def semantic_dedup(
     v = emb.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
+    # The fold assigner costs n * n_cells * dim interpreted ops; a
+    # small single-file corpus otherwise scores it in ONE task (and the
+    # self-join recomputes it per branch). Round-robin to the session's
+    # parallelism first — the exchange is reused across both join
+    # branches, and at lake scale the scan is already many partitions
+    # so this is a no-op-sized rebalance, never a coalesce.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     assigned = (
-        v.withColumn("cell", ivf_cell_exact("v", centroids))
+        v.repartition(par)
+        .withColumn("cell", ivf_cell_exact("v", centroids))
         .withColumn("nrm", norm("v"))
     )
-    a = assigned.select(
-        F.col("vid").alias("id_a"),
-        F.col("cell"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
+    # ONE left-outer join carries the whole keep decision: probe row r
+    # is a dup iff some same-cell partner with a SMALLER id clears the
+    # threshold, so the smaller-id/cell/cosine checks ride as join
+    # predicates and a bool_and over the match flag per probe row is
+    # the answer. vs the r6 shape (inner pair join -> distinct dup ids
+    # -> join back to the corpus) this drops two exchanges and a third
+    # recompute of the assignment branch. The partner side broadcasts
+    # when small; at lake scale Catalyst extracts the cell equality as
+    # the shuffle key and the same plan runs as a shuffle join.
+    partners = assigned.select(
         F.col("vid").alias("id_b"),
-        F.col("cell"),
+        F.col("cell").alias("cell_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cell",
-            "id_a",
-            "id_b",
-            round_half_up(
-                dot("va", "vb") / (F.col("na") * F.col("nb")), 6
-            ).alias("cosine"),
+    cond = (
+        (F.col("cell") == F.col("cell_b"))
+        & (F.col("id_b") < F.col("vid"))
+        & (
+            round_half_up(dot("v", "vb") / (F.col("nrm") * F.col("nb")), 6)
+            >= threshold
         )
-        .where(F.col("cosine") >= threshold)
-    )
-    dups = pairs.select(F.col("id_b").alias("vid")).distinct().withColumn(
-        "__dup", F.lit(1)
     )
     return (
-        assigned.join(dups, "vid", "left")
-        .select(
-            F.col("vid").alias(id_col),
-            F.col("cell"),
-            F.col("__dup").isNull().alias("keep"),
-        )
+        assigned.join(partners, cond, "left_outer")
+        .groupBy("vid", "cell")
+        .agg(F.every(F.col("id_b").isNull()).alias("keep"))
+        .select(F.col("vid").alias(id_col), "cell", "keep")
     )

@@ -103,13 +103,23 @@ def q_bloom_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     for build sides beyond executor memory. The bloom never drops a
     true match and the real join removes false positives, so the
     oracle is the plain join."""
+    import pyarrow.parquet as pq
+
     li = load_table(spark, sf_dir, "lineitem")
     urgent = (
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    pruned = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey", fpp=0.01)
+    # Size the filter from the parquet footer rowcount (driver-side
+    # metadata read, no Spark job) instead of an extra
+    # distinct().count() over the build side: urgent is ~1/5 of orders;
+    # //4 overestimates, which only lowers the realized fpp. At 100 TB
+    # the same number comes from the table format's manifest rowcounts.
+    n_est = max(1, pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows // 4)
+    pruned = bloom_semi_join(
+        li, urgent, "l_orderkey", "o_orderkey", fpp=0.01, n_keys=n_est
+    )
     return (
         pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey)
         .groupBy("o_orderkey")

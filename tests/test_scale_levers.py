@@ -67,6 +67,21 @@ def test_bloom_filter_is_codegen_and_preserves_join(spark, sf_dir):
     assert pruned.count() < li.count()
 
 
+def test_bloom_probe_plan_sublinear_in_k():
+    """The r6 probe inlined the bitmap literal once per hash function
+    (O(k * m/64) plan text); the forall form binds it once. Growing k
+    must grow the expression by only the extra position exprs, never by
+    another copy of the words array."""
+    m_bits = 1 << 16
+    words = list(range(m_bits // 64))
+    warr_len = len("array(" + ", ".join(f"{w}L" for w in words) + ")")
+    e4 = str(might_contain("pk", words, m_bits, 4)._jc)
+    e12 = str(might_contain("pk", words, m_bits, 12)._jc)
+    # exactly one embedded copy of the words array in each
+    assert len(e12) - len(e4) < warr_len // 2, (len(e4), len(e12), warr_len)
+    assert len(e12) < 2 * warr_len
+
+
 def test_bloom_build_words_bounded():
     m, k = bloom_params(1_000_000, 0.03)
     assert m // 64 <= 1 << 18  # the collect is bounded by CHOSEN m
