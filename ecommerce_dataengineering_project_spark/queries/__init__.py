@@ -29,108 +29,93 @@ PRIORITY: tuple[str, ...] = (
     # reference core: medallion projections, producer parity, events ELT
     "daily_sales",
     "fct_purchases",
-    "total_purchase_producer",
     # S1 evidence: real custom streaming DataSource ingest (offsets,
     # checkpointed restart-resume, replay) — in-cap since r5.
     "stream_generator_ingest",
-    # r6 rotation (VERDICT r5 item 1): FIFTEEN shapes with zero driver
-    # evidence across r1-r5 swapped in for long-green same-SURVEY-row
-    # variants. Every swapped-out name stays registered and locally
-    # oracle-checked at three SFs; every SURVEY row keeps >=1 in-cap
-    # representative (tests/test_registry.py pins the family floor).
+    # r7 rotation (VERDICT r6 item 1): SIXTEEN shapes with zero driver
+    # evidence across r1-r6 swapped in for long-green variants whose
+    # SURVEY row keeps an in-cap representative (either a sibling that
+    # stays, or the incoming same-row query). Every swapped-out name
+    # stays registered and locally oracle-checked at three SFs
+    # (tests/test_oracle_parity.py); tests/test_registry.py pins the
+    # family floors.
     #
-    # J2 as-of: pit_join_orders (point-in-time join, never checked)
-    # takes asof_join_events' slot (green r1-r5, same row).
+    # Swaps, OUT (driver-green rounds) -> IN (first evidence):
+    #   total_purchase_producer (r1-r6)  -> grouping_sets_revenue
+    #   incremental_watermark  (r1-r6)   -> incremental_mv_refresh
+    #   time_travel_read       (r6)      -> txlog_pruned_read (X12)
+    #   skew_salted_agg        (r6)      -> skew_salted_join
+    #   gapfill_daily_revenue  (r6)      -> ewma_revenue (X10)
+    #   stream_stream_join     (r6)      -> stream_scd2_dim (§2i)
+    #   union_segments         (r6)      -> project_embeddings
+    #   canonical_docs         (r6)      -> session_paths (X21)
+    #   decontaminate          (r6)      -> binary_files_ingest (X15)
+    #   doc_repetition         (r6)      -> json_quarantine
+    #   basket_pairs           (r6)      -> jsonl_roundtrip
+    #   chunk_documents_udtf   (r6)      -> pandas_udf_score (§2j)
+    #   rfm_segments           (r6)      -> range_frame_activity (§2f)
+    #   dq_checks              (r6)      -> bloom_semi_reduce
+    #   funnel_conversion      (r6)      -> zorder_orders_key
+    #   anomaly_isolation_forest (r2-r6) -> anomaly_scores_distributed
+    #     (the ONE rows-only slot swaps to the never-driver-run 100x
+    #      scoring arm, VERDICT r6 item 6; the forest's determinism +
+    #      recall + golden scores stay pinned in tests/test_ml.py).
     "pit_join_orders",
-    "incremental_watermark",
-    # J1/J3: item_recommendations (co-occurrence joins) +
-    # sql_shipping_priority (customer|orders|lineitem multi-join via
-    # the SQL front door, also O2 sort/limit + S4 evidence) take
-    # broadcast_enrich's and order_limit_topk's slots (green r1-r5).
     "item_recommendations",
     "sql_shipping_priority",
-    # §2f windows: gapfill_daily_revenue (sequence+window gap fill)
-    # takes window_analytics' slot; the row stays repped by
-    # rfm_segments' ntile ranks and the gapfill's own frames.
-    "gapfill_daily_revenue",
     "dedup_keep_first",
-    "union_segments",
-    # P11/P12 anomaly family: anomaly_features (the IsolationForest's
-    # oracle-checked log1p feature stage, new in r6 per VERDICT item 5)
-    # takes anomaly_zscore's slot (green r1-r5; log1p+zscore stays
-    # repped by scalar_functions + this).
     "anomaly_features",
-    # agg/grouping-sets: table_profile (per-column profiler, never
-    # checked) takes rollup_revenue's slot (green r1-r5; the agg row
-    # stays repped by daily_sales).
     "table_profile",
     "scalar_functions",
     # streaming (the reference's core path)
     "stream_bronze_silver",
-    # T6: session windows (green r4-r5) cede to the streaming txlog
-    # ACID append (K3/K4 streaming commit loop, never checked); T6
-    # stays repped by stream_upsert_gold's tumbling windows.
     "stream_txlog_append",
     "stream_inventory_restock",
-    # §2i: stream_static_enrich (green r5) cedes to scd2_customer_dim
-    # (SCD2 dimension history, never checked); §2i stays repped by
-    # stream_stream_join.
     "scd2_customer_dim",
-    "stream_stream_join",
-    # LLM-pipeline: dedup family — the incremental arms (history never
-    # rescanned; the 100 TB operating mode) take the batch arms' slots
-    # (dedup_exact / dedup_minhash_lsh, green r1-r5; X1/X2 stay repped
-    # here plus semantic_dedup).
+    "stream_scd2_dim",
+    # LLM-pipeline: dedup family — incremental arms (the 100 TB
+    # operating mode) + cluster collapse + SemDeDup.
     "dedup_incremental",
     "dedup_incremental_minhash",
     "dedup_clusters",
-    # similarity / ANN: X3 keeps similarity_topk + ann_ivf_topk;
-    # ann_lsh_topk (green r4-r5) cedes to mapinarrow_norms — the
-    # mapInArrow arm of §2j, the one UDF surface with no driver row.
     "similarity_topk",
     "mapinarrow_norms",
     "ann_ivf_topk",
-    # multimodal
+    # multimodal + binary corpus ingest (X15 both arms)
     "multimodal_decode",
-    # X4 text: text_stats (green r1-r5) cedes to basket_pairs (the
-    # commerce co-occurrence self-join, never checked); X4 stays
-    # repped by pii_scrub + doc_repetition.
-    "basket_pairs",
-    "time_travel_read",
+    "binary_files_ingest",
+    # lakehouse txlog: manifest-stats file skipping + Z-order key
+    # (first driver rows for the r6 scale-lever layer)
+    "txlog_pruned_read",
+    "zorder_orders_key",
+    "bloom_semi_reduce",
     "corpus_pipeline_full",
-    # X8 term scoring: inverted_index (postings with plan-pinned
-    # bounded build, never checked) takes bm25_search's slot (green
-    # r4-r5, same row).
     "inverted_index",
-    "funnel_conversion",
     "range_join_coincident",
     "pagerank_copurchase",
     "pii_scrub",
-    "doc_repetition",
     "cdc_apply",
     "segment_overlap_exact",
     "pack_training_bins",
-    "dq_checks",
-    # X3 quantization keeps its r5 green row; the slot goes to the
-    # record-linkage matcher below (never driver-checked).
-    "decontaminate",
-    "canonical_docs",
     "semantic_dedup",
     "mixture_sample",
     "stream_upsert_gold",
-    "rfm_segments",
-    # X5 stats: equidepth_histogram (quantile buckets, never checked)
-    # takes exact_distinct_quantiles' slot (green r1-r5; X5 stays
-    # repped by segment_overlap_exact + the histogram's quantiles).
     "equidepth_histogram",
-    "chunk_documents_udtf",
-    "skew_salted_agg",
-    # record linkage: first driver evidence for the blocked fuzzy
-    # matcher (and its session-scaled fan-out, VERDICT r5 item 3);
-    # takes the 50th slot from anomaly_isolation_forest's feature twin
-    # budget — the forest itself stays in-cap below.
+    "skew_salted_join",
     "fuzzy_name_matches",
-    "anomaly_isolation_forest",
+    # incremental MV maintenance + journey mining + quarantine + JSONL
+    # round-trip + RANGE frames + grouping sets + EWMA + projection +
+    # pandas-UDF scoring: the r7 first-evidence block
+    "incremental_mv_refresh",
+    "session_paths",
+    "grouping_sets_revenue",
+    "json_quarantine",
+    "jsonl_roundtrip",
+    "range_frame_activity",
+    "ewma_revenue",
+    "project_embeddings",
+    "pandas_udf_score",
+    "anomaly_scores_distributed",
 )
 
 

@@ -23,15 +23,10 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r6 (VERDICT r5 item 1): fifteen never-driver-checked shapes
-        # rotate in, so several long-green variants cede their slots —
-        # the floor per family is ONE representative of each SURVEY
-        # row, not the historical in-cap population. T6 keeps
-        # upsert_gold's tumbling windows (session out), X2 keeps
-        # semantic_dedup + incremental_minhash (batch minhash out),
-        # X3 keeps similarity_topk + ann_ivf_topk (lsh out). Every
-        # swapped-out variant stays registered and locally
-        # oracle-checked.
+        # r7 (VERDICT r6 item 1): sixteen never-driver-checked shapes
+        # rotate in; every swapped-out variant's SURVEY row keeps an
+        # in-cap representative (a staying sibling or the incoming
+        # same-row query) and stays registered + locally oracle-checked.
         "stream_": 6,
         "dedup_": 4,
         "multimodal_": 1,
@@ -40,20 +35,26 @@ def test_priority_covers_every_operator_family():
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
-    for name in ("corpus_pipeline_full", "similarity_topk", "skew_salted_agg",
-                 "pii_scrub", "doc_repetition",
-                 "segment_overlap_exact", "pack_training_bins",
-                 "ann_ivf_topk", "decontaminate", "canonical_docs",
-                 "dq_checks", "chunk_documents_udtf",
-                 "time_travel_read", "pagerank_copurchase", "cdc_apply",
-                 # r6 rotation: first driver evidence for these fifteen
-                 "pit_join_orders", "gapfill_daily_revenue",
+    for name in ("corpus_pipeline_full", "similarity_topk",
+                 "pii_scrub", "segment_overlap_exact", "pack_training_bins",
+                 "ann_ivf_topk", "semantic_dedup",
+                 "pagerank_copurchase", "cdc_apply",
                  "table_profile", "dedup_incremental",
                  "dedup_incremental_minhash", "mapinarrow_norms",
-                 "basket_pairs", "inverted_index", "equidepth_histogram",
+                 "inverted_index", "equidepth_histogram",
                  "anomaly_features", "sql_shipping_priority",
                  "stream_txlog_append", "item_recommendations",
-                 "fuzzy_name_matches", "scd2_customer_dim"):
+                 "fuzzy_name_matches", "scd2_customer_dim",
+                 "pit_join_orders",
+                 # r7 rotation: first driver evidence for these sixteen
+                 "bloom_semi_reduce", "txlog_pruned_read",
+                 "zorder_orders_key", "incremental_mv_refresh",
+                 "session_paths", "stream_scd2_dim", "skew_salted_join",
+                 "grouping_sets_revenue", "binary_files_ingest",
+                 "pandas_udf_score", "range_frame_activity",
+                 "json_quarantine", "jsonl_roundtrip",
+                 "project_embeddings", "ewma_revenue",
+                 "anomaly_scores_distributed"):
         assert name in PRIORITY
 
 
@@ -63,5 +64,5 @@ def test_oracle_density_in_priority_block():
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
     assert set(rows_only) <= {
-        "anomaly_isolation_forest",  # ensemble scores
+        "anomaly_scores_distributed",  # ensemble scores (broadcast-model arm)
     }
