@@ -118,6 +118,15 @@ def optimize_zorder(
     ``table.scan`` selective on BOTH clustered columns — the full
     ingest -> optimize -> skip loop a lakehouse runs at 100 TB.
 
+    Concurrency boundary: the rewrite targets the snapshot read at
+    entry and publishes through the version CAS, so a commit landing
+    between read and publish makes the CAS raise
+    ``ConcurrentCommitError`` — the conflict is DETECTED, never
+    silently dropped (a silent win would exclude the concurrent
+    append's rows from the optimized snapshot). Recovery is Delta's:
+    re-run the OPTIMIZE against the new latest version
+    (tests/test_txlog.py::test_optimize_zorder_detects_concurrent_append).
+
     Returns the new version number. ``table`` is a
     ``sources.txlog.TxTable`` (duck-typed to avoid a module cycle).
     """

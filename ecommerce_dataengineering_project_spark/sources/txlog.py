@@ -52,27 +52,54 @@ def _file_minmax(path: str) -> dict[str, list]:
     no data read. This is what Delta add-actions / Iceberg manifests
     carry; keeping it in the commit manifest lets the reader prune
     files from the LOG alone, before the engine ever lists or opens
-    them (footer-level skipping still applies inside survivors)."""
+    them (footer-level skipping still applies inside survivors).
+
+    Soundness rule: a column's file-level range is emitted ONLY if
+    every row group either contributes a usable [min, max] or is
+    provably all-null (null_count == num_rows). A row group that holds
+    data but lacks stats (e.g. parquet-mr omits Statistics when a
+    string min/max exceeds its 4 KB cap) or whose stats we cannot
+    represent (invalid UTF-8, exotic types) poisons the WHOLE column
+    for this file — emitting the other groups' range would under-cover
+    the file and let candidate_files() prune a file that contains
+    matching rows (silent wrong results). Omitted columns are
+    conservatively kept by the reader."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     out: dict[str, list] = {}
+    poisoned: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
-            mn, mx = st.min, st.max
-            if isinstance(mn, bytes):
-                try:
-                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
-                except UnicodeDecodeError:
-                    continue
-            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
-                continue
             name = col.path_in_schema
+            if name in poisoned:
+                continue
+            st = col.statistics
+            if (
+                st is not None
+                and not st.has_min_max
+                and st.null_count is not None
+                and st.null_count == g.num_rows
+            ):
+                continue  # provably all-null group: no range, still sound
+            usable = st is not None and st.has_min_max
+            if usable:
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    try:
+                        mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                    except UnicodeDecodeError:
+                        usable = False
+                if usable and (
+                    not isinstance(mn, (int, float, str)) or isinstance(mn, bool)
+                ):
+                    usable = False
+            if not usable:
+                poisoned.add(name)
+                out.pop(name, None)
+                continue
             if name in out:
                 out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
             else:
@@ -116,7 +143,14 @@ class TxTable:
         compare-and-swap on the version number."""
         log = os.path.join(self.root, _LOG_DIR)
         final = os.path.join(log, f"v{version}.json")
-        tmp = os.path.join(log, f".v{version}.{os.getpid()}.json.tmp")
+        # Unique per ATTEMPT (pid alone is not enough: two threads in
+        # one process racing the same version would share the tmp path,
+        # and the second open() would truncate the first's manifest
+        # before its os.link — the CAS winner could publish the loser's
+        # file list under its own version).
+        tmp = os.path.join(
+            log, f".v{version}.{os.getpid()}.{uuid.uuid4().hex[:8]}.json.tmp"
+        )
         with open(tmp, "w") as fh:
             json.dump(
                 {
@@ -334,7 +368,9 @@ def recreate(root: str) -> TxTable:
     return TxTable(root)
 
 
-def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table: TxTable, keep_versions: int = 1, min_age_s: float = 0.0
+) -> list[str]:
     """Delta-style VACUUM: drop data files referenced ONLY by versions
     older than the newest ``keep_versions`` manifests, plus any orphan
     files no manifest references at all. Returns the deleted paths.
@@ -344,7 +380,18 @@ def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:
     behavior after its retention window. Deletion order is safe under
     a concurrent reader of a *kept* version: kept files are never
     touched, and the manifest set is snapshotted before any unlink.
+
+    Concurrent WRITERS need ``min_age_s``: commits stage their data
+    files before the publish CAS, so an "orphan" may be an in-flight
+    attempt about to publish — deleting it yields a committed snapshot
+    with missing files. ``min_age_s`` is Delta's retention-window rule
+    (its default is 7 days): unreferenced files younger than the
+    threshold are left alone, so set it above the longest plausible
+    commit duration. The 0.0 default is only safe when no writer can
+    be in flight (tests, single-writer maintenance windows).
     """
+    import time
+
     vs = table.versions()
     if not vs:
         return []
@@ -356,12 +403,20 @@ def vacuum(table: TxTable, keep_versions: int = 1) -> list[str]:
     data_root = os.path.join(table.root, "data")
     if not os.path.isdir(data_root):
         return []
+    now = time.time()
     for commit_dir in sorted(os.listdir(data_root)):
         cdir = os.path.join(data_root, commit_dir)
         for f in sorted(os.listdir(cdir)):
             rel = os.path.join("data", commit_dir, f)
             if f.endswith(".parquet") and rel not in keep_files:
-                os.remove(os.path.join(cdir, f))
+                full = os.path.join(cdir, f)
+                if min_age_s > 0:
+                    try:
+                        if now - os.path.getmtime(full) < min_age_s:
+                            continue  # possibly an in-flight commit
+                    except OSError:
+                        continue  # vanished mid-scan: someone else owns it
+                os.remove(full)
                 deleted.append(rel)
         if not os.listdir(cdir):
             os.rmdir(cdir)

@@ -216,3 +216,118 @@ def test_txn_watermark_survives_rollback(spark, table):
     v = table.append_txn(_df(spark, 10, 20), "app", 1)
     assert table.read(spark).count() == 10
     assert v == 3
+
+
+def test_stats_poisoned_by_undecodable_group(tmp_path):
+    """Soundness (ADVICE r6): a row group whose stats can't be folded
+    (here: binary min/max that isn't UTF-8) must drop the COLUMN from
+    the file's manifest stats — folding only the good groups would
+    under-cover the file and let candidate_files prune matching rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import _file_minmax
+
+    t1 = pa.table(
+        {"k": pa.array([1, 2], pa.int64()),
+         "b": pa.array([b"aa", b"bb"], pa.binary())}
+    )
+    t2 = pa.table(
+        {"k": pa.array([3, 4], pa.int64()),
+         "b": pa.array([b"\xff\xfe", b"zz"], pa.binary())}
+    )
+    p = str(tmp_path / "mixed.parquet")
+    with pq.ParquetWriter(p, t1.schema) as w:
+        w.write_table(t1)  # row group 1: decodable stats
+        w.write_table(t2)  # row group 2: max is invalid UTF-8
+    st = _file_minmax(p)
+    assert st.get("k") == [1, 4]
+    assert "b" not in st  # whole column omitted, not under-covered
+
+
+def test_stats_tolerate_all_null_groups(tmp_path):
+    """A provably all-null row group (null_count == num_rows) carries
+    no range but must NOT poison the column — the other groups' range
+    still covers every non-null value in the file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import _file_minmax
+
+    schema = pa.schema([("k", pa.int64())])
+    t_null = pa.table({"k": pa.array([None, None], pa.int64())})
+    t_vals = pa.table({"k": pa.array([5, 7], pa.int64())})
+    p = str(tmp_path / "nulls.parquet")
+    with pq.ParquetWriter(p, schema) as w:
+        w.write_table(t_null)
+        w.write_table(t_vals)
+    assert _file_minmax(p).get("k") == [5, 7]
+
+
+def test_stats_disabled_file_emits_nothing(tmp_path):
+    """No footer stats at all -> no manifest stats -> the reader keeps
+    the file conservatively (candidate_files treats missing columns as
+    unprunable)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import _file_minmax
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(t, p, write_statistics=False)
+    assert _file_minmax(p) == {}
+
+
+def test_vacuum_min_age_protects_inflight_staging(spark, table):
+    """An unreferenced data dir may be an in-flight commit that has
+    staged its files but not yet won the publish CAS; with min_age_s
+    set, vacuum leaves young orphans alone (Delta's retention-window
+    rule) instead of deleting files a manifest is about to reference."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import vacuum
+
+    table.append(_df(spark, 0, 5))
+    staged = os.path.join(table.root, "data", "c2-inflight")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "wb") as fh:
+        fh.write(b"staged")
+    assert vacuum(table, min_age_s=3600.0) == []
+    assert os.path.exists(os.path.join(staged, "part-0.parquet"))
+    deleted = vacuum(table)  # age gate off: collected as an orphan
+    assert deleted == [os.path.join("data", "c2-inflight", "part-0.parquet")]
+
+
+def test_optimize_zorder_detects_concurrent_append(spark, table):
+    """OPTIMIZE reads the snapshot, rewrites it, and publishes via the
+    version CAS. If an append lands between its read and its publish,
+    the CAS must fail (ConcurrentCommitError) — silently winning would
+    drop the concurrent append's rows from the new snapshot. The
+    caller's recovery is Delta's: re-read and re-run the OPTIMIZE."""
+    from ecommerce_dataengineering_project_spark.operators.zorder import optimize_zorder
+    from ecommerce_dataengineering_project_spark.sources.txlog import ConcurrentCommitError
+
+    table.append(
+        _df(spark, 0, 1000).selectExpr("id", "v", "id % 7 AS y")
+    )
+    orig = table._write_commit_data
+    fired = {}
+
+    def hijack(df, version):
+        if not fired:
+            fired["x"] = True  # concurrent writer wins the version first
+            TxTable(table.root).append(
+                _df(spark, 5000, 5010).selectExpr("id", "v", "id % 7 AS y")
+            )
+        return orig(df, version)
+
+    table._write_commit_data = hijack
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            optimize_zorder(table, spark, "id", "y", n_files=4, bits=8)
+    finally:
+        table._write_commit_data = orig
+    # nothing lost: the concurrent append's rows are in the snapshot
+    assert table.read(spark).count() == 1010
+    # and a clean re-run of OPTIMIZE (Delta's retry) now succeeds
+    v = optimize_zorder(table, spark, "id", "y", n_files=4, bits=8)
+    assert table.read(spark, v).count() == 1010
