@@ -80,3 +80,24 @@ def test_distributed_scoring_matches_driver_side(spark, sf_dir):
     assert len(dist) == len(drv)
     for r in dist:
         assert drv[r.purchase_date] == (r.anomaly_score, r.is_anomaly)
+
+
+def test_scores_match_golden_file():
+    """Golden pin (VERDICT r6 item 6): within-run determinism can't
+    catch a refactor that changes the tree-building arithmetic for
+    EVERY run; these scores were frozen at r7 and any diff means the
+    forest's behavior changed — regenerate the golden only for a
+    deliberate, documented algorithm change."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "isolation_forest_scores.json")
+    with open(path) as fh:
+        golden = json.load(fh)
+    rng = np.random.default_rng(golden["gen_seed"])
+    normal = rng.normal(0.0, 1.0, size=(golden["n_normal"], 2))
+    outliers = np.array([[9.0, 9.0], [-8.0, 10.0], [12.0, -11.0]])
+    X = np.vstack([normal, outliers])
+    s = IsolationForest(seed=golden["seed"]).fit(X).score_samples(X)
+    np.testing.assert_allclose(s, np.array(golden["scores"]), rtol=0, atol=1e-9)
