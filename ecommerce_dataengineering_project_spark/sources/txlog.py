@@ -313,18 +313,40 @@ class TxTable:
         no row can match. Files without stats for ``col`` (old
         manifests, non-scalar columns) are conservatively kept.
         Returns (surviving relative paths, total files in snapshot)."""
+        return self.candidate_files_multi([(col, lo, hi)], version)
+
+    def candidate_files_multi(
+        self,
+        preds: list[tuple],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Conjunctive pruning: ``preds`` is a list of (col, lo, hi)
+        ranges ANDed together — a file is skipped iff ANY predicate is
+        provably unsatisfiable under its stats. This is the scan shape
+        Z-order layouts exist for: after OPTIMIZE ZORDER each file's
+        bounding box is tight in EVERY clustered dimension, so a
+        multi-dimension point/range query prunes multiplicatively
+        where a single-sort layout prunes on one column only. Columns
+        without stats are conservatively non-pruning, as in
+        ``candidate_files``."""
         vs = self.versions()
         v = vs[-1] if version is None else version
         man = self._manifest(v)
         stats = man.get("stats", {})
         keep = []
         for f in man["files"]:
-            s = stats.get(f, {}).get(col)
-            if s is not None:
+            fs = stats.get(f, {})
+            dead = False
+            for col, lo, hi in preds:
+                s = fs.get(col)
+                if s is None:
+                    continue
                 mn, mx = s
                 if (lo is not None and mx < lo) or (hi is not None and mn > hi):
-                    continue
-            keep.append(f)
+                    dead = True
+                    break
+            if not dead:
+                keep.append(f)
         return keep, len(man["files"])
 
     def scan(
@@ -343,9 +365,23 @@ class TxTable:
         At 100 TB this is the difference between planning over every
         file in the lake and planning over the handful a point/range
         query touches."""
+        return self.scan_multi(spark, [(col, lo, hi)], version)
+
+    def scan_multi(
+        self,
+        spark: SparkSession,
+        preds: list[tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Stats-pruned scan under a CONJUNCTION of ranges: file list
+        from ``candidate_files_multi``, then every real predicate
+        applied for exactness — pruning is an optimization, never a
+        semantics change. Paired with OPTIMIZE ZORDER this is the
+        100 TB point-query loop: the log plans over the handful of
+        files whose bounding box intersects the query box."""
         from pyspark.sql import functions as F
 
-        keep, _total = self.candidate_files(col, lo, hi, version)
+        keep, _total = self.candidate_files_multi(preds, version)
         if not keep:
             # provably-empty result: schema from one snapshot file,
             # zero rows, no scan
@@ -353,10 +389,11 @@ class TxTable:
         df = normalize_ntz(
             spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
         )
-        if lo is not None:
-            df = df.where(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            df = df.where(F.col(col) <= F.lit(hi))
+        for col, lo, hi in preds:
+            if lo is not None:
+                df = df.where(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(col) <= F.lit(hi))
         return df
 
 

@@ -241,3 +241,32 @@ def test_optimize_zorder_makes_scan_selective_on_second_dim(spark, tmp_path):
     assert t.read(spark).count() == 40_000
     assert t.read(spark, version=1).count() == 10_000
     assert t._manifest(v)["action"].startswith("optimize-zorder")
+
+
+def test_zorder_2d_scan_prunes_multiplicatively(spark, sf_dir):
+    """After OPTIMIZE ZORDER the conjunctive scan must skip files on
+    BOTH dimensions: the 2-D query box keeps fewer files than either
+    single-dimension predicate alone would, and the pruned scan still
+    returns exactly the predicate's rows."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.queries.ext_scale import _zopt_orders
+
+    table = _zopt_orders(spark, sf_dir)
+    preds = [("o_custkey", 1, 750), ("o_totalprice", 1000.0, 80000.0)]
+    both, total = table.candidate_files_multi(preds)
+    only_x, _ = table.candidate_files_multi(preds[:1])
+    only_y, _ = table.candidate_files_multi(preds[1:])
+    assert total >= 8
+    assert len(both) < total, "2-D scan skipped nothing"
+    assert len(both) <= min(len(only_x), len(only_y))
+    got = table.scan_multi(spark, preds).count()
+    want = (
+        table.read(spark)
+        .where(
+            (F.col("o_custkey").between(1, 750))
+            & (F.col("o_totalprice").between(1000.0, 80000.0))
+        )
+        .count()
+    )
+    assert got == want > 0
