@@ -741,7 +741,12 @@ ORACLES["stream_txlog_append"] = """
 
 
 GEN_STREAM_ROWS = 3_000
-GEN_STREAM_BATCH = 1_000
+# Two productive drains (3000/1500) still exercise the checkpointed
+# restart-resume path — the second query run MUST resume from offset
+# 1500 or the hash check fails — while each extra drain costs a full
+# streaming-query start (~1.5 s of JVM+Python-source spin-up, the
+# dominant term in this query's wall-clock).
+GEN_STREAM_BATCH = 1_500
 
 
 def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
