@@ -173,7 +173,9 @@ class DagRun:
                     self._attempt(task)
                     self.state[tid] = {"state": SUCCESS, "try_number": tries}
                     break
-                except BaseException:
+                # Exception, not BaseException: a KeyboardInterrupt /
+                # SystemExit must abort the run, never burn a retry.
+                except Exception:
                     if tries > task.retries:
                         self.state[tid] = {"state": FAILED, "try_number": tries}
                         break
