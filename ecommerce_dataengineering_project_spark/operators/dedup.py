@@ -884,13 +884,15 @@ def semantic_dedup(
     # The fold assigner costs n * n_cells * dim interpreted ops; a
     # small single-file corpus otherwise scores it in ONE task (and the
     # self-join recomputes it per branch). Round-robin to the session's
-    # parallelism first — the exchange is reused across both join
-    # branches, and at lake scale the scan is already many partitions
-    # so this is a no-op-sized rebalance, never a coalesce.
+    # parallelism ONLY when the scan is narrower than the session — at
+    # lake scale the scan already has more partitions than cores and an
+    # unconditional repartition would shuffle every (wide) embedding
+    # row for nothing.
     par = emb.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
     assigned = (
-        v.repartition(par)
-        .withColumn("cell", ivf_cell_exact("v", centroids))
+        v.withColumn("cell", ivf_cell_exact("v", centroids))
         .withColumn("nrm", norm("v"))
     )
     # ONE left-outer join carries the whole keep decision: probe row r

@@ -40,7 +40,6 @@ from dataclasses import dataclass, field
 SUCCESS = "success"
 FAILED = "failed"
 UPSTREAM_FAILED = "upstream_failed"
-PENDING = "pending"
 
 
 class TaskTimeout(RuntimeError):
@@ -173,6 +172,16 @@ class DagRun:
                     self._attempt(task)
                     self.state[tid] = {"state": SUCCESS, "try_number": tries}
                     break
+                # A TIMED-OUT attempt is never retried: the abandoned
+                # worker thread may still be running (threads cannot be
+                # killed), and a retry would execute the task fn
+                # CONCURRENTLY with the zombie attempt — two writers on
+                # one output. Airflow can retry here only because it
+                # SIGKILLs the subprocess first; without process
+                # isolation, fail fast and let the operator investigate.
+                except TaskTimeout:
+                    self.state[tid] = {"state": FAILED, "try_number": tries}
+                    break
                 # Exception, not BaseException: a KeyboardInterrupt /
                 # SystemExit must abort the run, never burn a retry.
                 except Exception:
@@ -218,8 +227,15 @@ def sales_pipeline_dag(spark, sf_dir: str, out_root: str) -> Dag:
         )
 
     def promote():  # delta_to_iceberg: silver -> versioned gold table
+        # append_txn, not append: if the process dies AFTER the txlog
+        # publish but BEFORE the DagRun persists this task as success,
+        # the resume re-runs promote — the SetTransaction watermark
+        # makes that replay a no-op instead of a double-append (the
+        # same contract streaming sinks use).
         silver = spark.read.parquet(os.path.join(out_root, "silver_purchases"))
-        TxTable(os.path.join(out_root, "gold_tx")).append(silver)
+        TxTable(os.path.join(out_root, "gold_tx")).append_txn(
+            silver, app_id="sales_pipeline.promote", txn_version=1
+        )
 
     def transform():  # the dbt hop: fct_purchases + daily_sales
         q_fct_purchases(spark, sf_dir).write.mode("overwrite").parquet(

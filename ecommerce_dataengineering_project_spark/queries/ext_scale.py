@@ -116,7 +116,22 @@ def q_bloom_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct().count() over the build side: urgent is ~1/5 of orders;
     # //4 overestimates, which only lowers the realized fpp. At 100 TB
     # the same number comes from the table format's manifest rowcounts.
-    n_est = max(1, pq.ParquetFile(os.path.join(sf_dir, "orders.parquet")).metadata.num_rows // 4)
+    # Works for a single fixture file or a Spark-written directory;
+    # any other layout falls back to letting bloom_semi_join count.
+    path = os.path.join(sf_dir, "orders.parquet")
+    try:
+        if os.path.isdir(path):
+            import glob
+
+            n_rows = sum(
+                pq.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(path, "*.parquet"))
+            )
+        else:
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        n_est = max(1, n_rows // 4)
+    except Exception:
+        n_est = None
     pruned = bloom_semi_join(
         li, urgent, "l_orderkey", "o_orderkey", fpp=0.01, n_keys=n_est
     )

@@ -67,11 +67,12 @@ def test_bloom_filter_is_codegen_and_preserves_join(spark, sf_dir):
     assert pruned.count() < li.count()
 
 
-def test_bloom_probe_plan_sublinear_in_k():
+def test_bloom_probe_plan_sublinear_in_k(spark):
     """The r6 probe inlined the bitmap literal once per hash function
     (O(k * m/64) plan text); the forall form binds it once. Growing k
     must grow the expression by only the extra position exprs, never by
-    another copy of the words array."""
+    another copy of the words array. (``spark`` is needed for the
+    Column -> SQL-string rendering even though no job runs.)"""
     m_bits = 1 << 16
     words = list(range(m_bits // 64))
     warr_len = len("array(" + ", ".join(f"{w}L" for w in words) + ")")
