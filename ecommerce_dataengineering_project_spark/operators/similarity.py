@@ -656,3 +656,146 @@ def arrow_quantized_norms(
             )
 
     return df.select(id_col, vec_col).mapInArrow(batches, out_schema)
+
+
+# ---------------------------------------------------------------- PQ
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each vector into M subspaces and
+# store, per subspace, only the 4-bit id of its nearest codebook
+# entry — 64 float64 dims compress to one BIGINT (128x), which is what
+# makes a 100 TB embedding corpus scannable from memory. Codebooks
+# here are the seeded data-point rows (seeded_centroids) sliced per
+# subspace, so — like IVF above — encoding is pure fold arithmetic and
+# the whole code assignment reproduces bit-for-bit in a SQL oracle.
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+
+
+def pq_codebooks(
+    centroids: list[list[float]], m: int = PQ_SUBSPACES
+) -> list[list[list[float]]]:
+    """Slice the K seeded rows into per-subspace codebooks:
+    ``books[sub][code] == centroids[code][sub*d0:(sub+1)*d0]``."""
+    d = len(centroids[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by {m} subspaces")
+    d0 = d // m
+    return [[c[i * d0 : (i + 1) * d0] for c in centroids] for i in range(m)]
+
+
+def _pq_sub_dist_sql(vec: str, off: int, code_slice: list[float]) -> str:
+    """L2^2 between a vector slice and one codebook entry as a
+    sequential fold — dimension-ascending accumulation, bit-identical
+    to the oracle's LIST_REDUCE (0.0 init folds exactly like no-init:
+    0.0 + t1 == t1)."""
+    d0 = len(code_slice)
+    carr = "array(" + ", ".join(f"{x!r}D" for x in code_slice) + ")"
+    return (
+        f"aggregate(zip_with(slice(`{vec}`, {off + 1}, {d0}), {carr}, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def pq_code_expr(vec: str, books: list[list[list[float]]]) -> Column:
+    """Packed PQ code for a named array<double> column: per subspace
+    the argmin code (ties to the LOWER id via struct min ordering —
+    the same (d ASC, code ASC) order the oracle's ROW_NUMBER uses),
+    packed little-endian base-K into one BIGINT. Flat expression per
+    subspace/code for the same nested-HOF-capture reason as
+    _cell_structs."""
+    d0 = len(books[0][0])
+    terms = []
+    for mi, book in enumerate(books):
+        structs = ", ".join(
+            f"named_struct('d', {_pq_sub_dist_sql(vec, mi * d0, book[j])}, 'c', {j})"
+            for j in range(len(book))
+        )
+        terms.append(
+            f"(CAST(array_min(array({structs})).c AS BIGINT) * {len(book) ** mi}L)"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def pq_encode(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """Map-only PQ encoding: (id, pq_code BIGINT). No shuffle, no
+    Python; the codebooks ride as plan literals (K x dim doubles —
+    identical size to the IVF centroid set)."""
+    books = pq_codebooks(centroids, m)
+    v = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)  # single-file fixture: spread the folds
+    return v.select(
+        F.col(id_col), pq_code_expr("__v", books).alias("pq_code")
+    )
+
+
+def pq_reconstruct_expr(code: str, books: list[list[list[float]]]) -> Column:
+    """Decoded (approximate) vector from a packed code: concat of the
+    selected codebook slices. With exact queries this gives ADC
+    scoring — distance(query, reconstruct(code)) — the standard PQ
+    search mode: the corpus stays 8 bytes/vector and only the
+    codebooks (a few KB) are materialized."""
+    k = len(books[0])
+    parts = []
+    for mi, book in enumerate(books):
+        entries = ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in slice_) + ")"
+            for slice_ in book
+        )
+        parts.append(
+            f"element_at(array({entries}), "
+            f"CAST((`{code}` div {k ** mi}L) % {k} AS INT) + 1)"
+        )
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """PQ ANN: encode the corpus to packed codes, score queries against
+    the RECONSTRUCTED vectors (asymmetric distance computation), keep
+    top-k by cosine. The corpus side of the score join carries only
+    (id, 8-byte code); everything wide is rebuilt from plan-literal
+    codebooks executor-side. Recall vs brute force is pinned in
+    tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+    books = pq_codebooks(centroids, m)
+    codes = pq_encode(corpus, centroids, id_col, vec_col, m)
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_reconstruct_expr("pq_code", books).alias("cv"),
+    ).withColumn("c_nrm", norm("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("q_nrm", norm("qv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(
+                dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("adc_cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

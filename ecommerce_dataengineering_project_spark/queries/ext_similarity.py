@@ -152,6 +152,26 @@ def q_mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrow_quantized_norms(emb)
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.py
+    pq_encode): every 64-dim vector compresses to one packed BIGINT of
+    eight 4-bit code ids — 128x smaller than float64, the
+    memory-bounded ANN path at 100 TB. Codebooks are the SAME seeded
+    data-point rows as ann_ivf_topk sliced per subspace, and the
+    argmin runs on sequential-fold L2 distances, so the whole encoding
+    reproduces bit-for-bit in the SQL oracle (assignment ties break to
+    the lower code in both engines)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        pq_encode,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
+    return pq_encode(emb, _IVF_CENTROIDS[sf_dir])
+
+
 QUERIES = {
     "array_functions": q_array_functions,
     "mapinarrow_norms": q_mapinarrow_norms,
@@ -161,6 +181,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "quantize_embeddings": q_quantize_embeddings,
+    "pq_codes": q_pq_codes,
 }
 
 # --- ann_lsh_topk oracle -------------------------------------------------
@@ -410,4 +431,45 @@ ORACLES["mapinarrow_norms"] = """
                    * CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)))
                AS BIGINT) AS norm_q
     FROM embeddings
+"""
+
+
+# PQ codes: same seeded-centroid CTE as ann_ivf_topk (the codebook IS
+# the centroid set, sliced per subspace); per (vector, subspace, code)
+# the L2^2 fold runs in the identical accumulation order, and the
+# ROW_NUMBER (d ASC, code ASC) matches the engine's struct-min tie
+# order, so the packed codes hash-match exactly.
+ORACLES["pq_codes"] = f"""
+    WITH {_COS_CTE},
+    cents AS (
+        SELECT cell, cv FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell
+            FROM n
+        ) WHERE cell < {N_CELLS}
+    ),
+    sub AS (
+        SELECT e.vec_id, s.m, c.cell AS code,
+               LIST_REDUCE(LIST_TRANSFORM(
+                   LIST_ZIP(e.v[s.m * 8 + 1 : s.m * 8 + 8],
+                            c.cv[s.m * 8 + 1 : s.m * 8 + 8]),
+                   x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS d
+        FROM n e
+        CROSS JOIN cents c
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS m) s
+    ),
+    best AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, code ASC) AS rn
+            FROM sub
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(code * CAST(POWER({N_CELLS}, m) AS BIGINT)) AS BIGINT)
+               AS pq_code
+    FROM best
+    GROUP BY vec_id
 """
