@@ -262,6 +262,64 @@ class TxTable:
             "8 times in a row"
         )
 
+    def merge(
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        key_cols: list[str],
+        seq_col: str = "seq",
+        op_col: str = "op",
+    ) -> int:
+        """Delta ``MERGE INTO`` on the versioned table: apply a CDC
+        feed (I/U/D, operators/cdc.apply_cdc semantics) and publish the
+        result as a new ``merge`` version. Like Delta, the rewrite is
+        FILE-SCOPED: manifest stats resolve which files can possibly
+        hold a changed key (the span of ``key_cols[0]`` over the feed),
+        untouched files carry into the new manifest verbatim — at
+        100 TB a merge touching one day's keys rewrites one day's
+        files, not the table. Files without stats degrade to the
+        conservative full rewrite. History stays time-travelable; a
+        commit racing between the snapshot read and the publish fails
+        the CAS (ConcurrentCommitError) — re-read and re-apply."""
+        from ecommerce_dataengineering_project_spark.operators.cdc import apply_cdc
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        v = vs[-1]
+        man = self._manifest(v)
+        key = key_cols[0]
+        bounds = changes.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        if bounds.lo is None:
+            return v  # empty feed: nothing to merge
+        touched, _ = self.candidate_files(key, bounds.lo, bounds.hi, version=v)
+        touched_set = set(touched)
+        untouched = [f for f in man["files"] if f not in touched_set]
+        if touched:
+            base = normalize_ntz(
+                spark.read.parquet(
+                    *[os.path.join(self.root, f) for f in touched]
+                )
+            )
+        else:
+            base = self.read(spark, v).limit(0)
+        merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
+        version = v + 1
+        new_files, new_stats = self._write_commit_data(merged, version)
+        keep_stats = {
+            f: s for f, s in man.get("stats", {}).items() if f not in touched_set
+        }
+        return self._publish(
+            version,
+            untouched + new_files,
+            f"merge:{','.join(key_cols)}",
+            {**keep_stats, **new_stats},
+            man.get("txn", {}),
+        )
+
     def rollback(self, to_version: int) -> int:
         """Roll-forward rollback: publish a NEW version whose file list
         is the old snapshot's — history is never rewritten, exactly like

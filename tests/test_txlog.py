@@ -331,3 +331,44 @@ def test_optimize_zorder_detects_concurrent_append(spark, table):
     # and a clean re-run of OPTIMIZE (Delta's retry) now succeeds
     v = optimize_zorder(table, spark, "id", "y", n_files=4, bits=8)
     assert table.read(spark, v).count() == 1010
+
+
+def test_merge_applies_iud_and_scopes_files(spark, tmp_path):
+    """MERGE INTO semantics on the versioned table: matched-update,
+    matched-delete, not-matched-insert — and the rewrite touches ONLY
+    the files whose key range can hold a changed key (Delta's scoped
+    rewrite via the manifest stats), carrying every other file into
+    the new manifest verbatim."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "t"))
+    # two range commits: keys 0..99 and 1000..1099
+    t.append(spark.range(0, 100).selectExpr("id AS k", "id * 2 AS v"))
+    t.append(spark.range(1000, 1100).selectExpr("id AS k", "id * 2 AS v"))
+    man_before = t._manifest(2)
+    low_files = [f for f in man_before["files"] if f.startswith("data/c1")]
+    changes = spark.createDataFrame(
+        [
+            (5, 1, "U", 5, 999),      # update k=5
+            (7, 1, "D", 7, 0),        # delete k=7
+            (200, 1, "I", 200, 400),  # insert new key
+        ],
+        "ck long, seq long, op string, k long, v long",
+    ).select("k", "v", "seq", "op")
+    ver = t.merge(spark, changes, ["k"])
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[5] == 999 and 7 not in got and got[200] == 400
+    assert got[1050] == 2100  # untouched range intact
+    assert len(got) == 200 - 1 + 1  # 200 base rows - 1 delete + 1 insert
+    # scoping: the high-range commit's files carried over verbatim
+    man_after = t._manifest(ver)
+    high_files = [f for f in man_before["files"] if f.startswith("data/c2")]
+    assert set(high_files) <= set(man_after["files"])
+    assert not (set(low_files) & set(man_after["files"]))
+    # their stats carried too (still prunable without re-harvest)
+    for f in high_files:
+        assert man_after["stats"][f] == man_before["stats"][f]
+    # history: pre-merge snapshot still time-travels
+    assert t.read(spark, 2).count() == 200
+    # empty feed is a no-op version-wise
+    assert t.merge(spark, changes.limit(0), ["k"]) == ver
