@@ -141,4 +141,5 @@ def optimize_zorder(
         f"optimize-zorder:{x_sql},{y_sql}",
         stats,
         man.get("txn", {}),
+        man.get("schema"),  # a layout rewrite never changes the schema
     )

@@ -46,6 +46,12 @@ class ConcurrentCommitError(RuntimeError):
     VACUUM collects them) and the writer should re-read + retry."""
 
 
+class SchemaMismatchError(ValueError):
+    """Writer-side schema enforcement (Delta's metaData check): the
+    incoming DataFrame's schema is incompatible with the table's
+    recorded schema under the requested mode."""
+
+
 def _file_minmax(path: str) -> dict[str, list]:
     """Per-file [min, max] from the parquet footer (row-group stats
     folded across groups) for JSON-safe scalar columns — pure metadata,
@@ -134,6 +140,7 @@ class TxTable:
         action: str,
         stats: dict[str, dict] | None = None,
         txn: dict[str, int] | None = None,
+        schema: list | None = None,
     ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
@@ -165,6 +172,10 @@ class TxTable:
                     # committed transaction version, the watermark
                     # idempotent streaming appends dedup against
                     "txn": txn or {},
+                    # Delta metaData twin: the table's recorded schema
+                    # ([name, simpleString] pairs) — what writer-side
+                    # enforcement validates new commits against
+                    "schema": schema or [],
                 },
                 fh,
             )
@@ -178,6 +189,47 @@ class TxTable:
         finally:
             os.unlink(tmp)
         return version
+
+    # ---------------------------------------------------------- schema
+    @staticmethod
+    def _df_schema(df: DataFrame) -> list:
+        return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+    @staticmethod
+    def _check_schema(prev: list | None, new: list, mode: str) -> list:
+        """Writer-side enforcement (Delta metaData semantics) and the
+        evolved schema to record. ``mode``:
+
+        - ``"merge"`` (default — matches this table's additive-evolution
+          reads): columns present in BOTH must keep their type; the
+          write may add or omit columns (omissions null-fill at read).
+          Recorded schema = previous order + new columns appended.
+        - ``"strict"``: name->type must match exactly (order-insensitive)
+          — the Delta default for production tables.
+
+        Old manifests without a recorded schema validate nothing
+        (conservative: can't reject what was never declared)."""
+        if mode not in ("merge", "strict"):
+            raise ValueError(f"schema_mode {mode!r}: use 'merge' or 'strict'")
+        if not prev:
+            return new
+        prev_map = {n: t for n, t in prev}
+        new_map = {n: t for n, t in new}
+        clashes = {
+            n: (prev_map[n], new_map[n])
+            for n in prev_map.keys() & new_map.keys()
+            if prev_map[n] != new_map[n]
+        }
+        if clashes:
+            raise SchemaMismatchError(
+                f"column type changes are never mergeable: {clashes}"
+            )
+        if mode == "strict" and prev_map.keys() != new_map.keys():
+            raise SchemaMismatchError(
+                f"strict mode: columns differ (table has "
+                f"{sorted(prev_map)}, write has {sorted(new_map)})"
+            )
+        return prev + [[n, t] for n, t in new if n not in prev_map]
 
     # ----------------------------------------------------------- write
     def _write_commit_data(
@@ -204,29 +256,38 @@ class TxTable:
         }
         return files, stats
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, schema_mode: str = "merge") -> int:
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
-        prev_files, prev_stats = [], {}
+        prev_files, prev_stats, man = [], {}, {}
         if vs:
             man = self._manifest(vs[-1])
             prev_files, prev_stats = man["files"], man.get("stats", {})
+        schema = self._check_schema(
+            man.get("schema"), self._df_schema(df), schema_mode
+        )
         new_files, new_stats = self._write_commit_data(df, version)
-        prev_txn = self._manifest(vs[-1]).get("txn", {}) if vs else {}
         return self._publish(
             version,
             prev_files + new_files,
             "append",
             {**prev_stats, **new_stats},
-            prev_txn,
+            man.get("txn", {}),
+            schema,
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        """Overwrite REDEFINES the table, schema included (Delta's
+        overwriteSchema path) — no compatibility check against the
+        prior snapshot's columns."""
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
         new_files, new_stats = self._write_commit_data(df, version)
         prev_txn = self._manifest(vs[-1]).get("txn", {}) if vs else {}
-        return self._publish(version, new_files, "overwrite", new_stats, prev_txn)
+        return self._publish(
+            version, new_files, "overwrite", new_stats, prev_txn,
+            self._df_schema(df),
+        )
 
     def append_txn(self, df: DataFrame, app_id: str, txn_version: int) -> int:
         """Idempotent append — the Delta ``txnAppId``/``txnVersion``
@@ -246,6 +307,9 @@ class TxTable:
             if txns.get(app_id, -1) >= txn_version:
                 return vs[-1]  # this batch already committed: no-op
             version = (vs[-1] + 1) if vs else 1
+            schema = self._check_schema(
+                man.get("schema"), self._df_schema(df), "merge"
+            )
             files, stats = self._write_commit_data(df, version)
             try:
                 return self._publish(
@@ -254,6 +318,7 @@ class TxTable:
                     f"append-txn:{app_id}:{txn_version}",
                     {**man.get("stats", {}), **stats},
                     {**txns, app_id: txn_version},
+                    schema,
                 )
             except ConcurrentCommitError:
                 continue  # lost the CAS: re-read the watermark, retry
@@ -307,6 +372,9 @@ class TxTable:
         else:
             base = self.read(spark, v).limit(0)
         merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
+        schema = self._check_schema(
+            man.get("schema"), self._df_schema(merged), "merge"
+        )
         version = v + 1
         new_files, new_stats = self._write_commit_data(merged, version)
         keep_stats = {
@@ -318,6 +386,7 @@ class TxTable:
             f"merge:{','.join(key_cols)}",
             {**keep_stats, **new_stats},
             man.get("txn", {}),
+            schema,
         )
 
     def rollback(self, to_version: int) -> int:
@@ -333,6 +402,7 @@ class TxTable:
             f"rollback:{to_version}",
             old.get("stats", {}),
             cur_txn,
+            old.get("schema"),
         )
 
     # ------------------------------------------------------------ read

@@ -372,3 +372,37 @@ def test_merge_applies_iud_and_scopes_files(spark, tmp_path):
     assert t.read(spark, 2).count() == 200
     # empty feed is a no-op version-wise
     assert t.merge(spark, changes.limit(0), ["k"]) == ver
+
+
+def test_schema_enforcement_merge_and_strict(spark, table):
+    """Writer-side schema checks (Delta metaData semantics): merge mode
+    allows additive columns but never a type change; strict mode pins
+    the exact column set; overwrite redefines the schema."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import SchemaMismatchError
+
+    table.append(_df(spark, 0, 5))  # (k bigint-ish id, v)
+    # additive evolution: allowed under the default merge mode
+    table.append(_df(spark, 5, 8).selectExpr("id", "v", "id * 10 AS extra"))
+    assert [c for c, _ in table._manifest(2)["schema"]] == ["id", "v", "extra"]
+    # type change on an existing column: rejected in EVERY mode
+    with pytest.raises(SchemaMismatchError, match="type changes"):
+        table.append(_df(spark, 8, 9).selectExpr("CAST(id AS STRING) AS id", "v"))
+    # strict: adding a column is rejected too
+    with pytest.raises(SchemaMismatchError, match="strict"):
+        table.append(
+            _df(spark, 8, 9).selectExpr("id", "v", "id AS another"),
+            schema_mode="strict",
+        )
+    # strict with the exact recorded column set: fine (order-insensitive)
+    table.append(
+        _df(spark, 8, 9).selectExpr("id * 10 AS extra", "id", "v"),
+        schema_mode="strict",
+    )
+    # overwrite redefines: subsequent merge-mode append validates
+    # against the NEW schema
+    table.overwrite(spark.range(3).selectExpr("id AS only_col"))
+    with pytest.raises(SchemaMismatchError, match="type changes"):
+        table.append(spark.range(3).selectExpr("CAST(id AS DOUBLE) AS only_col"))
+    # rejected writes never published a version or leaked files into
+    # the manifest
+    assert len(table.versions()) == 4
