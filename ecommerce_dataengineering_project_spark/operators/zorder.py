@@ -130,7 +130,13 @@ def optimize_zorder(
     Returns the new version number. ``table`` is a
     ``sources.txlog.TxTable`` (duck-typed to avoid a module cycle).
     """
-    clustered = zorder_layout(table.read(spark), x_sql, y_sql, n_files, bits)
+    # merge_schema: after additive evolution the snapshot's files may
+    # carry different column sets — a single-footer schema would drop
+    # evolved columns from the rewrite while the manifest still
+    # records them
+    clustered = zorder_layout(
+        table.read(spark, merge_schema=True), x_sql, y_sql, n_files, bits
+    )
     vs = table.versions()
     version = vs[-1] + 1
     man = table._manifest(vs[-1])

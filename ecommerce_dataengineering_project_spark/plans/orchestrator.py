@@ -194,7 +194,9 @@ class DagRun:
         return {t: s["state"] for t, s in self.state.items()}
 
 
-def sales_pipeline_dag(spark, sf_dir: str, out_root: str) -> Dag:
+def sales_pipeline_dag(
+    spark, sf_dir: str, out_root: str, run_token: str = "r1"
+) -> Dag:
     """The reference DAG's shape over THIS engine's stages
     (sales_pipeline_dag.py:99-107): start -> {produce, stream} ->
     join_streams -> promote(gold txlog) -> transform(fct+daily) ->
@@ -231,10 +233,16 @@ def sales_pipeline_dag(spark, sf_dir: str, out_root: str) -> Dag:
         # publish but BEFORE the DagRun persists this task as success,
         # the resume re-runs promote — the SetTransaction watermark
         # makes that replay a no-op instead of a double-append (the
-        # same contract streaming sinks use).
+        # same contract streaming sinks use). The app_id carries the
+        # RUN token: replays of the same run skip, while a fresh run
+        # over the same out_root (new token, new watermark key) really
+        # appends — a fixed app_id would make every later run a
+        # silent permanent no-op.
         silver = spark.read.parquet(os.path.join(out_root, "silver_purchases"))
         TxTable(os.path.join(out_root, "gold_tx")).append_txn(
-            silver, app_id="sales_pipeline.promote", txn_version=1
+            silver,
+            app_id=f"sales_pipeline.promote.{run_token}",
+            txn_version=1,
         )
 
     def transform():  # the dbt hop: fct_purchases + daily_sales

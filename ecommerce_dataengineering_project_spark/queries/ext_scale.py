@@ -129,7 +129,10 @@ def q_bloom_semi_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             n_rows = pq.ParquetFile(path).metadata.num_rows
-        n_est = max(1, n_rows // 4)
+        # zero matches (nested/partitioned layout) is NOT a size
+        # estimate — fall back to the counted path like any other
+        # unreadable layout, never a one-key filter with fpp ~1
+        n_est = max(1, n_rows // 4) if n_rows else None
     except Exception:
         n_est = None
     pruned = bloom_semi_join(

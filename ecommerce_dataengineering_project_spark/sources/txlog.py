@@ -364,13 +364,16 @@ class TxTable:
         touched_set = set(touched)
         untouched = [f for f in man["files"] if f not in touched_set]
         if touched:
+            # mergeSchema: under additive evolution the touched files
+            # may carry different column sets; a single-footer schema
+            # would silently DROP evolved columns from the rewrite
             base = normalize_ntz(
-                spark.read.parquet(
+                spark.read.option("mergeSchema", "true").parquet(
                     *[os.path.join(self.root, f) for f in touched]
                 )
             )
         else:
-            base = self.read(spark, v).limit(0)
+            base = self.read(spark, v, merge_schema=True).limit(0)
         merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
         schema = self._check_schema(
             man.get("schema"), self._df_schema(merged), "merge"

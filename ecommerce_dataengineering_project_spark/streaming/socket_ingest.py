@@ -43,13 +43,22 @@ class LineServer:
         self._srv.listen(1)
         self.host, self.port = self._srv.getsockname()
         self._conn: socket.socket | None = None
+        self._lock = threading.Lock()
+        self._closed = False
         self._thread = threading.Thread(target=self._serve, daemon=True)
         self._thread.start()
 
     def _serve(self) -> None:
         try:
             conn, _ = self._srv.accept()
-            self._conn = conn
+            # registration races close(): take the lock and re-check,
+            # so a connection accepted mid-shutdown is closed here
+            # instead of leaking for the process lifetime
+            with self._lock:
+                if self._closed:
+                    conn.close()
+                    return
+                self._conn = conn
             payload = ("\n".join(self._lines) + "\n").encode("utf-8")
             conn.sendall(payload)
             # leave the socket open: the streaming query polls it until
@@ -58,7 +67,10 @@ class LineServer:
             pass  # server closed before/while accepting: shutdown path
 
     def close(self) -> None:
-        for s in (self._conn, self._srv):
+        with self._lock:
+            self._closed = True
+            conn, self._conn = self._conn, None
+        for s in (conn, self._srv):
             if s is not None:
                 try:
                     s.close()
@@ -124,6 +136,11 @@ def run_socket_ingest(
     try:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
+            # fail FAST on a dead query: without this, a connect/parse
+            # failure would burn the whole timeout and then surface as
+            # a misleading missing-sink error
+            if q.exception() is not None:
+                raise q.exception()
             try:
                 if spark.read.parquet(sink_dir).count() >= expected_rows:
                     break

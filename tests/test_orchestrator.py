@@ -140,7 +140,7 @@ def test_sales_pipeline_dag_end_to_end(spark, tmp_path):
     from ecommerce_dataengineering_project_spark.sources.txlog import TxTable
 
     out = str(tmp_path / "run")
-    dag = sales_pipeline_dag(spark, "/root/testdata/sf0.001", out)
+    dag = sales_pipeline_dag(spark, "/root/testdata/sf0.001", out, run_token="r1")
     states = DagRun(dag, "r1", str(tmp_path / "state")).run()
     assert set(states.values()) == {SUCCESS}, states
     gold = TxTable(os.path.join(out, "gold_tx")).read(spark)
@@ -148,3 +148,16 @@ def test_sales_pipeline_dag_end_to_end(spark, tmp_path):
     assert gold.count() == silver.count() > 0
     assert spark.read.parquet(os.path.join(out, "daily_sales")).count() > 0
     assert spark.read.parquet(os.path.join(out, "fct_purchases")).count() > 0
+    # a REPLAY of the same run's promote is a no-op (crash-resume
+    # idempotence)...
+    dag.tasks["delta_to_iceberg"].fn()
+    assert TxTable(os.path.join(out, "gold_tx")).read(spark).count() == gold.count()
+    # ...but a FRESH run over the same out_root really appends — a
+    # fixed watermark key would make every later run a silent no-op
+    dag2 = sales_pipeline_dag(spark, "/root/testdata/sf0.001", out, run_token="r2")
+    states2 = DagRun(dag2, "r2", str(tmp_path / "state")).run()
+    assert set(states2.values()) == {SUCCESS}, states2
+    assert (
+        TxTable(os.path.join(out, "gold_tx")).read(spark).count()
+        == 2 * gold.count()
+    )

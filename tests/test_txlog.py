@@ -406,3 +406,39 @@ def test_schema_enforcement_merge_and_strict(spark, table):
     # rejected writes never published a version or leaked files into
     # the manifest
     assert len(table.versions()) == 4
+
+
+def test_merge_preserves_evolved_columns(spark, table):
+    """Review regression (r7): merge reads touched files WITH
+    mergeSchema — under additive evolution a single-footer schema
+    could silently drop the evolved column from the rewritten files
+    while the manifest still recorded it."""
+    table.append(_df(spark, 0, 50))
+    table.append(_df(spark, 50, 100).selectExpr("id", "v", "id * 10 AS extra"))
+    changes = spark.createDataFrame(
+        [(10, 111, None, 1, "U"), (60, 222, 600, 1, "U")],
+        "id long, v long, extra long, seq long, op string",
+    )
+    table.merge(spark, changes, ["id"])
+    got = {r.id: r for r in table.read(spark, merge_schema=True).collect()}
+    assert got[10].v == 111 and got[60].v == 222 and got[60].extra == 600
+    # pre-existing evolved values in touched files survived the rewrite
+    assert got[99].extra == 990
+    assert got[0].extra is None  # never had one
+
+
+def test_optimize_zorder_preserves_evolved_columns(spark, table):
+    """Same soundness bar for the layout rewrite: after additive
+    evolution OPTIMIZE must carry every recorded column's DATA, not
+    just its manifest entry."""
+    from ecommerce_dataengineering_project_spark.operators.zorder import optimize_zorder
+
+    table.append(_df(spark, 0, 2000).selectExpr("id", "v"))
+    table.append(
+        _df(spark, 2000, 4000).selectExpr("id", "v", "id % 97 AS extra")
+    )
+    optimize_zorder(table, spark, "id", "v", n_files=4, bits=10)
+    got = table.read(spark, merge_schema=True)
+    assert got.count() == 4000
+    assert got.where("extra IS NOT NULL").count() == 2000
+    assert [c for c, _ in table._manifest(3)["schema"]] == ["id", "v", "extra"]
