@@ -172,6 +172,26 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(emb, _IVF_CENTROIDS[sf_dir])
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN search, oracle-checked end-to-end: corpus vectors live as
+    8-byte packed codes, queries score against the codebook
+    reconstruction (asymmetric distance computation). Every stage —
+    code assignment, reconstruction, cosine, top-k ties — is the same
+    deterministic fold/argmin arithmetic as pq_codes, so unlike most
+    PQ deployments this one hash-matches a SQL oracle exactly."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        pq_adc_topk,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
+    return pq_adc_topk(
+        _queries_df(spark, sf_dir), emb, _IVF_CENTROIDS[sf_dir], k=TOP_K
+    )
+
+
 QUERIES = {
     "array_functions": q_array_functions,
     "mapinarrow_norms": q_mapinarrow_norms,
@@ -182,6 +202,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "quantize_embeddings": q_quantize_embeddings,
     "pq_codes": q_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
 }
 
 # --- ann_lsh_topk oracle -------------------------------------------------
@@ -472,4 +493,67 @@ ORACLES["pq_codes"] = f"""
                AS pq_code
     FROM best
     GROUP BY vec_id
+"""
+
+
+# PQ ADC top-k: codes + reconstruction derive exactly as in pq_codes;
+# the reconstructed vector is FLATTEN(LIST(slice ORDER BY m)) so the
+# 64-dim cosine fold runs in the same dimension-ascending order as the
+# engine's concat'd fold; ties (common — only 16^8 distinct
+# reconstructions exist) break on neighbor_id in both engines.
+ORACLES["ann_pq_topk"] = f"""
+    WITH {_COS_CTE},
+    cents AS (
+        SELECT cell, cv FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell
+            FROM n
+        ) WHERE cell < {N_CELLS}
+    ),
+    sub AS (
+        SELECT e.vec_id, s.m, c.cell AS code,
+               LIST_REDUCE(LIST_TRANSFORM(
+                   LIST_ZIP(e.v[s.m * 8 + 1 : s.m * 8 + 8],
+                            c.cv[s.m * 8 + 1 : s.m * 8 + 8]),
+                   x -> (x[1] - x[2]) * (x[1] - x[2])), (a, b) -> a + b) AS d
+        FROM n e
+        CROSS JOIN cents c
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 7)) AS m) s
+    ),
+    best AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, code ASC) AS rn
+            FROM sub
+        ) WHERE rn = 1
+    ),
+    recon AS (
+        SELECT b.vec_id,
+               FLATTEN(LIST(c.cv[b.m * 8 + 1 : b.m * 8 + 8] ORDER BY b.m)) AS rv
+        FROM best b JOIN cents c ON c.cell = b.code
+        GROUP BY b.vec_id
+    ),
+    rn AS (
+        SELECT vec_id, rv,
+               SQRT(LIST_REDUCE(LIST_TRANSFORM(rv, x -> x * x),
+                                (x, y) -> x + y)) AS rnrm
+        FROM recon
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+               FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.v, r.rv),
+                                                 x -> x[1] * x[2]),
+                                  (x, y) -> x + y) / (q.nrm * r.rnrm))
+                     * 1000000.0 + 0.5) / 1000000.0 AS adc_cosine
+        FROM n q JOIN rn r ON q.vec_id <> r.vec_id
+        WHERE q.vec_id < {N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, adc_cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
 """

@@ -31,6 +31,7 @@ _BNLJ_OK = {
     "bm25_search",  # corpus stats scalar attach
     "ingestion_freshness",  # global latest-ts scalar attach
     "similarity_topk",  # 5-row broadcast query side, != condition
+    "ann_pq_topk",  # same 5-row broadcast query side over PQ codes
     "tfidf_top_terms",  # n_docs scalar attach
     "segment_overlap_sketch",  # |segments|-row pairwise (<) join over sketches
     "heavy_hitter_tokens",  # 1-row total-err scalar attach onto KB sketch state
