@@ -924,3 +924,75 @@ def semantic_dedup(
         .agg(F.every(F.col("id_b").isNull()).alias("keep"))
         .select(F.col("vid").alias(id_col), "cell", "keep")
     )
+
+
+def substring_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Exact substring-level dedup (X2): drop repeated ``chunk_words``-word
+    spans corpus-wide, keep the FIRST occurrence, reassemble documents.
+
+    The C4 / RefinedWeb "exact substring deduplication" shape: boiler-
+    plate and license blocks repeat verbatim across millions of pages,
+    so whole-document hashing misses them while near-dup sketches only
+    flag, not excise. Chunking the token stream into fixed ``k``-word
+    spans and keeping each span's first corpus occurrence removes the
+    repeated text itself (reference scope: the pipeline dedups whole
+    rows only — ``pipeline/spark/streaming_consumer.py`` dropDuplicates
+    — this extends it below record granularity).
+
+    Plan (two shuffles, both necessary):
+      1. map-side: split -> slice into ceil(n/k) spans (no self-join,
+         no Python); explode.
+      2. shuffle on the span string: ``row_number`` over
+         (doc_id, chunk_idx) picks the deterministic first occurrence.
+      3. shuffle on doc_id: re-assemble kept spans in order via
+         ``array_sort(collect_list(struct))``.
+    At 100 TB the span-keyed exchange is the cost; spans are ~60 B and
+    hash-partition uniformly (natural-language spans have no hot key —
+    the worst case, a corpus-dominating boilerplate span, concentrates
+    only identical rows which the combiner-free row_number still streams
+    through one reducer; salt-and-re-rank if a single span exceeds a
+    partition).
+
+    Returns one row per surviving document: ``doc_id``, ``clean_text``
+    (kept spans re-joined), ``n_chunks`` (original span count),
+    ``n_kept``. Documents whose every span already appeared earlier
+    drop out entirely (fully-duplicated docs).
+    """
+    from pyspark.sql import Window
+
+    k = int(chunk_words)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__ws"),
+    ).select(
+        "doc_id",
+        "__ws",
+        F.expr(f"cast(ceil(size(__ws) / {k}.0) as bigint)").alias("n_chunks"),
+    )
+    # span i covers 1-based word slots [i*k+1, i*k+k]; ceil(size/k) >= 1
+    # always (split("") -> [""]), so the sequence is never descending.
+    spans = F.expr(
+        f"transform(sequence(0, cast(n_chunks as int) - 1), "
+        f"i -> struct(cast(i as bigint) as chunk_idx, "
+        f"array_join(slice(__ws, i * {k} + 1, {k}), ' ') as chunk))"
+    )
+    exploded = base.select(
+        "doc_id", "n_chunks", F.explode(spans).alias("c")
+    ).select("doc_id", "n_chunks", F.col("c.chunk_idx"), F.col("c.chunk"))
+    first = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = exploded.withColumn(
+        "__rn", F.row_number().over(first)
+    ).where(F.col("__rn") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(chunk_idx, chunk))), x -> x.chunk), ' ')"
+        ).alias("clean_text"),
+        F.max("n_chunks").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )

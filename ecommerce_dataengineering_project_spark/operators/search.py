@@ -120,3 +120,62 @@ def bigram_lm(
         .orderBy(F.col("pair_count").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
     )
+
+
+def doc_perplexity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document average bigram negative log-likelihood under a
+    corpus-trained add-one-smoothed bigram LM — the CCNet-style
+    "perplexity quality filter" (docs whose token stream the corpus LM
+    finds surprising are low-quality / off-distribution candidates).
+
+    Model and scorer share one relation: the corpus bigram counts
+    ``c(w1,w2)`` with context totals ``c(w1·)`` (a window over the
+    already-collapsed bigram vocabulary), plus the unigram vocabulary
+    size ``V`` as a broadcast 1-row aggregate. Scoring joins each
+    document's bigram stream to the model on (w1, w2) — at 100 TB the
+    model relation is vocabulary-bounded (orders smaller than the
+    corpus) so the join broadcasts; the only corpus-sized exchanges are
+    the model groupBy and the final doc_id aggregation.
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V)``;
+    ``avg_nll = -mean(ln P)`` rounded half-up to 6 (engine-portable:
+    the ln inputs are exact integer ratios, the rounded mean absorbs
+    sum-order ulp noise). Documents with < 2 tokens have no bigrams and
+    drop out.
+    """
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__toks"))
+    pair_windows = F.expr(
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> struct(element_at(__toks, i) AS w1, "
+        "element_at(__toks, i + 1) AS w2))"
+    )
+    guarded = F.when(F.size("__toks") >= 2, pair_windows).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    doc_pairs = toks.select(
+        "doc_id", F.explode(guarded).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    pc = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    model = pc.withColumn(
+        "c_ctx", F.sum("c_pair").over(Window.partitionBy("w1"))
+    )
+    vocab = docs.select(
+        F.explode(tokens(text_col)).alias("t")
+    ).agg(F.countDistinct("t").alias("v"))
+    nll = -F.log(
+        (F.col("c_pair") + F.lit(1)).cast("double")
+        / (F.col("c_ctx") + F.col("v")).cast("double")
+    )
+    return (
+        doc_pairs.join(model, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            round_half_up(F.avg(nll), 6).alias("avg_nll"),
+        )
+    )

@@ -629,3 +629,49 @@ ORACLES["fuzzy_name_matches"] = """
            name_b AS nearest_name, dist
     FROM ranked WHERE rn = 1
 """
+
+
+SUBSTRING_CHUNK_WORDS = 10
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: repeated 10-word spans excised
+    corpus-wide (first occurrence kept), documents reassembled — the
+    C4/RefinedWeb exact-substring shape, below record granularity
+    (reference dedups whole rows only:
+    pipeline/spark/streaming_consumer.py dropDuplicates)."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, chunk_words=SUBSTRING_CHUNK_WORDS)
+
+
+QUERIES["dedup_substring"] = q_dedup_substring
+
+ORACLES["dedup_substring"] = f"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws,
+               CAST(CEIL(LEN(STRING_SPLIT(text, ' ')) / {SUBSTRING_CHUNK_WORDS}.0)
+                    AS BIGINT) AS n_chunks
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, n_chunks, CAST(i AS BIGINT) AS chunk_idx,
+               ARRAY_TO_STRING(
+                   ws[CAST(i * {SUBSTRING_CHUNK_WORDS} + 1 AS BIGINT):
+                      CAST(i * {SUBSTRING_CHUNK_WORDS} + {SUBSTRING_CHUNK_WORDS}
+                           AS BIGINT)], ' ') AS chunk
+        FROM w, UNNEST(RANGE(n_chunks)) AS t(i)
+    ),
+    kept AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+        FROM spans
+    )
+    SELECT doc_id,
+           STRING_AGG(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+           MAX(n_chunks) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id
+"""

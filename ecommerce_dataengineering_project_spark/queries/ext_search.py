@@ -142,3 +142,50 @@ ORACLES["doc_familiarity"] = """
     FROM bg b JOIN pc p ON b.w1 = p.w1 AND b.w2 = p.w2
     GROUP BY 1
 """
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter: per-document average
+    bigram negative log-likelihood under the corpus-trained add-one
+    bigram LM (operators/search.py doc_perplexity). The reference has
+    no LM-scoring stage at all; this is the standard quality gate a
+    pretraining corpus pipeline layers on top of its text stats."""
+    from ecommerce_dataengineering_project_spark.operators.search import doc_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_perplexity(docs)
+
+
+QUERIES["doc_perplexity"] = q_doc_perplexity
+
+ORACLES["doc_perplexity"] = """
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ),
+    doc_pairs AS (
+        SELECT doc_id, ws[CAST(i AS BIGINT)] AS w1,
+               ws[CAST(i + 1 AS BIGINT)] AS w2
+        FROM toks, UNNEST(RANGE(1, LEN(ws))) AS t(i)
+        WHERE LEN(ws) >= 2
+    ),
+    pc AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM doc_pairs GROUP BY w1, w2
+    ),
+    model AS (
+        SELECT w1, w2, c_pair,
+               SUM(c_pair) OVER (PARTITION BY w1) AS c_ctx
+        FROM pc
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           FLOOR(AVG(-LN((m.c_pair + 1) * 1.0 / (m.c_ctx + vocab.v)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+    FROM doc_pairs d
+    JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2, vocab
+    GROUP BY d.doc_id
+"""

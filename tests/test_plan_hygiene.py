@@ -39,6 +39,7 @@ _BNLJ_OK = {
     "mixture_sample",  # 1-row corpus-total scalar attach onto per-stratum counts
     "revenue_histogram",  # 1-row (lo, width) bounds scalar attach
     "inverted_index",  # 1-row n_docs scalar attach for the df band
+    "doc_perplexity",  # 1-row vocabulary-size scalar attach
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
