@@ -234,3 +234,58 @@ ORACLES = {
         GROUP BY o.o_orderkey
     """,
 }
+
+
+N_BLOOM_COMMITS = 4
+
+
+def _bloom_committed_orders(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Orders staged as N_BLOOM_COMMITS commits split by o_orderkey
+    range, each carrying a per-file Bloom index on o_custkey —
+    customer keys scatter uniformly across order-key ranges, so every
+    file's [min, max] on o_custkey spans the whole domain and range
+    pruning keeps everything: exactly the layout bloom indexes exist
+    for. Staged once per process (the fixtures are immutable)."""
+    root = os.path.join(TMP_ROOT, "txlog", f"orders_bloom_{_sf_name(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders")
+    table = TxTable(root)
+    if len(table.versions()) != N_BLOOM_COMMITS:
+        table = recreate(root)
+        max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        q = max_key // N_BLOOM_COMMITS + 1
+        for i in range(N_BLOOM_COMMITS):
+            table.append(
+                orders.where(
+                    (F.col("o_orderkey") >= i * q)
+                    & (F.col("o_orderkey") < (i + 1) * q)
+                ),
+                bloom_cols=("o_custkey",),
+            )
+    return table
+
+
+def q_txlog_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup (sources/txlog.py scan_point): one
+    customer's orders resolved from the LOG ALONE — per-file Bloom
+    filters on o_custkey, probed driver-side with the pure-Python
+    xxh64 twin of Spark's xxhash64, prune files a min/max range check
+    never could (every file spans the whole customer domain). No false
+    negatives, and the exact predicate removes false positives, so the
+    oracle is the plain filter. The probed key is the smallest
+    customer key (deterministic, present at every SF)."""
+    table = _bloom_committed_orders(spark, sf_dir)
+    target = load_table(spark, sf_dir, "orders").agg(
+        F.min("o_custkey")
+    ).collect()[0][0]
+    return table.scan_point(spark, "o_custkey", int(target)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+QUERIES["txlog_bloom_point_read"] = q_txlog_bloom_point_read
+
+ORACLES["txlog_bloom_point_read"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
+"""

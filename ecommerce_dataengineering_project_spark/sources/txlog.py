@@ -141,6 +141,7 @@ class TxTable:
         stats: dict[str, dict] | None = None,
         txn: dict[str, int] | None = None,
         schema: list | None = None,
+        bloom: dict[str, dict] | None = None,
     ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
@@ -176,6 +177,11 @@ class TxTable:
                     # ([name, simpleString] pairs) — what writer-side
                     # enforcement validates new commits against
                     "schema": schema or [],
+                    # per-file Bloom filter index (Delta/Iceberg bloom
+                    # column index twin): point-lookup pruning on
+                    # high-cardinality columns where min/max ranges
+                    # cannot help — see candidate_files_point
+                    "bloom": bloom or {},
                 },
                 fh,
             )
@@ -256,7 +262,106 @@ class TxTable:
         }
         return files, stats
 
-    def append(self, df: DataFrame, schema_mode: str = "merge") -> int:
+    # Spark simpleString -> the xxh64 logical input family. Only types
+    # whose Spark hash the Python probe reproduces are indexable;
+    # others raise at WRITE time (never a silent wrong prune at read).
+    _BLOOM_TYPES = {
+        "bigint": "long",
+        "int": "int",
+        "smallint": "int",
+        "tinyint": "int",
+        "date": "int",
+        "string": "string",
+    }
+
+    def _file_blooms(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        bloom_cols: tuple[str, ...],
+        fpp: float = 0.01,
+    ) -> dict[str, dict]:
+        """Per-file Bloom filters over ``bloom_cols`` — the Delta
+        "bloom filter index" / Iceberg parquet-bloom twin: for a
+        high-cardinality column whose values scatter across the key
+        space, every file's [min, max] spans the whole domain and range
+        pruning keeps everything; a per-file bloom answers "is THIS
+        value possibly in THIS file" from the log alone.
+
+        Build is ONE distributed job per column over the just-written
+        files (Delta collects its add-action stats the same way):
+        explode each row's k bit positions — the exact
+        ``xxhash64(col, i)`` family operators/bloom.py builds and
+        probes with — and ``bit_or`` per (file, word); at most
+        files x m/64 rows come back. All files in a commit share (m, k)
+        sized from the largest file's footer rowcount (an upper bound
+        on its distinct count), so one job serves every file. NULLs are
+        never indexed: SQL equality with NULL is never true, and the
+        probe rejects None.
+        """
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        from ecommerce_dataengineering_project_spark.operators.bloom import (
+            _pos_sql,
+            bloom_params,
+        )
+
+        root_abs = os.path.abspath(self.root)
+        abs_files = [os.path.join(root_abs, f) for f in files]
+        max_rows = max(
+            (pq.ParquetFile(p).metadata.num_rows for p in abs_files), default=0
+        )
+        m_bits, k = bloom_params(max(max_rows, 1), fpp)
+        df = spark.read.parquet(*abs_files)
+        type_map = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        out: dict[str, dict] = {f: {} for f in files}
+        for col in bloom_cols:
+            simple = type_map.get(col)
+            if simple not in self._BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom index on {col!r}: type {simple!r} not indexable "
+                    f"(supported: {sorted(self._BLOOM_TYPES)})"
+                )
+            logical = self._BLOOM_TYPES[simple]
+            pos_arr = ", ".join(
+                _pos_sql(f"`{col}`", i, m_bits) for i in range(1, k + 1)
+            )
+            rows = (
+                df.where(F.col(col).isNotNull())
+                .select(
+                    F.col("_metadata.file_path").alias("__f"),
+                    F.explode(F.expr(f"array({pos_arr})")).alias("p"),
+                )
+                .selectExpr(
+                    "__f",
+                    "CAST(shiftright(p, 6) AS INT) AS w",
+                    "shiftleft(1L, CAST(p & 63 AS INT)) AS m",
+                )
+                .groupBy("__f", "w")
+                .agg(F.bit_or("m").alias("bits"))
+                .collect()
+            )
+            words: dict[str, list[int]] = {f: [0] * (m_bits // 64) for f in files}
+            for r in rows:
+                rel = r["__f"].split(root_abs + "/", 1)[1]
+                words[rel][r["w"]] = r["bits"]
+            for f in files:
+                out[f][col] = {
+                    "m": m_bits,
+                    "k": k,
+                    "type": logical,
+                    "words": words[f],
+                }
+        return out
+
+    def append(
+        self,
+        df: DataFrame,
+        schema_mode: str = "merge",
+        bloom_cols: tuple[str, ...] = (),
+    ) -> int:
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
         prev_files, prev_stats, man = [], {}, {}
@@ -267,6 +372,11 @@ class TxTable:
             man.get("schema"), self._df_schema(df), schema_mode
         )
         new_files, new_stats = self._write_commit_data(df, version)
+        new_bloom = (
+            self._file_blooms(df.sparkSession, new_files, bloom_cols)
+            if bloom_cols
+            else {}
+        )
         return self._publish(
             version,
             prev_files + new_files,
@@ -274,6 +384,7 @@ class TxTable:
             {**prev_stats, **new_stats},
             man.get("txn", {}),
             schema,
+            bloom={**man.get("bloom", {}), **new_bloom},
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -319,6 +430,7 @@ class TxTable:
                     {**man.get("stats", {}), **stats},
                     {**txns, app_id: txn_version},
                     schema,
+                    bloom=man.get("bloom", {}),
                 )
             except ConcurrentCommitError:
                 continue  # lost the CAS: re-read the watermark, retry
@@ -406,6 +518,7 @@ class TxTable:
             old.get("stats", {}),
             cur_txn,
             old.get("schema"),
+            bloom=old.get("bloom", {}),
         )
 
     # ------------------------------------------------------------ read
@@ -479,6 +592,72 @@ class TxTable:
             if not dead:
                 keep.append(f)
         return keep, len(man["files"])
+
+    def candidate_files_point(
+        self,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Point-lookup file pruning for ``col = value``: the range
+        check first (free), then the per-file Bloom filter — evaluated
+        DRIVER-SIDE from the log alone via the pure-Python xxh64 twin
+        of Spark's ``xxhash64`` (functions/xxh64.py, equivalence pinned
+        by test). No false negatives: a file is skipped only when its
+        range provably excludes the value or ALL k bloom bits are
+        clear, so the pruned scan equals the full filter exactly.
+        Files without a bloom for ``col`` (older commits, un-indexed
+        columns) are conservatively kept past the range check."""
+        from ecommerce_dataengineering_project_spark.functions.xxh64 import (
+            xxhash64_chain,
+        )
+
+        if value is None:
+            raise ValueError("bloom point lookup: value must be non-null")
+        vs = self.versions()
+        v = vs[-1] if version is None else version
+        man = self._manifest(v)
+        stats, blooms = man.get("stats", {}), man.get("bloom", {})
+        keep = []
+        for f in man["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is not None and (value < s[0] or value > s[1]):
+                continue
+            b = blooms.get(f, {}).get(col)
+            if b is not None:
+                m_mask, words = b["m"] - 1, b["words"]
+                hit = True
+                for i in range(1, b["k"] + 1):
+                    p = xxhash64_chain(value, b["type"], i) & m_mask
+                    if not (words[p >> 6] >> (p & 63)) & 1:
+                        hit = False
+                        break
+                if not hit:
+                    continue
+            keep.append(f)
+        return keep, len(man["files"])
+
+    def scan_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Bloom-pruned point read: file list from
+        ``candidate_files_point`` (log-only planning), then the real
+        equality predicate for exactness — the bloom's false positives
+        die here, its guaranteed absence of false negatives makes the
+        result equal the plain filtered scan."""
+        from pyspark.sql import functions as F
+
+        keep, _total = self.candidate_files_point(col, value, version)
+        if not keep:
+            return self.read(spark, version).limit(0)
+        df = normalize_ntz(
+            spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
+        )
+        return df.where(F.col(col) == F.lit(value))
 
     def scan(
         self,
