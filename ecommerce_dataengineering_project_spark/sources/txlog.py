@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -344,9 +345,20 @@ class TxTable:
                 .collect()
             )
             words: dict[str, list[int]] = {f: [0] * (m_bits // 64) for f in files}
+            # ``_metadata.file_path`` is a URI (possibly URL-encoded,
+            # possibly resolved through a symlink), so recovering the
+            # manifest-relative path by string-splitting on the root is
+            # fragile. Part-file basenames carry a task UUID and are
+            # unique within a commit's staging dir — match on those.
+            base_map = {os.path.basename(f): f for f in files}
+            if len(base_map) != len(files):
+                raise ValueError(
+                    "bloom index build: duplicate part-file basenames "
+                    f"within one commit: {sorted(files)}"
+                )
             for r in rows:
-                rel = r["__f"].split(root_abs + "/", 1)[1]
-                words[rel][r["w"]] = r["bits"]
+                uri_path = urllib.parse.unquote(urllib.parse.urlparse(r["__f"]).path)
+                words[base_map[os.path.basename(uri_path)]][r["w"]] = r["bits"]
             for f in files:
                 out[f][col] = {
                     "m": m_bits,
@@ -495,6 +507,13 @@ class TxTable:
         keep_stats = {
             f: s for f, s in man.get("stats", {}).items() if f not in touched_set
         }
+        # Carry per-file Bloom indexes for untouched files, exactly like
+        # keep_stats: dropping them keeps results correct (bloom-less
+        # files are conservatively kept by point lookups) but silently
+        # degrades pruning after every MERGE.
+        keep_bloom = {
+            f: b for f, b in man.get("bloom", {}).items() if f not in touched_set
+        }
         return self._publish(
             version,
             untouched + new_files,
@@ -502,6 +521,7 @@ class TxTable:
             {**keep_stats, **new_stats},
             man.get("txn", {}),
             schema,
+            bloom=keep_bloom,
         )
 
     def rollback(self, to_version: int) -> int:

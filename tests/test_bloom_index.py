@@ -158,6 +158,35 @@ def test_bloom_survives_txn_append_and_rollback(spark, btable):
     assert len(keep2) == 1  # rollback carried the index forward
 
 
+def test_bloom_survives_file_scoped_merge(spark, btable):
+    # MERGE touching only commit 2's key span rewrites that one file;
+    # the untouched files must CARRY their blooms into the new manifest
+    # (mirroring keep_stats) — dropping them would silently degrade
+    # point pruning after every merge.
+    changes = spark.createDataFrame(
+        [(1500, 15, "merged", 1, "U")], "k long, ck long, name string, seq int, op string"
+    )
+    btable.merge(spark, changes, ["k"])
+    man = btable._manifest(btable.versions()[-1])
+    man_bloom = man.get("bloom", {})
+    assert man_bloom, "merge dropped the whole bloom index"
+    # every untouched file kept its bloom; only the rewritten files lack one
+    unbloomed = [f for f in man["files"] if f not in man_bloom]
+    assert 0 < len(unbloomed) < len(man["files"])
+    # probe an untouched commit's key: its bloom is retained, so exactly
+    # the one file holding it survives (the bloom-less rewrites are
+    # range-pruned by their fresh stats for this out-of-span key)
+    keep, total = btable.candidate_files_point("k", 123)
+    assert total == len(man["files"]) and len(keep) == 1
+    assert keep[0] not in unbloomed
+    got = sorted(r.k for r in btable.scan_point(spark, "k", 123).collect())
+    assert got == [123]
+    # the merged row itself is still found (rewritten file kept
+    # conservatively despite having no bloom)
+    got = btable.scan_point(spark, "k", 1500).collect()
+    assert [(r.k, r.name) for r in got] == [(1500, "merged")]
+
+
 def test_nulls_not_indexed_and_all_null_file_pruned(spark, tmp_path):
     t = recreate(str(tmp_path / "nulls"))
     df = spark.range(10).select(
