@@ -28,9 +28,12 @@ k-element positions array, so plan size is O(m/64 + k), not O(k * m/64)
 predicate at m=2^19, k=12). Probing stays JVM-side: xxhash64 + shift +
 mask per hash function, no Python, no UDF, no broadcast variable.
 Boundary: past m ≈ 2^27 the single literal (~16 MB of SQL text) stops
-being plan-friendly — at that size use Spark's runtime filter
-(`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) or partition
-the filter by key range.
+being plan-friendly. ``bloom_semi_join`` ENFORCES the boundary
+(``max_bits``, default 2^24): above it the reduction falls back to an
+exact left-semi join instead of building the giant literal, and the
+right lever at that scale is Spark's runtime filter
+(`spark.sql.optimizer.runtimeFilter.bloomFilter.enabled`) or a
+key-range-partitioned filter.
 """
 
 from __future__ import annotations
@@ -103,6 +106,15 @@ def might_contain(key_col: str, words: list[int], m_bits: int, k: int) -> Column
     )
 
 
+# Past this bitmap size the single plan literal stops being friendly
+# (2^24 bits = 2 MB of array text; the hard wall is ~2^27 ≈ 16 MB of
+# SQL). Above it the reduction falls back to an exact left-semi join —
+# same no-false-negative contract, and Spark's own runtime bloom filter
+# (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) can inject
+# the map-side reduction when statistics allow.
+MAX_LITERAL_BITS = 1 << 24
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -110,6 +122,7 @@ def bloom_semi_join(
     build_key: str,
     fpp: float = 0.03,
     n_keys: int | None = None,
+    max_bits: int = MAX_LITERAL_BITS,
 ) -> DataFrame:
     """Probe rows whose key MIGHT be in build (no false negatives).
     Follow with the real join for exact semantics — the bloom's job is
@@ -117,9 +130,22 @@ def bloom_semi_join(
 
     ``n_keys`` sizes the filter; when omitted it is counted from the
     build side (one extra job over the already-small build relation).
+
+    Size gate: when the sized bitmap exceeds ``max_bits`` (default
+    2^24), the literal-bitmap plan is no longer viable — the reduction
+    degrades to an exact left-semi join on the distinct build keys
+    (a strict subset of the bloom's keep set, so the contract that a
+    following equi-join yields identical results is preserved). This
+    mirrors the all-pairs size gate in
+    operators/dedup.embedding_near_dup_pairs.
     """
     if n_keys is None:
         n_keys = build.select(build_key).distinct().count()
     m_bits, k = bloom_params(n_keys, fpp)
+    if m_bits > max_bits:
+        keys = build.select(F.col(build_key).alias("__bloom_gate_key")).distinct()
+        return probe.join(
+            keys, probe[probe_key] == keys["__bloom_gate_key"], "left_semi"
+        )
     words = bloom_build(build, build_key, m_bits, k)
     return probe.where(might_contain(probe_key, words, m_bits, k))

@@ -88,6 +88,28 @@ def test_bloom_build_words_bounded():
     assert m // 64 <= 1 << 18  # the collect is bounded by CHOSEN m
 
 
+def test_bloom_literal_size_gate(spark):
+    """Above max_bits the operator must NOT build the bitmap literal
+    (a 2^27-bit array is ~16 MB of SQL text) — it degrades to an exact
+    left-semi join. Forced low gate: the plan shows a join, contains no
+    forall/element_at probe, and results equal the exact semi join."""
+    build = spark.range(0, 1000).withColumnRenamed("id", "k").where(
+        F.col("k") % 3 == 0
+    )
+    probe = spark.range(0, 5000).withColumnRenamed("id", "pk")
+    gated = bloom_semi_join(probe, build, "pk", "k", max_bits=64)
+    plan = gated._jdf.queryExecution().optimizedPlan().toString()
+    assert "forall" not in plan and "element_at" not in plan
+    assert "Join LeftSemi" in plan
+    got = sorted(r.pk for r in gated.collect())
+    assert got == list(range(0, 1000, 3))  # build keys stop at 999
+    # and the default gate admits normally-sized filters: same inputs,
+    # default max_bits -> literal-probe path (no join in the plan)
+    bloomed = bloom_semi_join(probe, build, "pk", "k")
+    plan2 = bloomed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan2 and "forall" in plan2
+
+
 # ------------------------------------------------------------ zorder
 def _morton_py(x: int, y: int, bits: int = 16) -> int:
     z = 0
