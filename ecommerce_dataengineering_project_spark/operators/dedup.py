@@ -850,6 +850,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_codegen_doubles: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped embedding dedup (Abbas et al.
     2023, arXiv:2303.09540): assign every vector to its nearest
@@ -869,11 +870,20 @@ def semantic_dedup(
     is recall: near-dups straddling a cell boundary are missed
     (SemDeDup accepts this by design; raise the cell count only as
     sqrt-ish of corpus size to keep cells dense).
+
+    Assignment auto-switches on plan size (similarity.cell_assign):
+    past ``max_codegen_doubles`` total centroid doubles (default
+    similarity.MAX_CODEGEN_CENTROID_DOUBLES ≈ 2 MB of literals — the
+    point sqrt(n) cells cross at true 100-TB corpus sizes) the
+    nearest-cell scorer runs as the Arrow-batched numpy matmul instead
+    of the codegen fold, keeping plan size O(1) in the cell count. The
+    pairing and keep stages are identical either way.
     """
     from ecommerce_dataengineering_project_spark.operators.similarity import (
+        MAX_CODEGEN_CENTROID_DOUBLES,
         as_double,
+        cell_assign,
         dot,
-        ivf_cell_exact,
         norm,
     )
     from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
@@ -891,8 +901,13 @@ def semantic_dedup(
     par = emb.sparkSession.sparkContext.defaultParallelism
     if v.rdd.getNumPartitions() < par:
         v = v.repartition(par)
+    if max_codegen_doubles is None:
+        max_codegen_doubles = MAX_CODEGEN_CENTROID_DOUBLES
     assigned = (
-        v.withColumn("cell", ivf_cell_exact("v", centroids))
+        v.withColumn(
+            "cell",
+            cell_assign(F.col("v"), centroids, "v", max_codegen_doubles),
+        )
         .withColumn("nrm", norm("v"))
     )
     # ONE left-outer join carries the whole keep decision: probe row r

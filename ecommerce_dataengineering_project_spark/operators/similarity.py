@@ -413,6 +413,32 @@ def ivf_cell_exact(vec: str, centroids: list[list[float]]) -> Column:
     return F.expr(f"array_min(array({_cell_structs(vec, centroids)})).cell")
 
 
+# Centroid literals stop being plan-friendly past ~2 MB of doubles
+# (4096 cells x 64 dims — the suggest_n_cells ceiling rationale); above
+# this the Arrow-batched matmul assigner is the right shape.
+MAX_CODEGEN_CENTROID_DOUBLES = 4096 * 64
+
+
+def cell_assign(
+    vec_col: Column, centroids: list[list[float]], vec_sql: str,
+    max_codegen_doubles: int = MAX_CODEGEN_CENTROID_DOUBLES,
+) -> Column:
+    """Nearest-centroid cell id, auto-switching on plan size: below
+    ``max_codegen_doubles`` total centroid doubles, the pure-codegen
+    sequential-fold scorer (bit-for-bit SQL-oracle-reproducible); above
+    it — where sqrt(n) cells at true 100-TB corpus sizes blow past any
+    sane literal budget — the Arrow-batched numpy matmul assigner
+    (one BLAS matmul per batch, centroid matrix captured once per
+    executor, plan size O(1) in the cell count). ``vec_sql`` is the
+    column NAME for the codegen path; ``vec_col`` the Column for the
+    Arrow path — both must refer to the same array<double> values."""
+    n_cells = len(centroids)
+    dim = len(centroids[0]) if n_cells else 0
+    if n_cells * dim <= max_codegen_doubles:
+        return ivf_cell_exact(vec_sql, centroids)
+    return F.element_at(_cell_assigner(centroids, 1)(vec_col), 1)
+
+
 def ivf_probes_exact(vec: str, centroids: list[list[float]], n_probe: int) -> Column:
     """The ``n_probe`` nearest cell ids, nearest first."""
     return F.expr(

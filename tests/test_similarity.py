@@ -234,6 +234,47 @@ def test_semantic_dedup_cluster_scoped(spark):
     assert split_out == {0: True, 1: True}
 
 
+def test_semantic_dedup_arrow_assigner_past_clamp(spark):
+    """Past the codegen-literal budget the assigner must switch to the
+    Arrow-batched matmul path automatically: same keep decisions, plan
+    free of the giant centroid literal (VERDICT r7 item 3)."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, c0),
+        (1, c1),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.01, 0.99, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = semantic_dedup(emb, [c0, c1], threshold=0.9)
+    # force the Arrow path with a tiny budget: identical decisions
+    arrow = semantic_dedup(emb, [c0, c1], threshold=0.9, max_codegen_doubles=1)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, arrow.collect()))
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "array_min" not in plan
+    ep = exact._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in ep  # small literals stay codegen
+    # a genuinely past-clamp centroid set keeps the plan O(1)-sized
+    import random
+
+    random.seed(7)
+    dim = 64
+    big = [[random.uniform(-1, 1) for _ in range(dim)] for _ in range(4097)]
+    vecs = [(i, [float(x) for x in big[i % 17]]) for i in range(40)]
+    emb2 = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(emb2, big, threshold=0.99)
+    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2
+    assert len(plan2) < 200_000, len(plan2)  # no 4097x64-double literal
+    got = {r.vec_id: r.keep for r in out.collect()}
+    # rows sharing the identical vector dedup to the smallest id
+    assert all(got[i] == (i < 17) for i in range(40))
+
+
 def test_projection_matches_numpy_reference(spark, sf_dir):
     """project_embeddings == numpy matmul against the same sha-derived
     rows (up to the declared 1e-6 half-up rounding)."""
