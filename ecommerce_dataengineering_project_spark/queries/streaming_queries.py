@@ -32,6 +32,7 @@ from ecommerce_dataengineering_project_spark.streaming.event_windows import (
     tumbling_agg,
 )
 from ecommerce_dataengineering_project_spark.streaming.harness import (
+    _capture_plan as _harness_capture,
     run_bounded_stream,
     stage_source_tagged,
     staged_source,
@@ -799,6 +800,7 @@ def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(120)
+        _harness_capture("stream_generator_ingest", q)
         if _sink_rows() >= GEN_STREAM_ROWS:
             break
     return spark.read.parquet(sink)

@@ -37,6 +37,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp")
 
+# Last executed micro-batch plan per bounded run, keyed by harness run
+# name. Streaming transforms can't be plan-audited without executing
+# (building the DataFrame runs the bounded job), so the harness records
+# the plan it actually executed and tests/test_plan_hygiene.py sweeps
+# these for CartesianProduct / row-at-a-time-Python regressions exactly
+# like the batch registry.
+LAST_PLAN: dict[str, str] = {}
+
+
+def _capture_plan(name: str, q) -> None:
+    try:
+        plan = q._jsq.explainInternal(False)
+    except Exception:  # no batch executed (empty source) — nothing to audit
+        return
+    if "No physical plan" not in plan:
+        LAST_PLAN[name] = plan
+
 
 def _stream_dirs(name: str) -> tuple[str, str, str]:
     base = os.path.join(TMP_ROOT, "streams", name)
@@ -116,6 +133,7 @@ def run_bounded_foreach(
         .start()
     )
     q.awaitTermination()
+    _capture_plan(name, q)
 
 
 def rate_source(spark: SparkSession, rows_per_second: int = 2) -> DataFrame:
@@ -243,6 +261,7 @@ def run_bounded_stream(
     try:
         q = writer.start()
         q.awaitTermination()
+        _capture_plan(name, q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.schema(out.schema).parquet(sink_dir)

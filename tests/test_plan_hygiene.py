@@ -8,9 +8,12 @@ right plan, and Python nodes only in the operators declared
 pandas-based. A new query that accidentally introduces an unbounded
 cross product or a row-at-a-time UDF fails here before it ships.
 
-Streaming queries are excluded (building their DataFrame executes the
-bounded run; their plans are exercised by their own oracle checks), as
-is anomaly_isolation_forest (driver-side fetch by design, S5).
+Streaming queries execute their bounded run when the DataFrame is
+built, so they are swept separately: the harness records the last
+micro-batch's EXECUTED plan per run (streaming/harness.LAST_PLAN) and
+the same CartesianProduct / Python-node asserts run over those.
+anomaly_isolation_forest stays excluded (driver-side fetch by design,
+S5).
 """
 
 from __future__ import annotations
@@ -85,3 +88,30 @@ def test_plan_hygiene(spark, sf_dir, name):
             assert node not in plan, f"{name}: unexpected Python node {node}"
     # row-at-a-time Python is never acceptable, even in declared ops
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+# Streaming sweep: run each stream_* query (bounded), then audit every
+# micro-batch plan the harness captured for that run. Python nodes are
+# allowed only for the declared per-key-state operator.
+_STREAM_PYTHON_OK = {
+    "stream_inventory_restock",  # applyInPandasWithState (T7)
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in _QUERIES if n.startswith("stream_"))
+)
+def test_stream_plan_hygiene(spark, sf_dir, name):
+    from ecommerce_dataengineering_project_spark.streaming import harness
+
+    harness.LAST_PLAN.clear()
+    _QUERIES[name](spark, sf_dir)
+    assert harness.LAST_PLAN, f"{name}: no executed micro-batch plan captured"
+    for run, plan in harness.LAST_PLAN.items():
+        assert "CartesianProduct" not in plan, f"{name}/{run}: cross product"
+        assert (
+            "BatchEvalPython" not in plan
+        ), f"{name}/{run}: row-at-a-time Python UDF"
+        if name not in _STREAM_PYTHON_OK:
+            for node in _PY_NODES + ("FlatMapGroupsInPandasWithState",):
+                assert node not in plan, f"{name}/{run}: Python node {node}"
