@@ -32,6 +32,7 @@ from ecommerce_dataengineering_project_spark.streaming.event_windows import (
     tumbling_agg,
 )
 from ecommerce_dataengineering_project_spark.streaming.harness import (
+    TMP_ROOT,
     _capture_plan as _harness_capture,
     run_bounded_stream,
     stage_source_tagged,
@@ -821,5 +822,92 @@ ORACLES["stream_generator_ingest"] = f"""
                WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'cart'
                WHEN 3 THEN 'purchase' ELSE 'refund' END AS event_type,
            h % 100000 AS amount_cents
+    FROM h
+"""
+
+
+# -------------------------------------------------- socket ingest (S1)
+SOCKET_STREAM_ROWS = 1_000
+
+
+def q_stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's NETWORK arm as a driver-checkable query: a local TCP server
+    (streaming/socket_ingest.LineServer) emits deterministic
+    newline-JSON events — half under the drifted ``quantity`` spelling
+    (the reference's add_supplement(s) drift, streaming_consumer.py:33)
+    — Spark's built-in ``socket`` source crosses the real network hop,
+    and the same drift-tolerant parse the Kafka value column takes
+    lands typed rows in a checkpointed parquet sink. The payload is
+    integer-hash deterministic, so DuckDB reproduces it from RANGE()
+    and the sink hash-checks end-to-end THROUGH the TCP boundary."""
+    import json
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ecommerce_dataengineering_project_spark.streaming.socket_ingest import (
+        LineServer,
+        run_socket_ingest,
+    )
+
+    kinds = ["view", "click", "cart", "purchase", "refund"]
+    lines = []
+    for i in range(SOCKET_STREAM_ROWS):
+        h = ((i % 999983) * 1000003) % 999983
+        lines.append(
+            json.dumps(
+                {
+                    "event_id": i,
+                    "user_id": h % 1000,
+                    ("qty" if i % 2 == 0 else "quantity"): h % 7 + 1,
+                    "kind": kinds[(h // 1000) % 5],
+                },
+                separators=(",", ":"),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("qty", LongType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    base = os.path.join(TMP_ROOT, "streams", f"socket_ingest_{_sf_key(sf_dir)}")
+    server = LineServer(lines)
+    try:
+        return run_socket_ingest(
+            spark,
+            server,
+            schema,
+            sink_dir=os.path.join(base, "sink"),
+            ckpt_dir=os.path.join(base, "ckpt"),
+            expected_rows=SOCKET_STREAM_ROWS,
+            aliases={"qty": ["qty", "quantity"]},
+        )
+    finally:
+        server.close()
+
+
+QUERIES["stream_socket_ingest"] = q_stream_socket_ingest
+
+ORACLES["stream_socket_ingest"] = f"""
+    WITH ids AS (SELECT UNNEST(RANGE(0, {SOCKET_STREAM_ROWS})) AS event_id),
+    h AS (
+        SELECT event_id,
+               ((event_id % 999983) * 1000003) % 999983 AS h
+        FROM ids
+    )
+    SELECT event_id,
+           h % 1000 AS user_id,
+           h % 7 + 1 AS qty,
+           CASE ((h // 1000) % 5)
+               WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'cart'
+               WHEN 3 THEN 'purchase' ELSE 'refund' END AS kind
     FROM h
 """

@@ -150,4 +150,7 @@ def run_socket_ingest(
     finally:
         q.stop()
         q.awaitTermination(30)
+        from ecommerce_dataengineering_project_spark.streaming.harness import _capture_plan
+
+        _capture_plan("socket_ingest", q)
     return spark.read.schema(out.schema).parquet(sink_dir)
