@@ -26,68 +26,81 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
+    # r8 rotation (VERDICT r7 item 1): SEVENTEEN shapes with zero
+    # driver evidence swapped in for greens whose SURVEY row keeps an
+    # in-cap or prior-board representative. Led by the only three rows
+    # EVER red on a driver board (cohort_retention, ingestion_freshness,
+    # tumbling_window_events — r01, parquet TIMESTAMP-NANOS fixture
+    # issue fixed at sources/readers.py; locally re-verified every round
+    # since). Every swapped-out name stays registered and locally
+    # oracle-checked (tests/test_oracle_parity.py); family floors pinned
+    # by tests/test_registry.py.
+    #
+    # Swaps, OUT (driver-green rounds) -> IN (first evidence):
+    #   dedup_keep_first        (r7)    -> cohort_retention (r01 redo)
+    #   scd2_customer_dim       (r7)    -> ingestion_freshness (r01 redo)
+    #   dedup_incremental       (r7)    -> tumbling_window_events (r01 redo)
+    #   stream_generator_ingest (r5-r7) -> stream_socket_ingest (S1
+    #     network arm: REAL TCP hop, new in r8)
+    #   similarity_topk         (r7)    -> ann_pq_topk (X3 PQ/ADC)
+    #   ann_ivf_topk            (r7)    -> pq_codes (X3, SQL-exact codes)
+    #   txlog_pruned_read       (r7)    -> txlog_zorder_2d_scan (X12)
+    #   zorder_orders_key       (r7)    -> txlog_bloom_point_read (X12)
+    #   json_quarantine         (r7)    -> stream_quarantine (§2i arm)
+    #   range_frame_activity    (r7)    -> window_first_last (§2f)
+    #   jsonl_roundtrip         (r7)    -> orc_roundtrip (K5 family)
+    #   mapinarrow_norms        (r6-r7) -> generator_source (X19 batch)
+    #   session_paths           (r7)    -> doc_fingerprint (X4)
+    #   grouping_sets_revenue   (r7)    -> dedup_substring (X1, C4 shape)
+    #   ewma_revenue            (r7)    -> doc_perplexity (X11 CCNet)
+    #   project_embeddings      (r7)    -> stream_dedup (§2i dedup arm)
+    #   anomaly_scores_distributed (r7) -> sketch_incremental_rollup
+    #     (the ONE rows-only slot moves to a never-driver-run sketch;
+    #      the distributed scorer keeps its r7 board row + golden tests).
+    #
     # reference core: medallion projections, producer parity, events ELT
     "daily_sales",
     "fct_purchases",
-    # S1 evidence: real custom streaming DataSource ingest (offsets,
-    # checkpointed restart-resume, replay) — in-cap since r5.
-    "stream_generator_ingest",
-    # r7 rotation (VERDICT r6 item 1): SIXTEEN shapes with zero driver
-    # evidence across r1-r6 swapped in for long-green variants whose
-    # SURVEY row keeps an in-cap representative (either a sibling that
-    # stays, or the incoming same-row query). Every swapped-out name
-    # stays registered and locally oracle-checked at three SFs
-    # (tests/test_oracle_parity.py); tests/test_registry.py pins the
-    # family floors.
-    #
-    # Swaps, OUT (driver-green rounds) -> IN (first evidence):
-    #   total_purchase_producer (r1-r6)  -> grouping_sets_revenue
-    #   incremental_watermark  (r1-r6)   -> incremental_mv_refresh
-    #   time_travel_read       (r6)      -> txlog_pruned_read (X12)
-    #   skew_salted_agg        (r6)      -> skew_salted_join
-    #   gapfill_daily_revenue  (r6)      -> ewma_revenue (X10)
-    #   stream_stream_join     (r6)      -> stream_scd2_dim (§2i)
-    #   union_segments         (r6)      -> project_embeddings
-    #   canonical_docs         (r6)      -> session_paths (X21)
-    #   decontaminate          (r6)      -> binary_files_ingest (X15)
-    #   doc_repetition         (r6)      -> json_quarantine
-    #   basket_pairs           (r6)      -> jsonl_roundtrip
-    #   chunk_documents_udtf   (r6)      -> pandas_udf_score (§2j)
-    #   rfm_segments           (r6)      -> range_frame_activity (§2f)
-    #   dq_checks              (r6)      -> bloom_semi_reduce
-    #   funnel_conversion      (r6)      -> zorder_orders_key
-    #   anomaly_isolation_forest (r2-r6) -> anomaly_scores_distributed
-    #     (the ONE rows-only slot swaps to the never-driver-run 100x
-    #      scoring arm, VERDICT r6 item 6; the forest's determinism +
-    #      recall + golden scores stay pinned in tests/test_ml.py).
+    # S1 evidence: the network arm (real TCP hop through the socket
+    # source) + the custom batch DataSource arm; the streaming
+    # DataSource arm holds r5-r7 board greens.
+    "stream_socket_ingest",
+    "generator_source",
     "pit_join_orders",
     "item_recommendations",
     "sql_shipping_priority",
-    "dedup_keep_first",
     "anomaly_features",
     "table_profile",
     "scalar_functions",
+    # the three r01-red-since-fixed rows, finally back on the board
+    "cohort_retention",
+    "ingestion_freshness",
+    "tumbling_window_events",
     # streaming (the reference's core path)
     "stream_bronze_silver",
     "stream_txlog_append",
     "stream_inventory_restock",
-    "scd2_customer_dim",
     "stream_scd2_dim",
+    "stream_dedup",
+    "stream_quarantine",
     # LLM-pipeline: dedup family — incremental arms (the 100 TB
-    # operating mode) + cluster collapse + SemDeDup.
-    "dedup_incremental",
+    # operating mode) + cluster collapse + SemDeDup + substring dedup.
     "dedup_incremental_minhash",
     "dedup_clusters",
-    "similarity_topk",
-    "mapinarrow_norms",
-    "ann_ivf_topk",
+    "dedup_substring",
+    "semantic_dedup",
+    # text-quality + fingerprint + ANN (PQ both arms)
+    "doc_perplexity",
+    "doc_fingerprint",
+    "ann_pq_topk",
+    "pq_codes",
     # multimodal + binary corpus ingest (X15 both arms)
     "multimodal_decode",
     "binary_files_ingest",
-    # lakehouse txlog: manifest-stats file skipping + Z-order key
-    # (first driver rows for the r6 scale-lever layer)
-    "txlog_pruned_read",
-    "zorder_orders_key",
+    # lakehouse txlog: 2-D Z-order conjunctive pruning + per-file Bloom
+    # point reads (first driver rows for the r7 index layer)
+    "txlog_zorder_2d_scan",
+    "txlog_bloom_point_read",
     "bloom_semi_reduce",
     "corpus_pipeline_full",
     "inverted_index",
@@ -97,25 +110,16 @@ PRIORITY: tuple[str, ...] = (
     "cdc_apply",
     "segment_overlap_exact",
     "pack_training_bins",
-    "semantic_dedup",
     "mixture_sample",
     "stream_upsert_gold",
     "equidepth_histogram",
     "skew_salted_join",
     "fuzzy_name_matches",
-    # incremental MV maintenance + journey mining + quarantine + JSONL
-    # round-trip + RANGE frames + grouping sets + EWMA + projection +
-    # pandas-UDF scoring: the r7 first-evidence block
     "incremental_mv_refresh",
-    "session_paths",
-    "grouping_sets_revenue",
-    "json_quarantine",
-    "jsonl_roundtrip",
-    "range_frame_activity",
-    "ewma_revenue",
-    "project_embeddings",
+    "window_first_last",
+    "orc_roundtrip",
     "pandas_udf_score",
-    "anomaly_scores_distributed",
+    "sketch_incremental_rollup",
 )
 
 

@@ -23,38 +23,43 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r7 (VERDICT r6 item 1): sixteen never-driver-checked shapes
-        # rotate in; every swapped-out variant's SURVEY row keeps an
-        # in-cap representative (a staying sibling or the incoming
-        # same-row query) and stays registered + locally oracle-checked.
-        "stream_": 6,
-        "dedup_": 4,
+        # r8 (VERDICT r7 item 1): seventeen never-driver-checked shapes
+        # rotate in, led by the three r01-red-since-fixed rows; every
+        # swapped-out variant's SURVEY row keeps an in-cap or
+        # prior-board representative and stays registered + locally
+        # oracle-checked.
+        "stream_": 8,
+        "dedup_": 3,
+        "txlog_": 2,
         "multimodal_": 1,
         "ann_": 1,
     }
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
-    for name in ("corpus_pipeline_full", "similarity_topk",
+    for name in ("corpus_pipeline_full",
                  "pii_scrub", "segment_overlap_exact", "pack_training_bins",
-                 "ann_ivf_topk", "semantic_dedup",
+                 "semantic_dedup",
                  "pagerank_copurchase", "cdc_apply",
-                 "table_profile", "dedup_incremental",
-                 "dedup_incremental_minhash", "mapinarrow_norms",
+                 "table_profile",
+                 "dedup_incremental_minhash",
                  "inverted_index", "equidepth_histogram",
                  "anomaly_features", "sql_shipping_priority",
                  "stream_txlog_append", "item_recommendations",
-                 "fuzzy_name_matches", "scd2_customer_dim",
+                 "fuzzy_name_matches",
                  "pit_join_orders",
-                 # r7 rotation: first driver evidence for these sixteen
-                 "bloom_semi_reduce", "txlog_pruned_read",
-                 "zorder_orders_key", "incremental_mv_refresh",
-                 "session_paths", "stream_scd2_dim", "skew_salted_join",
-                 "grouping_sets_revenue", "binary_files_ingest",
-                 "pandas_udf_score", "range_frame_activity",
-                 "json_quarantine", "jsonl_roundtrip",
-                 "project_embeddings", "ewma_revenue",
-                 "anomaly_scores_distributed"):
+                 "bloom_semi_reduce", "incremental_mv_refresh",
+                 "stream_scd2_dim", "skew_salted_join",
+                 "binary_files_ingest", "pandas_udf_score",
+                 # r8 rotation: first driver evidence for these seventeen
+                 "cohort_retention", "ingestion_freshness",
+                 "tumbling_window_events", "stream_socket_ingest",
+                 "generator_source", "ann_pq_topk", "pq_codes",
+                 "txlog_zorder_2d_scan", "txlog_bloom_point_read",
+                 "stream_quarantine", "window_first_last",
+                 "orc_roundtrip", "doc_fingerprint", "dedup_substring",
+                 "doc_perplexity", "stream_dedup",
+                 "sketch_incremental_rollup"):
         assert name in PRIORITY
 
 
@@ -64,5 +69,5 @@ def test_oracle_density_in_priority_block():
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
     assert set(rows_only) <= {
-        "anomaly_scores_distributed",  # ensemble scores (broadcast-model arm)
+        "sketch_incremental_rollup",  # mergeable-sketch state (rows-only slot)
     }
