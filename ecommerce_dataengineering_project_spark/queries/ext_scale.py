@@ -289,3 +289,86 @@ ORACLES["txlog_bloom_point_read"] = """
     FROM orders
     WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)
 """
+
+
+# ------------------------------------------------ bucketed co-location
+N_BUCKETS = 8
+
+
+def _bucketed_fact_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem as EXTERNAL BUCKETED tables (8 buckets
+    on the order key, sorted within buckets) once per (process, sf).
+    Bucketing is THE write-once co-location lever at 100 TB: every
+    subsequent join or aggregation keyed on the bucket column reads
+    pre-shuffled, pre-sorted inputs — the fact-join exchange moves from
+    every query to the single write."""
+    from ecommerce_dataengineering_project_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    key = _sf_name(sf_dir).replace(".", "_")
+    t_orders, t_lineitem = f"bkt_orders_{key}", f"bkt_lineitem_{key}"
+    cat = spark.catalog
+    if not (cat.tableExists(t_orders) and cat.tableExists(t_lineitem)):
+        base = os.path.join(TMP_ROOT, "bucketed", key)
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            t_orders,
+            ["o_orderkey"],
+            N_BUCKETS,
+            sort_cols=["o_orderkey"],
+            path=os.path.join(base, "orders"),
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            t_lineitem,
+            ["l_orderkey"],
+            N_BUCKETS,
+            sort_cols=["l_orderkey"],
+            path=os.path.join(base, "lineitem"),
+        )
+    return t_orders, t_lineitem
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-co-located fact join (sources/writers.write_bucketed_table):
+    revenue per order priority over lineitem JOIN orders where BOTH
+    sides are bucketed by the join key with equal bucket counts, so the
+    sort-merge join runs with ZERO exchange — the plan reads the
+    bucketed scans directly (pinned by
+    tests/test_layout.py::test_bucketed_join_query_plan_is_shuffle_free).
+    The merge hint pins SMJ (a tiny fixture side would auto-broadcast;
+    at real scale SMJ-over-buckets is what the optimizer picks). The
+    oracle is the plain join — co-location is pure physical layout,
+    results must be identical."""
+    t_orders, t_lineitem = _bucketed_fact_tables(spark, sf_dir)
+    li, od = spark.table(t_lineitem), spark.table(t_orders)
+    return (
+        li.hint("merge")
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100.0D + 0.5D)"
+                " / 100.0D"
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+QUERIES["bucketed_join_revenue"] = q_bucketed_join_revenue
+
+ORACLES["bucketed_join_revenue"] = """
+    SELECT o_orderpriority,
+           FLOOR((SUM(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5)
+               / 100.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""

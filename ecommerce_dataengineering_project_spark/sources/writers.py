@@ -104,16 +104,22 @@ def write_bucketed_table(
     bucket_cols: list[str],
     n_buckets: int,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: rows hash-partitioned into fixed buckets
     by key AT WRITE TIME. Joins/aggregations between tables bucketed on
     the same key with the same count need NO shuffle at read — at
     100 TB this moves the fact-join shuffle from every query to the
     (once) write. Pair with ``sortBy`` so the merge side needs no sort
-    either."""
+    either. ``path`` makes it an external bucketed table (data at an
+    explicit location instead of the session warehouse dir; bucket
+    metadata still lives in the catalog, which is what read-side
+    shuffle elimination keys on)."""
     writer = df.write.format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.mode("overwrite").saveAsTable(table)
 
 

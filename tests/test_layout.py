@@ -139,3 +139,20 @@ def test_zorder_write_narrows_stats_on_all_dims(spark, tmp_path):
     )
     y_spans_sorted = spans(spath, 1)
     assert min(y_spans_sorted) > domain / 2
+
+
+def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
+    """The registered bucketed_join_revenue query joins its two
+    bucketed fact tables with no exchange below the sort-merge join
+    (the only shuffle left is the 5-key final aggregation above it)."""
+    from ecommerce_dataengineering_project_spark.queries.ext_scale import (
+        q_bucketed_join_revenue,
+    )
+
+    df = q_bucketed_join_revenue(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    below_join = plan.split("SortMergeJoin")[1]
+    assert "Exchange" not in below_join, "bucketed join inputs shuffled"
+    assert "SelectedBucketsCount" in plan
+    assert df.count() == 5  # one row per order priority
