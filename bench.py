@@ -39,47 +39,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # stdout tail, so additions displace long-stable entries (which remain
 # timed in the full payload line).
 HEADLINE = [
+    # flagships + the r7-verdict bench watchlist (most expensive plans)
     "daily_sales",
     "fct_purchases",
-    "multi_join_revenue",
     "stream_bronze_silver",
-    "stream_tumbling_revenue",
     "stream_inventory_restock",
     "stream_stream_join",
-    "dedup_embedding_cosine",
     "dedup_clusters",
-    "similarity_topk",
     "ann_ivf_topk",
-    "pack_training_bins",
-    "decontaminate",
-    "canonical_docs",
     "semantic_dedup",
-    "mixture_sample",
-    "rfm_segments",
-    "scd2_customer_dim",
-    "stream_upsert_gold",
-    "json_quarantine",
-    "jsonl_roundtrip",
-    "chunk_documents_udtf",
-    "project_embeddings",
     "corpus_pipeline_full",
-    "anomaly_features",
     "bloom_semi_reduce",
-    "txlog_pruned_read",
-    "zorder_orders_key",
     "fuzzy_name_matches",
     "stream_txlog_append",
-    # r7 rotation watchlist: first driver evidence this round
-    "incremental_mv_refresh",
-    "session_paths",
-    "grouping_sets_revenue",
-    "range_frame_activity",
-    "ewma_revenue",
-    "skew_salted_join",
-    "binary_files_ingest",
-    "pandas_udf_score",
-    "stream_scd2_dim",
     "anomaly_scores_distributed",
+    # r8 rotation watchlist: first driver evidence this round
+    "cohort_retention",
+    "ingestion_freshness",
+    "tumbling_window_events",
+    "stream_socket_ingest",
+    "generator_source",
+    "ann_pq_topk",
+    "pq_codes",
+    "txlog_zorder_2d_scan",
+    "txlog_bloom_point_read",
+    "dedup_substring",
+    "doc_perplexity",
+    "doc_fingerprint",
+    "stream_dedup",
+    "stream_quarantine",
+    "window_first_last",
+    "orc_roundtrip",
+    "sketch_incremental_rollup",
+    "bucketed_join_revenue",
 ]
 
 

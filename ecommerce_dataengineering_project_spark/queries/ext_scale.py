@@ -372,3 +372,61 @@ ORACLES["bucketed_join_revenue"] = """
     JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
 """
+
+
+# ---------------------------------------------- change data feed (CDF)
+def _cdf_committed_orders(spark: SparkSession, sf_dir: str) -> TxTable:
+    """Deterministic CDF scenario: v1 appends even order keys, v2
+    appends odd ones, v3 is a file-scoped MERGE that deletes keys
+    ending in 3 and re-prices keys ending in 7 (+1000.0). Reused per
+    (process, sf) — the fixtures are immutable."""
+    root = os.path.join(TMP_ROOT, "txlog", f"orders_cdf_{_sf_name(sf_dir)}")
+    table = TxTable(root)
+    if len(table.versions()) != 3:
+        table = recreate(root)
+        orders = load_table(spark, sf_dir, "orders")
+        table.append(orders.where(F.col("o_orderkey") % 2 == 0))
+        table.append(orders.where(F.col("o_orderkey") % 2 != 0))
+        feed = orders.where(F.col("o_orderkey") % 10 == 3).select(
+            "*", F.lit(1).alias("seq"), F.lit("D").alias("op")
+        ).unionByName(
+            orders.where(F.col("o_orderkey") % 10 == 7)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+            .select("*", F.lit(1).alias("seq"), F.lit("U").alias("op"))
+        )
+        table.merge(spark, feed, ["o_orderkey"])
+    return table
+
+
+def q_txlog_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed (sources/txlog.py read_changes) — the Delta CDF
+    twin (reference surface: pipeline/spark/delta_to_iceberg.py's
+    incremental-consumer role): row-level net changes per commit,
+    reconstructed from the file-level log by exceptAll-ing each
+    commit's added files against its removed files. An append surfaces
+    as pure inserts; a file-scoped MERGE surfaces ONLY its net changes
+    (update = delete of the pre-image + insert of the post-image;
+    rows the rewrite carried through unchanged cancel out). The oracle
+    derives the same feed from the base table with pure SQL."""
+    table = _cdf_committed_orders(spark, sf_dir)
+    return table.read_changes(spark, from_version=1).select(
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+    )
+
+
+QUERIES["txlog_change_feed"] = q_txlog_change_feed
+
+ORACLES["txlog_change_feed"] = """
+    SELECT o_orderkey, o_totalprice,
+           'insert' AS _change_type, 2 AS _commit_version
+    FROM orders WHERE o_orderkey % 2 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1000.0, 'insert', 3
+    FROM orders WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 3
+    FROM orders WHERE o_orderkey % 10 = 7
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', 3
+    FROM orders WHERE o_orderkey % 10 = 3
+"""

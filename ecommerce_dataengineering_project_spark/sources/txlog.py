@@ -565,6 +565,100 @@ class TxTable:
             reader = reader.option("mergeSchema", "true")
         return normalize_ntz(reader.parquet(*files))
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Delta Change-Data-Feed twin, reconstructed at ROW level from
+        the file-level log: for each commit v in
+        (``from_version``, ``to_version``], the rows of v's ADDED files
+        ``EXCEPT ALL`` the rows of its REMOVED files are that commit's
+        inserts, and the reverse difference its deletes — rows a
+        rewrite carried through unchanged appear on both sides and
+        cancel, so a file-scoped MERGE feeds downstream incremental
+        consumers only its NET row changes (an update surfaces as the
+        delete of the pre-image plus the insert of the post-image,
+        exactly Delta CDF's update_preimage/update_postimage pair
+        without the dedicated change files). ``from_version=0`` means
+        "since the beginning" (every row of commit 1 is an insert).
+
+        Output: the table payload plus ``_change_type``
+        ('insert' | 'delete') and ``_commit_version`` — Delta's CDF
+        column names.
+
+        Scale shape: per commit, the exceptAll pair shuffles ONLY the
+        commit's added+removed files — for an append that is the new
+        data and nothing else (removed side empty, the exceptAll
+        reduces to a pass-through), for a file-scoped merge it is the
+        rewritten slice, never the table. The per-commit feeds union
+        lazily into one plan.
+        """
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        to_version = vs[-1] if to_version is None else to_version
+        window = [v for v in vs if from_version < v <= to_version]
+        if not window:
+            raise ValueError(
+                f"read_changes: empty version window ({from_version}, {to_version}]"
+            )
+        from pyspark.sql import functions as F
+
+        def _files_df(files: list[str]) -> DataFrame:
+            return normalize_ntz(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *[os.path.join(self.root, f) for f in files]
+                )
+            )
+
+        out: DataFrame | None = None
+        prev = set() if from_version == 0 else set(
+            self._manifest(from_version)["files"]
+        )
+        for v in window:
+            man = self._manifest(v)
+            cur = set(man["files"])
+            added = sorted(cur - prev)
+            removed = sorted(prev - cur)
+            prev = cur
+            if not added and not removed:
+                continue
+            cols = None
+            a_df = r_df = None
+            if added:
+                a_df = _files_df(added)
+                cols = a_df.columns
+            if removed:
+                r_df = _files_df(removed)
+                cols = cols or r_df.columns
+            if a_df is not None and r_df is not None:
+                r_df = r_df.select(*cols)
+                ins = a_df.exceptAll(r_df)
+                del_ = r_df.exceptAll(a_df)
+            elif a_df is not None:
+                ins, del_ = a_df, None
+            else:
+                ins, del_ = None, r_df
+            for df, kind in ((ins, "insert"), (del_, "delete")):
+                if df is None:
+                    continue
+                tagged = df.withColumns(
+                    {
+                        "_change_type": F.lit(kind),
+                        "_commit_version": F.lit(v).cast("int"),
+                    }
+                )
+                out = tagged if out is None else out.unionByName(
+                    tagged, allowMissingColumns=True
+                )
+        if out is None:
+            raise ValueError(
+                f"read_changes: no file changes in ({from_version}, {to_version}]"
+            )
+        return out
+
     def candidate_files(
         self,
         col: str,

@@ -442,3 +442,60 @@ def test_optimize_zorder_preserves_evolved_columns(spark, table):
     assert got.count() == 4000
     assert got.where("extra IS NOT NULL").count() == 2000
     assert [c for c, _ in table._manifest(3)["schema"]] == ["id", "v", "extra"]
+
+
+def test_change_data_feed_row_level(spark, tmp_path):
+    """read_changes (Delta CDF twin): appends surface as pure inserts,
+    a file-scoped merge surfaces ONLY its net row changes (update =
+    pre-image delete + post-image insert; carried-through rows cancel),
+    and from_version scopes the window."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "cdf"))
+    t.append(spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v"))     # v1
+    t.append(spark.range(10, 20).selectExpr("id AS k", "id * 2 AS v"))    # v2
+    changes = spark.createDataFrame(
+        [(3, 999, 1, "U"), (7, 0, 1, "D"), (50, 100, 1, "I")],
+        "k long, v long, seq long, op string",
+    )
+    t.merge(spark, changes, ["k"])                                        # v3
+    feed = t.read_changes(spark, from_version=0)
+    rows = {(r.k, r.v, r._change_type, r._commit_version) for r in feed.collect()}
+    # v1, v2: pure inserts
+    assert all((k, 2 * k, "insert", 1) in rows for k in range(10))
+    assert all((k, 2 * k, "insert", 2) in rows for k in range(10, 20))
+    # v3: net changes only — update pair, delete, insert; nothing else
+    v3 = {r for r in rows if r[3] == 3}
+    assert v3 == {
+        (3, 6, "delete", 3),
+        (3, 999, "insert", 3),
+        (7, 14, "delete", 3),
+        (50, 100, "insert", 3),
+    }
+    # window scoping: consumers resuming after v2 see only the merge
+    later = {
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in t.read_changes(spark, from_version=2).collect()
+    }
+    assert later == v3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty version window"):
+        t.read_changes(spark, from_version=3)
+
+
+def test_change_data_feed_rollback_surfaces_restores(spark, tmp_path):
+    """Roll-forward rollback re-adds the old snapshot's files; the CDF
+    reports the restored rows as inserts and the rolled-back commit's
+    rows as deletes — the net view an incremental consumer must apply."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "cdfrb"))
+    t.append(spark.range(0, 5).selectExpr("id AS k"))      # v1
+    t.append(spark.range(5, 8).selectExpr("id AS k"))      # v2
+    t.rollback(1)                                          # v3 = v1 snapshot
+    feed = {
+        (r.k, r._change_type, r._commit_version)
+        for r in t.read_changes(spark, from_version=2).collect()
+    }
+    assert feed == {(k, "delete", 3) for k in range(5, 8)}
