@@ -148,4 +148,9 @@ def optimize_zorder(
         stats,
         man.get("txn", {}),
         man.get("schema"),  # a layout rewrite never changes the schema
+        # blooms are per-FILE and every file was just rewritten, so the
+        # old index is legitimately dropped (re-add via append's
+        # bloom_cols on the next indexed write); constraints are
+        # table-level and carry — the data is unchanged, no revalidation
+        constraints=man.get("constraints", {}),
     )

@@ -41,6 +41,12 @@ from ecommerce_dataengineering_project_spark.sources.readers import normalize_nt
 _LOG_DIR = "_txlog"
 
 
+class ConstraintViolationError(ValueError):
+    """A write's rows violate a table CHECK constraint (Delta's
+    ``ALTER TABLE ADD CONSTRAINT ... CHECK`` semantics): the commit is
+    rejected before publish; nothing becomes visible."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first (optimistic
     concurrency): the commit's data files are orphaned (invisible;
@@ -143,6 +149,7 @@ class TxTable:
         txn: dict[str, int] | None = None,
         schema: list | None = None,
         bloom: dict[str, dict] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
@@ -183,6 +190,10 @@ class TxTable:
                     # high-cardinality columns where min/max ranges
                     # cannot help — see candidate_files_point
                     "bloom": bloom or {},
+                    # Delta CHECK-constraint twin ({name: sql_expr}):
+                    # every writer path validates its NEW rows against
+                    # these before publish — see _validate_constraints
+                    "constraints": constraints or {},
                 },
                 fh,
             )
@@ -196,6 +207,94 @@ class TxTable:
         finally:
             os.unlink(tmp)
         return version
+
+    # ----------------------------------------------------- constraints
+    @staticmethod
+    def _validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+        """Writer-side CHECK enforcement (Delta constraint semantics:
+        each row must evaluate every constraint to TRUE — a NULL result
+        is a violation). ONE aggregation job validates all constraints
+        over the new data only (never the table): per constraint a
+        conditional sum of violating rows, map-side combined."""
+        if not constraints:
+            return
+        from pyspark.sql import functions as F
+
+        counts = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)),
+                        1,
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in sorted(constraints.items())
+            ]
+        ).collect()[0]
+        bad = {
+            name: int(counts[name] or 0)
+            for name in constraints
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            detail = ", ".join(
+                f"{n} ({c} rows, CHECK {constraints[n]!r})"
+                for n, c in sorted(bad.items())
+            )
+            raise ConstraintViolationError(
+                f"write rejected: constraint(s) violated: {detail}"
+            )
+
+    def constraints(self) -> dict[str, str]:
+        """The table's active CHECK constraints ({name: sql_expr})."""
+        vs = self.versions()
+        return dict(self._manifest(vs[-1]).get("constraints", {})) if vs else {}
+
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """Delta ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``:
+        validates the EXISTING snapshot first (a constraint the current
+        data violates is rejected — Delta does the same scan), then
+        publishes a metadata-only commit recording it. Every subsequent
+        writer path validates its new rows against the recorded set."""
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        man = self._manifest(vs[-1])
+        cons = dict(man.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if man["files"]:
+            self._validate_constraints(self.read(spark, merge_schema=True), {name: expr})
+        cons[name] = expr
+        return self._publish(
+            vs[-1] + 1,
+            man["files"],
+            f"add-constraint:{name}",
+            man.get("stats", {}),
+            man.get("txn", {}),
+            man.get("schema"),
+            bloom=man.get("bloom", {}),
+            constraints=cons,
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Metadata-only commit removing a CHECK constraint."""
+        vs = self.versions()
+        man = self._manifest(vs[-1])
+        cons = dict(man.get("constraints", {}))
+        if name not in cons:
+            raise KeyError(f"no constraint {name!r}")
+        del cons[name]
+        return self._publish(
+            vs[-1] + 1,
+            man["files"],
+            f"drop-constraint:{name}",
+            man.get("stats", {}),
+            man.get("txn", {}),
+            man.get("schema"),
+            bloom=man.get("bloom", {}),
+            constraints=cons,
+        )
 
     # ---------------------------------------------------------- schema
     @staticmethod
@@ -383,6 +482,8 @@ class TxTable:
         schema = self._check_schema(
             man.get("schema"), self._df_schema(df), schema_mode
         )
+        cons = man.get("constraints", {})
+        self._validate_constraints(df, cons)
         new_files, new_stats = self._write_commit_data(df, version)
         new_bloom = (
             self._file_blooms(df.sparkSession, new_files, bloom_cols)
@@ -397,6 +498,7 @@ class TxTable:
             man.get("txn", {}),
             schema,
             bloom={**man.get("bloom", {}), **new_bloom},
+            constraints=cons,
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -405,11 +507,15 @@ class TxTable:
         prior snapshot's columns."""
         vs = self.versions()
         version = (vs[-1] + 1) if vs else 1
+        prev_man = self._manifest(vs[-1]) if vs else {}
+        cons = prev_man.get("constraints", {})
+        self._validate_constraints(df, cons)
         new_files, new_stats = self._write_commit_data(df, version)
-        prev_txn = self._manifest(vs[-1]).get("txn", {}) if vs else {}
         return self._publish(
-            version, new_files, "overwrite", new_stats, prev_txn,
+            version, new_files, "overwrite", new_stats,
+            prev_man.get("txn", {}),
             self._df_schema(df),
+            constraints=cons,
         )
 
     def append_txn(self, df: DataFrame, app_id: str, txn_version: int) -> int:
@@ -433,6 +539,8 @@ class TxTable:
             schema = self._check_schema(
                 man.get("schema"), self._df_schema(df), "merge"
             )
+            cons = man.get("constraints", {})
+            self._validate_constraints(df, cons)
             files, stats = self._write_commit_data(df, version)
             try:
                 return self._publish(
@@ -443,6 +551,7 @@ class TxTable:
                     {**txns, app_id: txn_version},
                     schema,
                     bloom=man.get("bloom", {}),
+                    constraints=cons,
                 )
             except ConcurrentCommitError:
                 continue  # lost the CAS: re-read the watermark, retry
@@ -502,6 +611,8 @@ class TxTable:
         schema = self._check_schema(
             man.get("schema"), self._df_schema(merged), "merge"
         )
+        cons = man.get("constraints", {})
+        self._validate_constraints(merged, cons)
         version = v + 1
         new_files, new_stats = self._write_commit_data(merged, version)
         keep_stats = {
@@ -522,6 +633,7 @@ class TxTable:
             man.get("txn", {}),
             schema,
             bloom=keep_bloom,
+            constraints=cons,
         )
 
     def rollback(self, to_version: int) -> int:
@@ -530,15 +642,21 @@ class TxTable:
         Delta's RESTORE."""
         old = self._manifest(to_version)
         vs = self.versions()
-        cur_txn = self._manifest(vs[-1]).get("txn", {})
+        cur = self._manifest(vs[-1])
         return self._publish(
             vs[-1] + 1,
             old["files"],
             f"rollback:{to_version}",
             old.get("stats", {}),
-            cur_txn,
+            cur.get("txn", {}),
             old.get("schema"),
             bloom=old.get("bloom", {}),
+            # Constraints are table metadata, not snapshot data: the
+            # CURRENT rule set stays active across a data restore (like
+            # the txn watermarks). A restore to data predating a
+            # constraint may reintroduce rows new writes would reject —
+            # Delta RESTORE has the same property.
+            constraints=cur.get("constraints", {}),
         )
 
     # ------------------------------------------------------------ read

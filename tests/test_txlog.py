@@ -499,3 +499,62 @@ def test_change_data_feed_rollback_surfaces_restores(spark, tmp_path):
         for r in t.read_changes(spark, from_version=2).collect()
     }
     assert feed == {(k, "delete", 3) for k in range(5, 8)}
+
+
+def test_check_constraints_enforced_on_every_writer_path(spark, tmp_path):
+    """Delta CHECK-constraint twin: add validates existing data, every
+    writer path rejects violating rows BEFORE publish (NULL counts as a
+    violation), and the constraint set carries through append/txn/
+    merge/rollback/OPTIMIZE so no path silently drops enforcement."""
+    import pytest as _pytest
+
+    from ecommerce_dataengineering_project_spark.operators.zorder import optimize_zorder
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        ConstraintViolationError,
+        recreate,
+    )
+
+    t = recreate(str(tmp_path / "cons"))
+    t.append(spark.range(1, 10).selectExpr("id AS k", "id * 2 AS v"))
+    t.add_constraint(spark, "v_positive", "v > 0")
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # a constraint the existing data violates is rejected at add time
+    with _pytest.raises(ConstraintViolationError, match="k_small"):
+        t.add_constraint(spark, "k_small", "k < 5")
+    # append: bad rows rejected, nothing published
+    v_before = t.versions()[-1]
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.append(spark.range(1).selectExpr("-1L AS k", "-2L AS v"))
+    assert t.versions()[-1] == v_before
+    # NULL result is a violation (Delta semantics)
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.append(spark.sql("SELECT 99L AS k, CAST(NULL AS LONG) AS v"))
+    # good rows pass, and the set carries
+    t.append(spark.range(10, 12).selectExpr("id AS k", "id AS v"))
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # append_txn enforces too
+    with _pytest.raises(ConstraintViolationError):
+        t.append_txn(
+            spark.range(1).selectExpr("5L AS k", "-9L AS v"), "app", 1
+        )
+    # merge: a CDC feed whose post-image violates is rejected
+    bad_feed = spark.createDataFrame(
+        [(1, -7, 1, "U")], "k long, v long, seq long, op string"
+    )
+    with _pytest.raises(ConstraintViolationError):
+        t.merge(spark, bad_feed, ["k"])
+    ok_feed = spark.createDataFrame(
+        [(1, 777, 1, "U")], "k long, v long, seq long, op string"
+    )
+    t.merge(spark, ok_feed, ["k"])
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # OPTIMIZE carries the set (layout-only rewrite)
+    optimize_zorder(t, spark, "k", "v", n_files=2)
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # rollback keeps the CURRENT rule set active
+    t.rollback(1)
+    assert t.constraints() == {"v_positive": "v > 0"}
+    # drop: enforcement ends
+    t.drop_constraint("v_positive")
+    assert t.constraints() == {}
+    t.append(spark.range(1).selectExpr("50L AS k", "-1L AS v"))
