@@ -430,3 +430,73 @@ ORACLES["txlog_change_feed"] = """
     SELECT o_orderkey, o_totalprice, 'delete', 3
     FROM orders WHERE o_orderkey % 10 = 3
 """
+
+
+def q_mv_cdf_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance OVER the change feed: a per-priority
+    revenue MV materialized at v1 is brought current by applying
+    read_changes' net row deltas (insert adds, delete subtracts — the
+    classic delta algebra for SUM/COUNT views), never rescanning the
+    base. At 100 TB the delta is one merge's rewritten slice while a
+    recompute is the whole table. Revenue is summed in integer CENTS so
+    the incremental sum is bit-exact against the oracle's full
+    recompute (float addition order would otherwise differ between the
+    two computation shapes). The oracle IS the full recompute of the
+    final state — the equivalence this operator exists to guarantee."""
+    table = _cdf_committed_orders(spark, sf_dir)
+    cents = (
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents")
+    )
+    mv0 = (
+        table.read(spark, version=1)
+        .select("o_orderpriority", cents)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("rev_cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        table.read_changes(spark, from_version=1)
+        .select("o_orderpriority", cents, sign.alias("sgn"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("cents") * F.col("sgn")).alias("d_rev"),
+            F.sum("sgn").alias("d_n"),
+        )
+    )
+    m, d = mv0.alias("m"), delta.alias("d")
+    return (
+        m.join(d, F.col("m.o_orderpriority") == F.col("d.o_orderpriority"), "full_outer")
+        .select(
+            F.coalesce(F.col("m.o_orderpriority"), F.col("d.o_orderpriority")).alias(
+                "o_orderpriority"
+            ),
+            (
+                (F.coalesce(F.col("rev_cents"), F.lit(0)) + F.coalesce(F.col("d_rev"), F.lit(0)))
+                / F.lit(100.0)
+            ).alias("revenue"),
+            (
+                F.coalesce(F.col("n_orders"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+            ).alias("n_orders"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+
+QUERIES["mv_cdf_refresh"] = q_mv_cdf_refresh
+
+# The oracle recomputes the FINAL table state from scratch: evens
+# untouched, odds minus deleted (%10=3), re-priced (%10=7) +1000.
+ORACLES["mv_cdf_refresh"] = """
+    WITH final_state AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 10 = 7
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 10 <> 3
+    )
+    SELECT o_orderpriority,
+           SUM(CAST(ROUND(price * 100.0) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM final_state
+    GROUP BY o_orderpriority
+"""
