@@ -500,3 +500,43 @@ ORACLES["mv_cdf_refresh"] = """
     FROM final_state
     GROUP BY o_orderpriority
 """
+
+
+def q_txlog_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-scoped DELETE WHERE (sources/txlog.py delete_where — the
+    Delta retention-delete shape): a fresh range-committed orders table
+    deletes the middle half of commit 2's key span; manifest stats
+    scope the rewrite to that commit's files, every other file carries
+    verbatim. The oracle is the plain anti-predicate — a delete's
+    result must equal filtering the original data."""
+    root = os.path.join(TMP_ROOT, "txlog", f"orders_del_{_sf_name(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    q = max_key // N_RANGE_COMMITS + 1
+    lo, hi = q + q // 4, q + (3 * q) // 4  # middle half of commit 2's span
+    table = TxTable(root)
+    # rebuild when absent or stale: the final state is version 5 (4
+    # range appends + 1 delete commit)
+    if table.versions() != [1, 2, 3, 4, 5]:
+        table = recreate(root)
+        for i in range(N_RANGE_COMMITS):
+            table.append(
+                orders.where(
+                    (F.col("o_orderkey") >= i * q) & (F.col("o_orderkey") < (i + 1) * q)
+                )
+            )
+        table.delete_where(spark, "o_orderkey", lo=lo, hi=hi)
+    return table.read(spark).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+QUERIES["txlog_delete_where"] = q_txlog_delete_where
+
+ORACLES["txlog_delete_where"] = f"""
+    WITH b AS (
+        SELECT CAST(FLOOR(MAX(o_orderkey) / {N_RANGE_COMMITS}) AS BIGINT) + 1 AS q
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders, b
+    WHERE NOT (o_orderkey BETWEEN b.q + b.q // 4 AND b.q + (3 * b.q) // 4)
+"""

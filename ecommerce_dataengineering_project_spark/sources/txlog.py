@@ -636,6 +636,60 @@ class TxTable:
             constraints=cons,
         )
 
+    def delete_where(self, spark: SparkSession, col: str, lo=None, hi=None) -> int:
+        """Delta ``DELETE FROM ... WHERE col BETWEEN lo AND hi``,
+        FILE-SCOPED via manifest stats: files whose [min, max] provably
+        cannot hold a matching row carry into the new manifest verbatim
+        (stats, blooms, and bytes untouched); only candidate files are
+        rewritten with matching rows filtered out. At 100 TB a
+        retention delete of one day's key span rewrites one day's
+        files, not the table. NULL predicate results keep the row
+        (SQL DELETE semantics: only rows where the predicate is TRUE
+        are deleted). History stays time-travelable; the publish rides
+        the version CAS like every other commit. Returns the new
+        version (the current one unchanged if no file can match)."""
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        v = vs[-1]
+        man = self._manifest(v)
+        touched, _ = self.candidate_files(col, lo, hi, version=v)
+        if not touched:
+            return v  # stats prove nothing matches: metadata-only no-op
+        touched_set = set(touched)
+        untouched = [f for f in man["files"] if f not in touched_set]
+        base = normalize_ntz(
+            spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in touched]
+            )
+        )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(col) <= F.lit(hi))
+        kept = base.where(~F.coalesce(cond, F.lit(False)))
+        version = v + 1
+        new_files, new_stats = self._write_commit_data(kept, version)
+        keep_stats = {
+            f: s for f, s in man.get("stats", {}).items() if f not in touched_set
+        }
+        keep_bloom = {
+            f: b for f, b in man.get("bloom", {}).items() if f not in touched_set
+        }
+        return self._publish(
+            version,
+            untouched + new_files,
+            f"delete:{col}",
+            {**keep_stats, **new_stats},
+            man.get("txn", {}),
+            man.get("schema"),
+            bloom=keep_bloom,
+            constraints=man.get("constraints", {}),
+        )
+
     def rollback(self, to_version: int) -> int:
         """Roll-forward rollback: publish a NEW version whose file list
         is the old snapshot's — history is never rewritten, exactly like

@@ -558,3 +558,37 @@ def test_check_constraints_enforced_on_every_writer_path(spark, tmp_path):
     t.drop_constraint("v_positive")
     assert t.constraints() == {}
     t.append(spark.range(1).selectExpr("50L AS k", "-1L AS v"))
+
+
+def test_delete_where_is_file_scoped_and_null_safe(spark, tmp_path):
+    """DELETE WHERE rewrites only stat-candidate files (others carry
+    verbatim, stats and blooms intact), keeps NULL-predicate rows (SQL
+    DELETE semantics), no-ops when stats prove nothing matches, and
+    leaves history time-travelable."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "del"))
+    t.append(
+        spark.range(0, 100).selectExpr(
+            "CASE WHEN id = 50 THEN NULL ELSE id END AS k", "id AS v"
+        ),
+        bloom_cols=("v",),
+    )
+    t.append(spark.range(1000, 1100).selectExpr("id AS k", "id AS v"), bloom_cols=("v",))
+    man2 = t._manifest(2)
+    high_files = [f for f in man2["files"] if f.startswith("data/c2")]
+    ver = t.delete_where(spark, "k", lo=10, hi=19)
+    got = sorted(r.v for r in t.read(spark).collect())
+    assert got == [v for v in range(100) if not (10 <= v <= 19)] + list(range(1000, 1100))
+    # NULL k row (v=50) survived: predicate NULL is not TRUE
+    assert 50 in got
+    man = t._manifest(ver)
+    # commit 2's files untouched: same paths, same stats, same blooms
+    assert set(high_files) <= set(man["files"])
+    for f in high_files:
+        assert man["stats"][f] == man2["stats"][f]
+        assert man["bloom"][f] == man2["bloom"][f]
+    # stats prove nothing matches -> metadata no-op, version unchanged
+    assert t.delete_where(spark, "k", lo=10**9, hi=2 * 10**9) == ver
+    # history intact
+    assert t.read(spark, 2).count() == 200
