@@ -540,3 +540,43 @@ ORACLES["txlog_delete_where"] = f"""
     FROM orders, b
     WHERE NOT (o_orderkey BETWEEN b.q + b.q // 4 AND b.q + (3 * b.q) // 4)
 """
+
+
+def q_txlog_expect_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations + dead-letter table (sources/txlog.py
+    append_or_quarantine — the DLT expect_or_drop batch twin): orders
+    ingested under two CHECK constraints; passing rows land in the main
+    table, violating rows in the quarantine table tagged with the
+    constraint names they failed. The query returns the quarantine
+    content; the oracle derives the same rows + tags from the base
+    table with plain SQL."""
+    main_root = os.path.join(TMP_ROOT, "txlog", f"orders_dlq_m_{_sf_name(sf_dir)}")
+    q_root = os.path.join(TMP_ROOT, "txlog", f"orders_dlq_q_{_sf_name(sf_dir)}")
+    main, dlq = TxTable(main_root), TxTable(q_root)
+    if len(main.versions()) < 3 or len(dlq.versions()) < 1:
+        orders = load_table(spark, sf_dir, "orders")
+        main, dlq = recreate(main_root), recreate(q_root)
+        # seed an empty-but-typed snapshot so constraints can be added
+        main.append(orders.limit(0))
+        main.add_constraint(spark, "price_cap", "o_totalprice <= 300000.0")
+        main.add_constraint(spark, "key_positive", "o_orderkey > 0")
+        main.append_or_quarantine(orders, dlq)
+    return dlq.read(spark).select(
+        "o_orderkey", "o_totalprice", "_violations"
+    )
+
+
+QUERIES["txlog_expect_quarantine"] = q_txlog_expect_quarantine
+
+ORACLES["txlog_expect_quarantine"] = """
+    SELECT o_orderkey, o_totalprice,
+           CONCAT_WS(',',
+               CASE WHEN NOT COALESCE(o_orderkey > 0, FALSE)
+                    THEN 'key_positive' END,
+               CASE WHEN NOT COALESCE(o_totalprice <= 300000.0, FALSE)
+                    THEN 'price_cap' END
+           ) AS _violations
+    FROM orders
+    WHERE NOT COALESCE(o_orderkey > 0, FALSE)
+       OR NOT COALESCE(o_totalprice <= 300000.0, FALSE)
+"""

@@ -636,6 +636,56 @@ class TxTable:
             constraints=cons,
         )
 
+    def append_or_quarantine(
+        self, df: DataFrame, quarantine: "TxTable"
+    ) -> tuple[int, int | None]:
+        """Expectations with a dead-letter table (the DLT
+        ``expect_or_drop`` + quarantine pattern, and the batch twin of
+        streaming/bronze_silver's parse_quarantine): rows passing every
+        CHECK constraint append HERE; violating rows append to
+        ``quarantine`` tagged with ``_violations`` (comma-joined names
+        of the constraints they failed) instead of failing the whole
+        commit — the right ingest contract when one bad producer must
+        not stall the pipeline, vs plain ``append`` which rejects the
+        batch outright.
+
+        Returns ``(main_version, quarantine_version_or_None)``. Both
+        splits are narrow filters over the same scan (no shuffle added);
+        NULL constraint results quarantine, matching the strict path's
+        NULL-is-violation rule."""
+        from pyspark.sql import functions as F
+
+        cons = self.constraints()
+        if not cons:
+            return self.append(df), None
+        flags = {
+            name: F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+            for name, expr in sorted(cons.items())
+        }
+        all_ok = F.lit(True)
+        for c in flags.values():
+            all_ok = all_ok & c
+        ok = df.where(all_ok)
+        bad = df.where(~all_ok).withColumn(
+            "_violations",
+            F.concat_ws(
+                ",",
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(~c, F.lit(n)).otherwise(F.lit(None))
+                            for n, c in flags.items()
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+            ),
+        )
+        main_v = self.append(ok)
+        if bad.isEmpty():
+            return main_v, None
+        return main_v, quarantine.append(bad)
+
     def delete_where(self, spark: SparkSession, col: str, lo=None, hi=None) -> int:
         """Delta ``DELETE FROM ... WHERE col BETWEEN lo AND hi``,
         FILE-SCOPED via manifest stats: files whose [min, max] provably

@@ -592,3 +592,36 @@ def test_delete_where_is_file_scoped_and_null_safe(spark, tmp_path):
     assert t.delete_where(spark, "k", lo=10**9, hi=2 * 10**9) == ver
     # history intact
     assert t.read(spark, 2).count() == 200
+
+
+def test_append_or_quarantine_routes_rows(spark, tmp_path):
+    """Expectations + dead-letter table: passing rows land in main,
+    violating rows in quarantine tagged with EVERY failed constraint
+    name (sorted), NULL results quarantine, and a fully-clean batch
+    leaves the quarantine untouched."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    main = recreate(str(tmp_path / "m"))
+    dlq = recreate(str(tmp_path / "q"))
+    main.append(spark.range(0).selectExpr("id AS k", "id AS v"))
+    main.add_constraint(spark, "k_pos", "k > 0")
+    main.add_constraint(spark, "v_small", "v < 100")
+    batch = spark.createDataFrame(
+        [(1, 5), (-1, 5), (2, 500), (-2, 500), (3, None)],
+        "k long, v long",
+    )
+    mv, qv = main.append_or_quarantine(batch, dlq)
+    assert sorted((r.k, r.v) for r in main.read(spark).collect()) == [(1, 5)]
+    got = {r.k: r._violations for r in dlq.read(spark).collect()}
+    assert got == {
+        -1: "k_pos",
+        2: "v_small",
+        -2: "k_pos,v_small",
+        3: "v_small",  # NULL v -> violation, Delta NULL semantics
+    }
+    # clean batch: no quarantine commit
+    q_before = dlq.versions()[-1]
+    mv2, qv2 = main.append_or_quarantine(
+        spark.createDataFrame([(9, 9)], "k long, v long"), dlq
+    )
+    assert qv2 is None and dlq.versions()[-1] == q_before
