@@ -580,3 +580,40 @@ ORACLES["txlog_expect_quarantine"] = """
     WHERE NOT COALESCE(o_orderkey > 0, FALSE)
        OR NOT COALESCE(o_totalprice <= 300000.0, FALSE)
 """
+
+
+def q_txlog_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy format adoption (sources/txlog.convert_to_txlog — the
+    CONVERT TO DELTA twin of the reference's delta_to_iceberg.py
+    conversion job): a plain range-partitioned parquet directory of
+    orders becomes a transaction-log table IN PLACE (v1 manifest lists
+    the existing files, stats harvested from their footers, no byte
+    rewritten), and the very first scan prunes files by key range from
+    the log alone. The oracle is the plain predicate — adoption and
+    pruning must not change results."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import convert_to_txlog
+
+    root = os.path.join(TMP_ROOT, "txlog", f"orders_conv_{_sf_name(sf_dir)}")
+    orders = load_table(spark, sf_dir, "orders")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    hi = max_key // 4
+    table = TxTable(root)
+    if table.versions() != [1]:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        orders.repartitionByRange(4, "o_orderkey").write.parquet(root)
+        table = convert_to_txlog(root, spark)
+    return table.scan(spark, "o_orderkey", lo=None, hi=hi).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+QUERIES["txlog_convert_in_place"] = q_txlog_convert_in_place
+
+ORACLES["txlog_convert_in_place"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 4) AS BIGINT)
+                         FROM orders)
+"""

@@ -740,6 +740,41 @@ class TxTable:
             constraints=man.get("constraints", {}),
         )
 
+    def shallow_clone(self, target_root: str) -> "TxTable":
+        """Delta ``SHALLOW CLONE``: a new table whose v1 manifest
+        REFERENCES the source snapshot's data files by absolute path —
+        zero bytes copied, stats / blooms / constraints carried, ready
+        instantly. Writes to the clone stage under the CLONE's root and
+        never touch the source; the clone's VACUUM walks only its own
+        ``data/`` dir, so source files are structurally un-deletable
+        from the clone side. The clone diverges from the source from
+        its first write (exactly Delta's contract — it is a fork, not a
+        mirror)."""
+        if os.path.isdir(os.path.join(target_root, _LOG_DIR)):
+            raise FileExistsError(f"{target_root} is already a txlog table")
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        man = self._manifest(vs[-1])
+        src = os.path.abspath(self.root)
+        abs_map = {f: os.path.join(src, f) for f in man["files"]}
+        clone = TxTable(target_root)
+        clone._publish(
+            1,
+            list(abs_map.values()),
+            f"clone:{src}@v{vs[-1]}",
+            {abs_map[f]: s for f, s in man.get("stats", {}).items() if f in abs_map},
+            {},
+            man.get("schema"),
+            bloom={
+                abs_map[f]: b
+                for f, b in man.get("bloom", {}).items()
+                if f in abs_map
+            },
+            constraints=man.get("constraints", {}),
+        )
+        return clone
+
     def rollback(self, to_version: int) -> int:
         """Roll-forward rollback: publish a NEW version whose file list
         is the old snapshot's — history is never rewritten, exactly like
@@ -1041,6 +1076,48 @@ class TxTable:
             if hi is not None:
                 df = df.where(F.col(col) <= F.lit(hi))
         return df
+
+
+def convert_to_txlog(path: str, spark: SparkSession | None = None) -> TxTable:
+    """``CONVERT TO DELTA`` twin (the adoption direction of the
+    reference's delta_to_iceberg.py format-conversion job): adopt an
+    existing directory of parquet part files into a transaction log IN
+    PLACE — ZERO data copy. The v1 manifest lists the existing files
+    with per-file [min, max] stats harvested from their footers, so
+    stats-based file pruning works on the very first scan, and every
+    log feature (time travel, CAS commits, CHECK constraints, CDF from
+    v1 onward, MERGE / DELETE WHERE / OPTIMIZE) applies immediately.
+    ``spark`` (optional) records the table schema for writer-side
+    enforcement; without it the schema is unrecorded and validates
+    nothing (old-manifest semantics).
+
+    Adopted files live OUTSIDE the log's ``data/`` staging area, so
+    VACUUM never reclaims them even once rewrites dereference them —
+    the price of zero-copy adoption (delete them out-of-band once no
+    kept version references them)."""
+    if os.path.isdir(os.path.join(path, _LOG_DIR)):
+        raise FileExistsError(f"{path} is already a txlog table")
+    files = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, "data")]
+        for f in filenames:
+            if f.endswith(".parquet"):
+                files.append(
+                    os.path.relpath(os.path.join(dirpath, f), path)
+                )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    files = sorted(files)
+    stats = {f: _file_minmax(os.path.join(path, f)) for f in files}
+    schema = []
+    if spark is not None:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, f) for f in files]
+        )
+        schema = TxTable._df_schema(df)
+    table = TxTable(path)
+    table._publish(1, files, "convert", stats, {}, schema)
+    return table
 
 
 def recreate(root: str) -> TxTable:

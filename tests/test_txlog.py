@@ -625,3 +625,72 @@ def test_append_or_quarantine_routes_rows(spark, tmp_path):
         spark.createDataFrame([(9, 9)], "k long, v long"), dlq
     )
     assert qv2 is None and dlq.versions()[-1] == q_before
+
+
+def test_convert_to_txlog_adopts_in_place(spark, tmp_path):
+    """CONVERT TO DELTA twin: zero-copy adoption — existing part files
+    become v1 with footer-harvested stats (pruning works on the first
+    scan), subsequent appends/deletes work, and the original bytes are
+    never rewritten."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import convert_to_txlog
+
+    path = str(tmp_path / "plain")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS v").repartitionByRange(
+        4, "k"
+    ).write.parquet(path)
+    before = {p: os.path.getmtime(p) for p in _glob.glob(os.path.join(path, "*.parquet"))}
+    t = convert_to_txlog(path, spark)
+    assert t.versions() == [1]
+    assert t.read(spark).count() == 1000
+    # footer stats were harvested: a narrow range prunes files
+    keep, total = t.candidate_files("k", lo=None, hi=5)
+    assert total == len(before) and 1 <= len(keep) < total
+    got = sorted(r.k for r in t.scan(spark, "k", lo=None, hi=5).collect())
+    assert got == list(range(6))
+    # adopted bytes untouched
+    assert {p: os.path.getmtime(p) for p in before} == before
+    # the table is live: append + time travel
+    t.append(spark.range(1000, 1100).selectExpr("id AS k", "id * 3 AS v"))
+    assert t.read(spark).count() == 1100 and t.read(spark, 1).count() == 1000
+    with _pytest.raises(FileExistsError):
+        convert_to_txlog(path, spark)
+
+
+def test_shallow_clone_is_zero_copy_fork(spark, tmp_path):
+    """SHALLOW CLONE: instant zero-copy table referencing the source's
+    files absolutely; writes/vacuum on the clone never touch the
+    source; stats, blooms, and constraints carry."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        ConstraintViolationError,
+        recreate,
+        vacuum,
+    )
+    import pytest as _pytest
+
+    src = recreate(str(tmp_path / "src"))
+    src.append(
+        spark.range(0, 100).selectExpr("id AS k", "id AS v"), bloom_cols=("k",)
+    )
+    src.add_constraint(spark, "v_nonneg", "v >= 0")
+    clone = src.shallow_clone(str(tmp_path / "fork"))
+    assert clone.read(spark).count() == 100
+    # metadata carried: constraint enforced on the clone immediately
+    with _pytest.raises(ConstraintViolationError):
+        clone.append(spark.range(1).selectExpr("1L AS k", "-5L AS v"))
+    # bloom carried under the absolute refs: point pruning live
+    keep, total = clone.candidate_files_point("k", 42)
+    assert 1 <= len(keep) <= total
+    # fork semantics: clone append invisible to source
+    clone.append(spark.range(100, 110).selectExpr("id AS k", "id AS v"))
+    assert clone.read(spark).count() == 110 and src.read(spark).count() == 100
+    # clone-side merge rewrites into the CLONE's root; source intact
+    feed = spark.createDataFrame([(5, 1, "D", 5, 0)], "ck long, seq long, op string, k long, v long").select("k", "v", "seq", "op")
+    clone.merge(spark, feed, ["k"])
+    assert clone.read(spark).count() == 109 and src.read(spark).count() == 100
+    # clone vacuum never deletes source bytes (walks only its own data/)
+    vacuum(clone, keep_versions=1)
+    assert src.read(spark).count() == 100
