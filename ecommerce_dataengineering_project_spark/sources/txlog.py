@@ -473,32 +473,51 @@ class TxTable:
         schema_mode: str = "merge",
         bloom_cols: tuple[str, ...] = (),
     ) -> int:
-        vs = self.versions()
-        version = (vs[-1] + 1) if vs else 1
-        prev_files, prev_stats, man = [], {}, {}
-        if vs:
-            man = self._manifest(vs[-1])
-            prev_files, prev_stats = man["files"], man.get("stats", {})
-        schema = self._check_schema(
-            man.get("schema"), self._df_schema(df), schema_mode
-        )
-        cons = man.get("constraints", {})
-        self._validate_constraints(df, cons)
-        new_files, new_stats = self._write_commit_data(df, version)
-        new_bloom = (
-            self._file_blooms(df.sparkSession, new_files, bloom_cols)
-            if bloom_cols
-            else {}
-        )
-        return self._publish(
-            version,
-            prev_files + new_files,
-            "append",
-            {**prev_stats, **new_stats},
-            man.get("txn", {}),
-            schema,
-            bloom={**man.get("bloom", {}), **new_bloom},
-            constraints=cons,
+        """Append with automatic conflict REBASE (Delta's blind-append
+        resolution: two appends commute, so losing the version CAS is
+        not a logical conflict). The data files are written ONCE into a
+        unique staging dir; on a lost CAS only the metadata work
+        re-runs against the winner's manifest — schema compatibility
+        and CHECK constraints are re-checked there, because the
+        concurrent commit may have evolved either."""
+        new_files = new_stats = new_bloom = None
+        validated_against: dict | None = None
+        for _ in range(8):
+            vs = self.versions()
+            version = (vs[-1] + 1) if vs else 1
+            prev_files, prev_stats, man = [], {}, {}
+            if vs:
+                man = self._manifest(vs[-1])
+                prev_files, prev_stats = man["files"], man.get("stats", {})
+            schema = self._check_schema(
+                man.get("schema"), self._df_schema(df), schema_mode
+            )
+            cons = man.get("constraints", {})
+            if cons != validated_against:
+                self._validate_constraints(df, cons)
+                validated_against = cons
+            if new_files is None:  # write the data exactly once
+                new_files, new_stats = self._write_commit_data(df, version)
+                new_bloom = (
+                    self._file_blooms(df.sparkSession, new_files, bloom_cols)
+                    if bloom_cols
+                    else {}
+                )
+            try:
+                return self._publish(
+                    version,
+                    prev_files + new_files,
+                    "append",
+                    {**prev_stats, **new_stats},
+                    man.get("txn", {}),
+                    schema,
+                    bloom={**man.get("bloom", {}), **new_bloom},
+                    constraints=cons,
+                )
+            except ConcurrentCommitError:
+                continue  # rebase on the winner's manifest and retry
+        raise ConcurrentCommitError(
+            "append: lost the version CAS 8 times in a row"
         )
 
     def overwrite(self, df: DataFrame) -> int:

@@ -694,3 +694,61 @@ def test_shallow_clone_is_zero_copy_fork(spark, tmp_path):
     # clone vacuum never deletes source bytes (walks only its own data/)
     vacuum(clone, keep_versions=1)
     assert src.read(spark).count() == 100
+
+
+def test_concurrent_appends_both_commit_via_rebase(spark, tmp_path):
+    """Blind appends commute (Delta conflict resolution): two writers
+    racing the same version must BOTH commit — the CAS loser rebases
+    on the winner's manifest and republishes; no rows lost, no error."""
+    import threading
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "race"))
+    t.append(spark.range(0, 10).selectExpr("id AS k"))
+    errs = []
+
+    def w(lo, hi):
+        try:
+            t.append(spark.range(lo, hi).selectExpr("id AS k"))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    ts = [threading.Thread(target=w, args=(100 * i, 100 * i + 10)) for i in (1, 2, 3)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert not errs
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == sorted(
+        list(range(10)) + list(range(100, 110)) + list(range(200, 210)) + list(range(300, 310))
+    )
+    assert t.versions() == [1, 2, 3, 4]
+
+
+def test_cdf_replay_reconstructs_every_snapshot(spark, tmp_path):
+    """The CDF soundness invariant: for EVERY version v, applying the
+    change feed (0, v] — inserts minus deletes as multisets — equals
+    the snapshot read at v, across a history mixing appends, a
+    file-scoped merge, a predicate delete, and a rollback."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "replay"))
+    t.append(spark.range(0, 50).selectExpr("id AS k", "id % 7 AS v"))        # 1
+    t.append(spark.range(50, 90).selectExpr("id AS k", "id % 7 AS v"))       # 2
+    feed = spark.createDataFrame(
+        [(5, 99, 1, "U"), (60, 0, 1, "D"), (200, 42, 1, "I")],
+        "k long, v long, seq long, op string",
+    )
+    t.merge(spark, feed, ["k"])                                              # 3
+    t.delete_where(spark, "k", lo=20, hi=29)                                 # 4
+    t.rollback(2)                                                            # 5
+    t.append(spark.range(500, 510).selectExpr("id AS k", "id % 7 AS v"))     # 6
+    for v in t.versions():
+        snap = sorted(map(tuple, t.read(spark, v).select("k", "v").collect()))
+        changes = t.read_changes(spark, 0, to_version=v)
+        ins = changes.where("_change_type = 'insert'").select("k", "v")
+        dels = changes.where("_change_type = 'delete'").select("k", "v")
+        replay = sorted(map(tuple, ins.exceptAll(dels).collect()))
+        assert replay == snap, f"CDF replay diverges at v{v}"
