@@ -1200,3 +1200,27 @@ def vacuum(
         if not os.listdir(cdir):
             os.rmdir(cdir)
     return deleted
+
+
+def expire_snapshots(table: TxTable, keep_versions: int = 1) -> list[int]:
+    """Iceberg ``expire_snapshots`` / Delta log-retention twin: delete
+    the MANIFESTS of all but the newest ``keep_versions`` versions,
+    bounding the metadata history (a manifest is small, but a 100 TB
+    table committing every minute accretes half a million of them a
+    year, and every ``versions()`` listing walks the set). Time travel
+    to an expired version raises cleanly afterwards; current reads,
+    the retained history, and CDF windows inside it are untouched.
+
+    Order of operations with VACUUM: expire manifests FIRST, then
+    ``vacuum(keep_versions=...)`` — a data file referenced only by
+    expired manifests becomes an orphan vacuum can reclaim. (Running
+    vacuum first also works: it computes liveness from the kept
+    manifest set, not the expired ones.) Returns the expired version
+    numbers."""
+    vs = table.versions()
+    if keep_versions < 1:
+        raise ValueError("expire_snapshots: keep_versions must be >= 1")
+    expired = vs[:-keep_versions]
+    for v in expired:
+        os.remove(os.path.join(table.root, _LOG_DIR, f"v{v}.json"))
+    return expired

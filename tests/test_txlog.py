@@ -752,3 +752,31 @@ def test_cdf_replay_reconstructs_every_snapshot(spark, tmp_path):
         dels = changes.where("_change_type = 'delete'").select("k", "v")
         replay = sorted(map(tuple, ins.exceptAll(dels).collect()))
         assert replay == snap, f"CDF replay diverges at v{v}"
+
+
+def test_expire_snapshots_bounds_metadata_history(spark, tmp_path):
+    """expire_snapshots deletes old manifests (time travel to them
+    raises cleanly), keeps current reads intact, and makes the expired
+    versions' exclusive files reclaimable by the next vacuum."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        expire_snapshots,
+        recreate,
+        vacuum,
+    )
+
+    t = recreate(str(tmp_path / "exp"))
+    t.append(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 100, 105))
+    t.append(_df(spark, 200, 203))
+    assert expire_snapshots(t, keep_versions=2) == [1]
+    assert t.versions() == [2, 3]
+    assert t.read(spark).count() == 8
+    with pytest.raises(FileNotFoundError):
+        t._manifest(1)
+    # v1's files are now orphans: vacuum keeping the WHOLE remaining
+    # history still reclaims them
+    deleted = vacuum(t, keep_versions=2)
+    assert deleted and all(d.startswith(os.path.join("data", "c1")) for d in deleted)
+    assert t.read(spark).count() == 8 and t.read(spark, 2).count() == 5
+    with pytest.raises(ValueError):
+        expire_snapshots(t, keep_versions=0)
