@@ -617,3 +617,45 @@ ORACLES["txlog_convert_in_place"] = """
     WHERE o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 4) AS BIGINT)
                          FROM orders)
 """
+
+
+def q_txlog_time_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time file pruning (the most common lakehouse predicate):
+    events committed as four event-time quartile ranges — the layout
+    any time-ordered ingest produces — then a time-window scan resolves
+    its file list from the manifest's ISO-8601 timestamp stats before
+    the engine lists anything. Timestamp stats exist because the commit
+    writer pins TIMESTAMP_MICROS (Spark's default INT96 carries no
+    parquet min/max). Oracle: the plain timestamp predicate."""
+    import datetime as dt
+
+    root = os.path.join(TMP_ROOT, "txlog", f"events_tspruned_{_sf_name(sf_dir)}")
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx")).collect()[0]
+    span_us = (b.mx - b.mn) // dt.timedelta(microseconds=1)
+    cuts = [b.mn + dt.timedelta(microseconds=(span_us * i) // 4) for i in range(5)]
+    table = TxTable(root)
+    if len(table.versions()) != 4:
+        table = recreate(root)
+        for i in range(4):
+            upper = (
+                F.col("ts") < F.lit(cuts[i + 1])
+                if i < 3
+                else F.col("ts") <= F.lit(cuts[4])
+            )
+            table.append(ev.where((F.col("ts") >= F.lit(cuts[i])) & upper))
+    return table.scan(spark, "ts", lo=None, hi=cuts[1]).select(
+        "event_id", "user_id", "ts"
+    )
+
+
+QUERIES["txlog_time_pruned_read"] = q_txlog_time_pruned_read
+
+ORACLES["txlog_time_pruned_read"] = """
+    WITH b AS (
+        SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events
+    )
+    SELECT event_id, user_id, ts
+    FROM events, b
+    WHERE epoch_us(ts) <= b.mn + (b.mx - b.mn) // 4
+"""

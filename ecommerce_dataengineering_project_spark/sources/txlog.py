@@ -28,6 +28,7 @@ and pushdown behave identically to a plain scan.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -105,6 +106,16 @@ def _file_minmax(path: str) -> dict[str, list]:
                         mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                     except UnicodeDecodeError:
                         usable = False
+                # timestamps/dates become ISO-8601 strings: JSON-safe,
+                # and lexicographic order == chronological order (fixed
+                # field widths; a bare second is a strict prefix of its
+                # fractional form), so the pruning comparison needs no
+                # type machinery — callers' datetime bounds are
+                # normalized the same way in candidate_files_multi.
+                # The most common lakehouse predicate (event-time
+                # ranges for retention/incremental scans) prunes too.
+                if usable and isinstance(mn, (_dt.datetime, _dt.date)):
+                    mn, mx = mn.isoformat(), mx.isoformat()
                 if usable and (
                     not isinstance(mn, (int, float, str)) or isinstance(mn, bool)
                 ):
@@ -350,7 +361,22 @@ class TxTable:
         # into the table dir for the same reason).
         attempt = f"c{version}-{uuid.uuid4().hex[:12]}"
         data_dir = os.path.join(self.root, "data", attempt)
-        df.write.mode("errorifexists").parquet(data_dir)
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # stats, which would silently disable event-time file pruning
+        # (the most common lakehouse predicate). Pin the deprecated-
+        # format replacement for the commit write regardless of the
+        # caller's session defaults, then restore.
+        spark = df.sparkSession
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("errorifexists").parquet(data_dir)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         rel = os.path.join("data", attempt)
         files = [
             os.path.join(rel, f)
@@ -968,6 +994,10 @@ class TxTable:
         man = self._manifest(v)
         stats = man.get("stats", {})
         keep = []
+        # datetime/date bounds compare against the manifest's ISO-8601
+        # stat strings (lexicographic == chronological)
+        norm = lambda b: b.isoformat() if isinstance(b, (_dt.datetime, _dt.date)) else b
+        preds = [(col, norm(lo), norm(hi)) for col, lo, hi in preds]
         for f in man["files"]:
             fs = stats.get(f, {})
             dead = False

@@ -780,3 +780,39 @@ def test_expire_snapshots_bounds_metadata_history(spark, tmp_path):
     assert t.read(spark).count() == 8 and t.read(spark, 2).count() == 5
     with pytest.raises(ValueError):
         expire_snapshots(t, keep_versions=0)
+
+
+def test_timestamp_stats_prune_files(spark, tmp_path):
+    """Timestamp columns get ISO-8601 manifest stats (lexicographic ==
+    chronological), so the most common lakehouse predicate — an
+    event-time range — prunes files from the log alone."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "ts"))
+    base = dt.datetime(2024, 1, 1)
+    for d in range(4):  # one commit per day
+        t.append(
+            spark.range(0, 100).select(
+                (F.lit(base) + F.expr(f"INTERVAL {d} DAY")
+                 + F.col("id").cast("string").cast("interval second")).alias("ts"),
+                F.col("id").alias("k"),
+            )
+        )
+    man = t._manifest(t.versions()[-1])
+    ts_stats = [s.get("ts") for s in man["stats"].values()]
+    assert all(s is not None and isinstance(s[0], str) for s in ts_stats)
+    lo = dt.datetime(2024, 1, 2)
+    hi = dt.datetime(2024, 1, 2, 23, 59, 59)
+    keep, total = t.candidate_files("ts", lo=lo, hi=hi)
+    assert len(keep) < total  # day-2 files only survive
+    got = t.scan(spark, "ts", lo=lo, hi=hi).count()
+    want = (
+        t.read(spark)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+        .count()
+    )
+    assert got == want == 100
