@@ -911,3 +911,52 @@ ORACLES["stream_socket_ingest"] = f"""
                WHEN 3 THEN 'purchase' ELSE 'refund' END AS kind
     FROM h
 """
+
+
+# ------------------------------------------- txlog as a streaming source
+def q_stream_txlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream a transaction-log TABLE (sources/pyds_txlog.py) — Delta's
+    ``readStream.format("delta")`` consumption mode over the engine's
+    own log: offsets are versions, each micro-batch is the files added
+    by the commits in (start, end], checkpoint replay re-derives
+    identical batches from the immutable manifests. The staged table
+    holds events split across three append commits; the bounded drain
+    lands every committed row in a parquet sink, hash-checked against
+    the plain events fixture."""
+    import os
+    import shutil
+
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+    from ecommerce_dataengineering_project_spark.sources.txlog import TxTable, recreate
+
+    base = os.path.join(TMP_ROOT, "streams", f"txsrc_{_sf_key(sf_dir)}")
+    root = os.path.join(base, "table")
+    sink, ckpt = os.path.join(base, "sink"), os.path.join(base, "ckpt")
+    table = TxTable(root)
+    ev = load_table(spark, sf_dir, "events")
+    if len(table.versions()) != 3:
+        table = recreate(root)
+        for i in range(3):
+            table.append(ev.where(F.col("event_id") % 3 == i))
+    pyds_txlog.register(spark)
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    stream = spark.readStream.format("txlog_stream").option("path", root).load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _harness_capture("stream_txlog_source", q)
+    return spark.read.schema(stream.schema).parquet(sink)
+
+
+QUERIES["stream_txlog_source"] = q_stream_txlog_source
+
+ORACLES["stream_txlog_source"] = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""

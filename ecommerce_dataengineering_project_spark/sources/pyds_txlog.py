@@ -1,0 +1,158 @@
+"""Stream a transaction-log table — Delta's ``readStream.format
+("delta")`` (the reference's downstream-of-Delta consumption mode,
+delta_to_iceberg.py:23-25) as a Spark 4 Python DataSource over
+sources/txlog.py.
+
+Offsets ARE versions: ``initialOffset`` = the version the stream
+starts after (0 = from the beginning), ``latestOffset`` = the table's
+current latest manifest, and the rows of micro-batch (start, end] are
+exactly the files ADDED by those commits — resolved from the immutable
+manifests, so checkpoint replay (``partitions(start, end)`` re-called
+after a crash) re-derives the identical batch: exactly-once into any
+idempotent sink.
+
+Append-only contract (Delta's): a commit that REMOVES files
+(merge/delete/overwrite/rollback) between the offsets raises unless
+``ignoreChanges=true``, which degrades to "new files only" exactly like
+Delta's option of the same name (rewritten rows re-emit; consumers
+dedup downstream).
+
+Scale shape: this is the partition-parallel ``DataSourceReader`` API,
+not the driver-mediated Simple variant — each added file is one input
+partition and executors read it with pyarrow. Still Python-mediated
+per batch; at true 100 TB the native Delta/Iceberg source is the scan
+path (absent here — DELTA_PROBE.md), and this source is its semantic
+twin over the same manifest mechanics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_LOG_DIR = "_txlog"
+
+# Actions that only ADD files (safe under the append-only contract).
+_APPEND_ACTIONS = ("append", "convert", "add-constraint", "drop-constraint")
+
+
+def _versions(root: str) -> list[int]:
+    log = os.path.join(root, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(log)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _manifest(root: str, v: int) -> dict:
+    with open(os.path.join(root, _LOG_DIR, f"v{v}.json")) as fh:
+        return json.load(fh)
+
+
+class TxLogStreamDataSource(DataSource):
+    """``spark.readStream.format("txlog_stream").option("path", root)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txlog_stream"
+
+    def schema(self) -> str:
+        root = self.options["path"]
+        vs = _versions(root)
+        if not vs:
+            raise FileNotFoundError(f"no commits in {root}")
+        schema = _manifest(root, vs[-1]).get("schema") or []
+        if not schema:
+            raise ValueError(
+                f"{root}: table has no recorded schema — stream sources "
+                "need one (append with a schema-bearing writer first)"
+            )
+        return ", ".join(f"`{n}` {t}" for n, t in schema)
+
+    def streamReader(self, schema) -> "TxLogStreamReader":
+        return TxLogStreamReader(self.options)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.root = options["path"]
+        self.ignore_changes = str(
+            options.get("ignoreChanges", "false")
+        ).lower() in ("true", "1")
+        self.start_version = int(options.get("startingVersion", 0))
+
+    def initialOffset(self):
+        return {"version": self.start_version}
+
+    def latestOffset(self):
+        vs = _versions(self.root)
+        return {"version": vs[-1] if vs else 0}
+
+    def partitions(self, start, end):
+        lo, hi = int(start["version"]), int(end["version"])
+        if hi <= lo:
+            return []
+        prev = set(_manifest(self.root, lo)["files"]) if lo > 0 else set()
+        parts: list[InputPartition] = []
+        for v in _versions(self.root):
+            if not (lo < v <= hi):
+                continue
+            man = _manifest(self.root, v)
+            cur = set(man["files"])
+            if (prev - cur) and not self.ignore_changes:
+                raise ValueError(
+                    f"txlog_stream: commit v{v} ({man.get('action')}) removed "
+                    "files — the stream is append-only; set "
+                    "ignoreChanges=true to emit new files anyway "
+                    "(rewritten rows will re-emit, Delta semantics)"
+                )
+            for f in sorted(cur - prev):
+                parts.append(InputPartition(os.path.join(self.root, f)))
+            prev = cur
+        return parts
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(partition.value).iter_batches()
+
+    def commit(self, end):
+        pass  # manifests are immutable; nothing to clean up
+
+
+def register(spark) -> None:
+    """Session-correct registration (same 4.1 quirk handling as
+    sources/pyds.register)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    name = TxLogStreamDataSource.name()
+    try:
+        manager = spark._jsparkSession.sessionState().dataSourceManager()
+        if manager.dataSourceExists(name):
+            return
+    except Exception:
+        manager = None
+    try:
+        spark.dataSource.register(TxLogStreamDataSource)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e) or manager is None:
+            raise
+        from pyspark.sql.udf import _wrap_function
+
+        sc = spark.sparkContext
+        wrapped = _wrap_function(sc, TxLogStreamDataSource)
+        uds = getattr(
+            sc._jvm,
+            "org.apache.spark.sql.execution.datasources.v2.python."
+            "UserDefinedPythonDataSource",
+        )(wrapped)
+        manager.registerDataSource(name, uds)

@@ -70,3 +70,65 @@ def test_checkpoint_resume_no_reprocessing(spark, tmp_path):
     # exactly-once: every id appears once, transform applied
     assert out.select("id").distinct().count() == 300
     assert out.where(F.col("doubled") != F.col("id") * 2).count() == 0
+
+
+def test_txlog_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """The txlog streaming source (sources/pyds_txlog.py): a second
+    bounded run on the RETAINED checkpoint emits only the commits that
+    landed after the first drain — version offsets resume exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    root, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    t = recreate(root)
+    t.append(spark.range(0, 50).selectExpr("id AS k"))
+    pyds_txlog.register(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog_stream").option("path", root).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 50
+    t.append(spark.range(50, 80).selectExpr("id AS k"))
+    drain()  # checkpoint retained: only v2's files are new
+    got = sorted(r.k for r in spark.read.parquet(sink).collect())
+    assert got == list(range(80))  # no duplicates, nothing missed
+
+
+def test_txlog_stream_source_rejects_non_append_commits(spark, tmp_path):
+    """Delta's append-only stream contract: a commit that removes files
+    (merge) fails the stream unless ignoreChanges=true, which emits
+    only the NEW files (rewritten rows re-emit)."""
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+    from ecommerce_dataengineering_project_spark.sources.pyds_txlog import (
+        TxLogStreamReader,
+    )
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    root = str(tmp_path / "t2")
+    t = recreate(root)
+    t.append(spark.range(0, 20).selectExpr("id AS k", "id AS v"))
+    feed = spark.createDataFrame(
+        [(3, 0, 1, "D")], "k long, v long, seq long, op string"
+    )
+    t.merge(spark, feed, ["k"])
+    r = TxLogStreamReader({"path": root})
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-only"):
+        r.partitions({"version": 0}, {"version": 2})
+    r2 = TxLogStreamReader({"path": root, "ignoreChanges": "true"})
+    parts = r2.partitions({"version": 1}, {"version": 2})
+    assert parts  # the rewritten files emit as new
