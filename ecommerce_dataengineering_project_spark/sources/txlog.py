@@ -1254,3 +1254,60 @@ def expire_snapshots(table: TxTable, keep_versions: int = 1) -> list[int]:
     for v in expired:
         os.remove(os.path.join(table.root, _LOG_DIR, f"v{v}.json"))
     return expired
+
+
+def history(table: TxTable) -> list[dict]:
+    """Delta ``DESCRIBE HISTORY`` twin: one record per retained
+    version — version, action, commit wall-clock (manifest mtime),
+    file count, and the net files added/removed vs the previous
+    retained version. Pure log metadata; no data files touched."""
+    out: list[dict] = []
+    prev: set[str] = set()
+    first = True
+    for v in table.versions():
+        man = table._manifest(v)
+        cur = set(man["files"])
+        mtime = os.path.getmtime(
+            os.path.join(table.root, _LOG_DIR, f"v{v}.json")
+        )
+        out.append(
+            {
+                "version": v,
+                "action": man.get("action"),
+                "commit_time": mtime,
+                "num_files": len(cur),
+                "files_added": len(cur if first else cur - prev),
+                "files_removed": 0 if first else len(prev - cur),
+            }
+        )
+        prev, first = cur, False
+    return out
+
+
+def detail(table: TxTable) -> dict:
+    """Delta ``DESCRIBE DETAIL`` twin for the current snapshot: file
+    count, total bytes, schema, and the active feature metadata
+    (constraints, bloom-indexed columns, txn watermarks)."""
+    vs = table.versions()
+    if not vs:
+        raise FileNotFoundError(f"no commits in {table.root}")
+    man = table._manifest(vs[-1])
+    size = 0
+    for f in man["files"]:
+        try:
+            size += os.path.getsize(os.path.join(table.root, f))
+        except OSError:
+            pass  # vacuumed/expired out-of-band: size is best-effort
+    bloom_cols = sorted(
+        {c for per_file in man.get("bloom", {}).values() for c in per_file}
+    )
+    return {
+        "version": vs[-1],
+        "num_files": len(man["files"]),
+        "size_bytes": size,
+        "schema": man.get("schema") or [],
+        "constraints": man.get("constraints", {}),
+        "bloom_index_columns": bloom_cols,
+        "txn_watermarks": man.get("txn", {}),
+        "num_retained_versions": len(vs),
+    }

@@ -816,3 +816,33 @@ def test_timestamp_stats_prune_files(spark, tmp_path):
         .count()
     )
     assert got == want == 100
+
+
+def test_history_and_detail_describe_the_log(spark, tmp_path):
+    """DESCRIBE HISTORY / DESCRIBE DETAIL twins: metadata-only views of
+    the retained log — actions, net file deltas, sizes, and the active
+    feature set (constraints, bloom columns, txn watermarks)."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        detail,
+        history,
+        recreate,
+    )
+
+    t = recreate(str(tmp_path / "h"))
+    t.append(_df(spark, 0, 10), bloom_cols=("id",))
+    t.add_constraint(spark, "v_pos", "v >= 0")
+    t.append(_df(spark, 10, 20))
+    feed = spark.createDataFrame(
+        [(5, 1, "D", 5, 0)], "ck long, seq long, op string, id long, v long"
+    ).select("id", "v", "seq", "op")
+    t.merge(spark, feed, ["id"])
+    h = history(t)
+    assert [r["version"] for r in h] == [1, 2, 3, 4]
+    assert h[0]["action"] == "append" and h[1]["action"] == "add-constraint:v_pos"
+    assert h[1]["files_added"] == 0 and h[1]["files_removed"] == 0
+    assert h[3]["action"].startswith("merge:") and h[3]["files_removed"] >= 1
+    d = detail(t)
+    assert d["version"] == 4 and d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["constraints"] == {"v_pos": "v >= 0"}
+    assert d["bloom_index_columns"] == ["id"]
+    assert d["num_retained_versions"] == 4
