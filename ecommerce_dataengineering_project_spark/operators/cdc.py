@@ -36,8 +36,28 @@ def apply_cdc(
     seq_col: str = "seq",
     op_col: str = "op",
 ) -> DataFrame:
-    """Apply a CDC feed to a base snapshot (see module docstring)."""
-    payload_cols = [c for c in base.columns]
+    """Apply a CDC feed to a base snapshot (see module docstring).
+
+    Automatic schema evolution (Delta ``MERGE WITH SCHEMA EVOLUTION``):
+    the output schema is the UNION of the base's columns and the feed's
+    payload columns — a feed carrying a newly-evolved column must not
+    have it silently dropped just because the (possibly file-scoped)
+    base slice predates the evolution; missing columns null-fill on
+    whichever side lacks them."""
+    feed_payload = [c for c in changes.columns if c not in (seq_col, op_col)]
+    payload_cols = list(base.columns) + [
+        c for c in feed_payload if c not in base.columns
+    ]
+
+    def _aligned(df: DataFrame, type_src: DataFrame) -> DataFrame:
+        out = df
+        for c in payload_cols:
+            if c not in out.columns:
+                out = out.withColumn(
+                    c, F.lit(None).cast(type_src.schema[c].dataType)
+                )
+        return out.select(*payload_cols)
+
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()
     )
@@ -46,6 +66,8 @@ def apply_cdc(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    untouched = base.join(latest.select(*key_cols), key_cols, "left_anti")
-    upserts = latest.where(F.col(op_col) != "D").select(*payload_cols)
+    untouched = _aligned(
+        base.join(latest.select(*key_cols), key_cols, "left_anti"), changes
+    )
+    upserts = _aligned(latest.where(F.col(op_col) != "D"), base)
     return untouched.unionByName(upserts)

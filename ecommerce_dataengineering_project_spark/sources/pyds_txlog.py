@@ -79,16 +79,20 @@ class TxLogStreamDataSource(DataSource):
         return ", ".join(f"`{n}` {t}" for n, t in schema)
 
     def streamReader(self, schema) -> "TxLogStreamReader":
-        return TxLogStreamReader(self.options)
+        return TxLogStreamReader(self.options, schema)
 
 
 class TxLogStreamReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.root = options["path"]
         self.ignore_changes = str(
             options.get("ignoreChanges", "false")
         ).lower() in ("true", "1")
         self.start_version = int(options.get("startingVersion", 0))
+        # declared output columns: pre-evolution files lack columns the
+        # latest schema carries — read() null-pads and reorders each
+        # batch to this list (the mergeSchema read semantics)
+        self.columns = [f.name for f in schema.fields] if schema else None
 
     def initialOffset(self):
         return {"version": self.start_version}
@@ -121,9 +125,23 @@ class TxLogStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.value).iter_batches()
+        for b in pq.ParquetFile(partition.value).iter_batches():
+            if self.columns is None or b.schema.names == self.columns:
+                yield b
+                continue
+            # additive evolution: null-pad missing columns, drop
+            # since-removed ones, and match the declared order
+            arrays, names = [], []
+            have = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+            for n in self.columns:
+                arrays.append(
+                    have.get(n, pa.nulls(b.num_rows, pa.null()))
+                )
+                names.append(n)
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     def commit(self, end):
         pass  # manifests are immutable; nothing to clean up

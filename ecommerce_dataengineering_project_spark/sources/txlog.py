@@ -936,7 +936,23 @@ class TxTable:
                 r_df = _files_df(removed)
                 cols = cols or r_df.columns
             if a_df is not None and r_df is not None:
-                r_df = r_df.select(*cols)
+                # Additive schema evolution can leave the two sides with
+                # different column sets inside ONE commit (a rewrite
+                # mixing pre- and post-evolution files): align both to
+                # the union, null-filling missing columns with the type
+                # the OTHER side declares, exactly like a mergeSchema
+                # read — exceptAll requires identical schemas.
+                all_cols = list(dict.fromkeys(a_df.columns + r_df.columns))
+
+                def _align(df: DataFrame, other: DataFrame) -> DataFrame:
+                    for c in all_cols:
+                        if c not in df.columns:
+                            df = df.withColumn(
+                                c, F.lit(None).cast(other.schema[c].dataType)
+                            )
+                    return df.select(*all_cols)
+
+                a_df, r_df = _align(a_df, r_df), _align(r_df, a_df)
                 ins = a_df.exceptAll(r_df)
                 del_ = r_df.exceptAll(a_df)
             elif a_df is not None:

@@ -132,3 +132,31 @@ def test_txlog_stream_source_rejects_non_append_commits(spark, tmp_path):
     r2 = TxLogStreamReader({"path": root, "ignoreChanges": "true"})
     parts = r2.partitions({"version": 1}, {"version": 2})
     assert parts  # the rewritten files emit as new
+
+
+def test_txlog_stream_source_pads_pre_evolution_files(spark, tmp_path):
+    """The table stream declares the LATEST schema; files written
+    before an additive evolution lack the new column — the reader
+    null-pads and reorders each Arrow batch (mergeSchema semantics)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    root, sink, ckpt = (str(tmp_path / n) for n in ("t", "sink", "ckpt"))
+    t = recreate(root)
+    t.append(spark.range(0, 5).selectExpr("id AS k"))
+    t.append(spark.range(5, 8).selectExpr("id AS k", "id * 2 AS extra"))
+    pyds_txlog.register(spark)
+    stream = spark.readStream.format("txlog_stream").option("path", root).load()
+    assert stream.schema.simpleString() == "struct<k:bigint,extra:bigint>"
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.extra for r in spark.read.schema(stream.schema).parquet(sink).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None, 4: None, 5: 10, 6: 12, 7: 14}

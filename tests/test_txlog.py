@@ -846,3 +846,27 @@ def test_history_and_detail_describe_the_log(spark, tmp_path):
     assert d["constraints"] == {"v_pos": "v >= 0"}
     assert d["bloom_index_columns"] == ["id"]
     assert d["num_retained_versions"] == 4
+
+
+def test_cdf_handles_schema_evolution_within_a_merge(spark, tmp_path):
+    """A merge rewriting pre-evolution files alongside post-evolution
+    data leaves its added/removed sides with different column sets;
+    read_changes must align them mergeSchema-style instead of failing,
+    and old rows emit with the evolved column null."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "cdfe"))
+    t.append(spark.range(0, 10).selectExpr("id AS k", "id AS v"))
+    t.append(
+        spark.range(10, 15).selectExpr("id AS k", "id AS v", "id * 10 AS extra")
+    )
+    feed = spark.createDataFrame(
+        [(3, 999, 7, 1, "U")], "k long, v long, extra long, seq long, op string"
+    )
+    t.merge(spark, feed, ["k"])
+    rows = {
+        (r.k, r._change_type, r._commit_version): (r.v, r.extra)
+        for r in t.read_changes(spark, from_version=2).collect()
+    }
+    assert rows[(3, "delete", 3)] == (3, None)  # pre-evolution pre-image
+    assert rows[(3, "insert", 3)] == (999, 7)   # evolved post-image
