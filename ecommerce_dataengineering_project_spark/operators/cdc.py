@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def align_to_union(df: DataFrame, cols: list[str], type_src: DataFrame) -> DataFrame:
+    """Null-pad ``df`` to the union column list ``cols`` (missing
+    columns typed from ``type_src``'s schema) and select in that order
+    — the mergeSchema-read shape shared by the CDC apply and the
+    change-feed diff, which both compare relations whose schemas may
+    differ under additive evolution."""
+    for c in cols:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(type_src.schema[c].dataType))
+    return df.select(*cols)
+
+
 def apply_cdc(
     base: DataFrame,
     changes: DataFrame,
@@ -50,13 +62,7 @@ def apply_cdc(
     ]
 
     def _aligned(df: DataFrame, type_src: DataFrame) -> DataFrame:
-        out = df
-        for c in payload_cols:
-            if c not in out.columns:
-                out = out.withColumn(
-                    c, F.lit(None).cast(type_src.schema[c].dataType)
-                )
-        return out.select(*payload_cols)
+        return align_to_union(df, payload_cols, type_src)
 
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()

@@ -38,9 +38,6 @@ from pyspark.sql.datasource import (
 
 _LOG_DIR = "_txlog"
 
-# Actions that only ADD files (safe under the append-only contract).
-_APPEND_ACTIONS = ("append", "convert", "add-constraint", "drop-constraint")
-
 
 def _versions(root: str) -> list[int]:
     log = os.path.join(root, _LOG_DIR)
@@ -105,7 +102,14 @@ class TxLogStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi <= lo:
             return []
-        prev = set(_manifest(self.root, lo)["files"]) if lo > 0 else set()
+        try:
+            prev = set(_manifest(self.root, lo)["files"]) if lo > 0 else set()
+        except FileNotFoundError:
+            raise ValueError(
+                f"txlog_stream: checkpointed offset v{lo} was expired "
+                "(expire_snapshots removed its manifest) — restart with a "
+                "fresh checkpoint or option('startingVersion', <retained>)"
+            ) from None
         parts: list[InputPartition] = []
         for v in _versions(self.root):
             if not (lo < v <= hi):

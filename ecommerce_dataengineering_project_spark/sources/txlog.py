@@ -42,6 +42,20 @@ from ecommerce_dataengineering_project_spark.sources.readers import normalize_nt
 _LOG_DIR = "_txlog"
 
 
+def _norm_time_bound(b):
+    """datetime/date -> the naive-UTC ISO-8601 string the manifest
+    stats use (tz-aware values converted to UTC, offset dropped);
+    anything else passes through. One function serves stats harvesting
+    and every pruning bound so the two sides can never drift."""
+    if isinstance(b, _dt.datetime):
+        if b.tzinfo is not None:
+            b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return b.isoformat()
+    if isinstance(b, _dt.date):
+        return b.isoformat()
+    return b
+
+
 class ConstraintViolationError(ValueError):
     """A write's rows violate a table CHECK constraint (Delta's
     ``ALTER TABLE ADD CONSTRAINT ... CHECK`` semantics): the commit is
@@ -106,16 +120,20 @@ def _file_minmax(path: str) -> dict[str, list]:
                         mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
                     except UnicodeDecodeError:
                         usable = False
-                # timestamps/dates become ISO-8601 strings: JSON-safe,
-                # and lexicographic order == chronological order (fixed
-                # field widths; a bare second is a strict prefix of its
-                # fractional form), so the pruning comparison needs no
-                # type machinery — callers' datetime bounds are
-                # normalized the same way in candidate_files_multi.
-                # The most common lakehouse predicate (event-time
-                # ranges for retention/incremental scans) prunes too.
+                # timestamps/dates become NAIVE-UTC ISO-8601 strings:
+                # JSON-safe, and lexicographic order == chronological
+                # order (fixed field widths; a bare second is a strict
+                # prefix of its fractional form), so the pruning
+                # comparison needs no type machinery — callers'
+                # datetime bounds are normalized identically by
+                # _norm_time_bound. tz-aware values (Spark writes
+                # isAdjustedToUTC) are converted to UTC and the offset
+                # suffix DROPPED — a '+00:00' suffix would compare
+                # GREATER than the equal-instant naive bound and
+                # wrongly prune a file whose min equals an inclusive
+                # upper bound (silent missing rows).
                 if usable and isinstance(mn, (_dt.datetime, _dt.date)):
-                    mn, mx = mn.isoformat(), mx.isoformat()
+                    mn, mx = _norm_time_bound(mn), _norm_time_bound(mx)
                 if usable and (
                     not isinstance(mn, (int, float, str)) or isinstance(mn, bool)
                 ):
@@ -291,6 +309,8 @@ class TxTable:
     def drop_constraint(self, name: str) -> int:
         """Metadata-only commit removing a CHECK constraint."""
         vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
         man = self._manifest(vs[-1])
         cons = dict(man.get("constraints", {}))
         if name not in cons:
@@ -498,6 +518,7 @@ class TxTable:
         df: DataFrame,
         schema_mode: str = "merge",
         bloom_cols: tuple[str, ...] = (),
+        _pre_validated: dict[str, str] | None = None,
     ) -> int:
         """Append with automatic conflict REBASE (Delta's blind-append
         resolution: two appends commute, so losing the version CAS is
@@ -505,9 +526,14 @@ class TxTable:
         unique staging dir; on a lost CAS only the metadata work
         re-runs against the winner's manifest — schema compatibility
         and CHECK constraints are re-checked there, because the
-        concurrent commit may have evolved either."""
+        concurrent commit may have evolved either.
+
+        ``_pre_validated`` (internal): the constraint set the caller
+        already proved ``df`` satisfies — append_or_quarantine filters
+        on the constraint predicates, so re-running the validation
+        aggregation would be a redundant full scan of the batch."""
         new_files = new_stats = new_bloom = None
-        validated_against: dict | None = None
+        validated_against: dict | None = _pre_validated
         for _ in range(8):
             vs = self.versions()
             version = (vs[-1] + 1) if vs else 1
@@ -726,7 +752,9 @@ class TxTable:
                 ),
             ),
         )
-        main_v = self.append(ok)
+        # ok already passed every predicate via the split filter — skip
+        # the redundant validation aggregation inside append
+        main_v = self.append(ok, _pre_validated=cons)
         if bad.isEmpty():
             return main_v, None
         return main_v, quarantine.append(bad)
@@ -902,11 +930,22 @@ class TxTable:
             raise FileNotFoundError(f"no commits in {self.root}")
         to_version = vs[-1] if to_version is None else to_version
         window = [v for v in vs if from_version < v <= to_version]
-        if not window:
-            raise ValueError(
-                f"read_changes: empty version window ({from_version}, {to_version}]"
-            )
         from pyspark.sql import functions as F
+
+        def _empty_feed() -> DataFrame:
+            # a legitimate no-op window (caught-up consumer, or only
+            # metadata commits landed): ZERO change rows, not an error
+            # — Delta CDF returns an empty frame here too
+            base = self.read(spark, merge_schema=True).limit(0)
+            return base.withColumns(
+                {
+                    "_change_type": F.lit("insert").cast("string"),
+                    "_commit_version": F.lit(0).cast("int"),
+                }
+            )
+
+        if not window:
+            return _empty_feed()
 
         def _files_df(files: list[str]) -> DataFrame:
             return normalize_ntz(
@@ -942,17 +981,15 @@ class TxTable:
                 # the union, null-filling missing columns with the type
                 # the OTHER side declares, exactly like a mergeSchema
                 # read — exceptAll requires identical schemas.
+                from ecommerce_dataengineering_project_spark.operators.cdc import (
+                    align_to_union,
+                )
+
                 all_cols = list(dict.fromkeys(a_df.columns + r_df.columns))
-
-                def _align(df: DataFrame, other: DataFrame) -> DataFrame:
-                    for c in all_cols:
-                        if c not in df.columns:
-                            df = df.withColumn(
-                                c, F.lit(None).cast(other.schema[c].dataType)
-                            )
-                    return df.select(*all_cols)
-
-                a_df, r_df = _align(a_df, r_df), _align(r_df, a_df)
+                a_df, r_df = (
+                    align_to_union(a_df, all_cols, r_df),
+                    align_to_union(r_df, all_cols, a_df),
+                )
                 ins = a_df.exceptAll(r_df)
                 del_ = r_df.exceptAll(a_df)
             elif a_df is not None:
@@ -972,9 +1009,7 @@ class TxTable:
                     tagged, allowMissingColumns=True
                 )
         if out is None:
-            raise ValueError(
-                f"read_changes: no file changes in ({from_version}, {to_version}]"
-            )
+            return _empty_feed()
         return out
 
     def candidate_files(
@@ -1010,10 +1045,12 @@ class TxTable:
         man = self._manifest(v)
         stats = man.get("stats", {})
         keep = []
-        # datetime/date bounds compare against the manifest's ISO-8601
-        # stat strings (lexicographic == chronological)
-        norm = lambda b: b.isoformat() if isinstance(b, (_dt.datetime, _dt.date)) else b
-        preds = [(col, norm(lo), norm(hi)) for col, lo, hi in preds]
+        # datetime/date bounds compare against the manifest's naive-UTC
+        # ISO-8601 stat strings (lexicographic == chronological)
+        preds = [
+            (col, _norm_time_bound(lo), _norm_time_bound(hi))
+            for col, lo, hi in preds
+        ]
         for f in man["files"]:
             fs = stats.get(f, {})
             dead = False
@@ -1022,9 +1059,12 @@ class TxTable:
                 if s is None:
                     continue
                 mn, mx = s
-                if (lo is not None and mx < lo) or (hi is not None and mn > hi):
-                    dead = True
-                    break
+                try:
+                    if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+                        dead = True
+                        break
+                except TypeError:
+                    continue  # incomparable bound/stat types: keep (sound)
             if not dead:
                 keep.append(f)
         return keep, len(man["files"])
@@ -1054,17 +1094,28 @@ class TxTable:
         v = vs[-1] if version is None else version
         man = self._manifest(v)
         stats, blooms = man.get("stats", {}), man.get("bloom", {})
+        # range check against the (possibly ISO-stringified) stats;
+        # bloom probe with the value Spark hashed at build time (a DATE
+        # column's xxhash64 runs over its int32 days-since-epoch)
+        range_val = _norm_time_bound(value)
+        probe_val = value
+        if isinstance(value, _dt.date) and not isinstance(value, _dt.datetime):
+            probe_val = (value - _dt.date(1970, 1, 1)).days
         keep = []
         for f in man["files"]:
             s = stats.get(f, {}).get(col)
-            if s is not None and (value < s[0] or value > s[1]):
-                continue
+            if s is not None:
+                try:
+                    if range_val < s[0] or range_val > s[1]:
+                        continue
+                except TypeError:
+                    pass  # incomparable types: fall through (sound)
             b = blooms.get(f, {}).get(col)
             if b is not None:
                 m_mask, words = b["m"] - 1, b["words"]
                 hit = True
                 for i in range(1, b["k"] + 1):
-                    p = xxhash64_chain(value, b["type"], i) & m_mask
+                    p = xxhash64_chain(probe_val, b["type"], i) & m_mask
                     if not (words[p >> 6] >> (p & 63)) & 1:
                         hit = False
                         break
@@ -1164,7 +1215,11 @@ def convert_to_txlog(path: str, spark: SparkSession | None = None) -> TxTable:
         raise FileExistsError(f"{path} is already a txlog table")
     files = []
     for dirpath, dirnames, filenames in os.walk(path):
-        dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, "data")]
+        if dirpath == path:
+            # reserve only the log's OWN top-level dirs; a pre-existing
+            # nested dir that happens to be named 'data' is user data
+            # and must be adopted, not silently dropped
+            dirnames[:] = [d for d in dirnames if d not in (_LOG_DIR, "data")]
         for f in filenames:
             if f.endswith(".parquet"):
                 files.append(

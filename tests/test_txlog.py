@@ -478,10 +478,8 @@ def test_change_data_feed_row_level(spark, tmp_path):
         for r in t.read_changes(spark, from_version=2).collect()
     }
     assert later == v3
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="empty version window"):
-        t.read_changes(spark, from_version=3)
+    # caught-up consumer: empty feed, not an error (Delta CDF shape)
+    assert t.read_changes(spark, from_version=3).count() == 0
 
 
 def test_change_data_feed_rollback_surfaces_restores(spark, tmp_path):
@@ -870,3 +868,98 @@ def test_cdf_handles_schema_evolution_within_a_merge(spark, tmp_path):
     }
     assert rows[(3, "delete", 3)] == (3, None)  # pre-evolution pre-image
     assert rows[(3, "insert", 3)] == (999, 7)   # evolved post-image
+
+
+def test_timestamp_boundary_is_never_pruned(spark, tmp_path):
+    """Review regression (r8): tz-aware footer stats once serialized
+    with a '+00:00' suffix, which compared GREATER than an equal
+    naive bound and pruned the file holding the boundary row. A scan
+    whose inclusive upper bound equals a file's min must keep it."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "tb"))
+    t.append(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 1, 0, 0, 0), 1)], "ts timestamp, k long"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(dt.datetime(2024, 1, 2, 0, 0, 0), 2)], "ts timestamp, k long"
+        ).coalesce(1)
+    )
+    hi = dt.datetime(2024, 1, 2)  # EQUALS file 2's min
+    keep, total = t.candidate_files("ts", lo=None, hi=hi)
+    assert len(keep) == total == 2, "boundary file wrongly pruned"
+    got = sorted(r.k for r in t.scan(spark, "ts", lo=None, hi=hi).collect())
+    assert got == [1, 2]
+    # tz-AWARE caller bound normalizes to the same instant
+    hi_aware = dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)
+    got2 = sorted(r.k for r in t.scan(spark, "ts", lo=None, hi=hi_aware).collect())
+    assert got2 == [1, 2]
+
+
+def test_date_bloom_point_lookup(spark, tmp_path):
+    """Review regression (r8): a DATE point lookup raised TypeError
+    (datetime.date vs ISO stat string) once dates gained string stats;
+    the bloom probe must also hash the int32 days Spark hashed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "db"))
+    t.append(
+        spark.range(0, 60).select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+            F.col("id").alias("k"),
+        ).coalesce(1),
+        bloom_cols=("d",),
+    )
+    t.append(
+        spark.range(60, 120).select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+            F.col("id").alias("k"),
+        ).coalesce(1),
+        bloom_cols=("d",),
+    )
+    target = dt.date(2024, 1, 11)  # k=10, lives in commit 1 only
+    keep, total = t.candidate_files_point("d", target)
+    assert total == 2 and len(keep) == 1
+    got = [(r.d, r.k) for r in t.scan_point(spark, "d", target).collect()]
+    assert got == [(target, 10)]
+
+
+def test_convert_adopts_nested_data_dirs(spark, tmp_path):
+    """Review regression (r8): convert_to_txlog pruned ANY dir named
+    'data' tree-wide; only the log's own top-level staging dir is
+    reserved — a pre-existing nested 'data' dir is user data."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import convert_to_txlog
+
+    path = str(tmp_path / "adopt")
+    spark.range(0, 50).selectExpr("id AS k").coalesce(1).write.parquet(
+        os.path.join(path, "region=eu", "data")
+    )
+    spark.range(50, 80).selectExpr("id AS k").coalesce(1).write.parquet(
+        os.path.join(path, "other")
+    )
+    t = convert_to_txlog(path, spark)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(80))
+
+
+def test_read_changes_metadata_only_window_is_empty(spark, tmp_path):
+    """Review regression (r8): a window holding only metadata commits
+    (add/drop constraint) must yield ZERO change rows, not raise."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    t = recreate(str(tmp_path / "meta"))
+    t.append(_df(spark, 0, 5))
+    t.add_constraint(spark, "v_pos", "v >= 0")
+    feed = t.read_changes(spark, from_version=1)
+    assert feed.count() == 0
+    assert "_change_type" in feed.columns and "_commit_version" in feed.columns
