@@ -134,6 +134,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_scale,
         ext_similarity,
         ext_search,
+        ext_spark4,
         ext_stats,
         ext_storage,
         ext_text,
@@ -154,6 +155,7 @@ def registry() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ext_scale,
         ext_similarity,
         ext_search,
+        ext_spark4,
         ext_stats,
         ext_storage,
         ext_text,

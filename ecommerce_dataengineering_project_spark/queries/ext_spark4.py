@@ -1,0 +1,340 @@
+"""Modern-SQL / Spark-4-native surface (SURVEY §2k X24).
+
+The reference exposes its lake to analysts through Athena/Trino SQL
+(`athena/` DDL, dbt models such as `fct_purchases.sql`), so the engine
+needs the contemporary ANSI surface those users reach for, not just the
+operator set the pipeline itself exercises. This module covers the
+Spark-4 front door features, each hash-checked against DuckDB running
+the equivalent (often verbatim) SQL:
+
+- recursive CTEs (``WITH RECURSIVE`` — SPARK-24497, new in Spark 4):
+  bounded-depth reachability over the co-purchase graph;
+- correlated ``LATERAL`` subqueries with per-row ORDER BY/LIMIT:
+  Catalyst decorrelates to a map-side partial ``WindowGroupLimit``
+  top-k + broadcast join — the scale-right plan, no per-row re-scan;
+- the VARIANT type (``parse_json``/``variant_get``): semi-structured
+  shredding with typed extraction, the open-format answer to the
+  reference's JSON payload columns (`models/purchase.py:11`);
+- string collations (``COLLATE UTF8_LCASE``): collation-aware grouping
+  without materializing a normalized key column;
+- SQL UDFs (``CREATE FUNCTION ... RETURNS``): the declarative scalar
+  function path — body inlined by Catalyst, zero Python overhead,
+  unlike the reference's driver-side Python helpers
+  (`models/purchase.py:23-25`);
+- ``approx_top_k``: the mergeable frequent-items sketch built-in
+  (exact below ``maxItemsTracked``, which the oracle check exploits);
+- theta sketches (``theta_sketch_agg`` + union/intersection/
+  difference): DataSketches set algebra — the only sketch family whose
+  INTERSECTION is first-class, which HLL cannot do. Below the nominal
+  entry count (lgk=14 -> 16384) theta sketches are in exact mode, so
+  the driver check at sf<=0.1 (<=15k customers) is bit-exact while the
+  same query at 100 TB degrades gracefully to a bounded-error
+  estimate with fixed-size, map-side-combinable state.
+
+Scale notes per query live on the functions; none introduce a Python
+row path — everything stays inside codegen/whole-stage JVM execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+# ---------------------------------------------------------------------------
+# recursive CTE: bounded-depth reachability (WITH RECURSIVE, Spark 4)
+# ---------------------------------------------------------------------------
+
+# Shared verbatim with the DuckDB oracle. BFS from the smallest part
+# key over "appeared in the same order" edges; min-depth per reached
+# part. The frontier is tiny (one seed) and the depth bound caps the
+# iteration count, so each recursive step is one equi-join against the
+# deduplicated edge relation — at 100 TB the edge build dominates and
+# is a single shuffle on l_orderkey; the iterations reuse it.
+_RECURSIVE_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    reach(part, depth) AS (
+        SELECT CAST(MIN(l_partkey) AS BIGINT) AS part, 0 AS depth
+        FROM lineitem
+        UNION ALL
+        SELECT e.dst AS part, r.depth + 1 AS depth
+        FROM reach r JOIN edges e ON e.src = r.part
+        WHERE r.depth < 2
+    )
+    SELECT part, CAST(MIN(depth) AS INT) AS min_depth
+    FROM reach
+    GROUP BY part
+"""
+
+
+def q_recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: 3-level co-purchase reachability via ``WITH RECURSIVE``.
+
+    The iterative-DataFrame twin is ``operators/graph.py`` (PageRank /
+    connected components); this is the declarative arm analysts get
+    through the SQL front door — same engine, one ANSI statement.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# correlated LATERAL subquery with per-group ORDER BY ... LIMIT
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t ON true
+"""
+
+
+def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: top-3 orders per customer as a correlated LATERAL join.
+
+    Catalyst decorrelates this into ``WindowGroupLimit`` (partial
+    map-side top-k BEFORE the shuffle) + one hash join — verified in
+    tests/test_spark4.py; the naive reading (re-run the subquery per
+    customer row) never executes. The window-function twin is
+    ``window_topk``; this is the SQL-standard spelling.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: semi-structured shredding with typed extraction
+# ---------------------------------------------------------------------------
+
+
+def q_variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: JSON payload -> VARIANT -> typed shred -> aggregate.
+
+    The reference lands raw JSON event payloads and extracts fields
+    downstream (`models/purchase.py:11`, silver-layer casts); VARIANT
+    is the Spark-4 way: parse ONCE into a binary semi-structured value,
+    extract with path + target type, no per-field re-parse of the text.
+    ``variant_get`` stays inside codegen (no Python). The oracle shreds
+    the same payloads with DuckDB's JSON functions — typed results must
+    match exactly.
+
+    Scale: at 100 TB the win is parse-once + columnar-binary storage of
+    the variant; shredded reads prune to the referenced paths.
+    """
+    e = load_table(spark, sf_dir, "events")
+    shredded = e.select(F.parse_json("props").alias("v")).select(
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.variant_get("v", "$.k", "bigint").alias("k_long"),
+    )
+    return shredded.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k_long").alias("k_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collation-aware grouping
+# ---------------------------------------------------------------------------
+
+
+def q_collated_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: case-insensitive grouping via ``COLLATE UTF8_LCASE``.
+
+    A mixed-case source label (even doc_ids upper-cased — deterministic
+    skew the fixture doesn't have naturally) groups under the LCASE
+    collation without materializing ``lower(key)``: the collation rides
+    the comparison, so the same plan shape works for any collation
+    (accent-insensitive, locale) where a normalize-the-key rewrite
+    cannot. Output key is re-anchored to binary collation (min value)
+    so the result schema is a plain string for the driver hash.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("k")
+    )
+    return (
+        keyed.groupBy(F.collate("k", "UTF8_LCASE").alias("kc"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.collate(F.col("kc"), "UTF8_BINARY").alias("src_ci"),
+            "n",
+        )
+        # the group representative under a case-insensitive collation is
+        # whichever spelling a partition saw first — normalize for the
+        # order-insensitive value hash
+        .withColumn("src_ci", F.lower("src_ci"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (CREATE FUNCTION ... RETURNS) — declarative scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: SQL UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``).
+
+    The reference computes purchase amounts in driver-side Python
+    helpers (`models/purchase.py:23-25`); a SQL UDF is the engine-native
+    packaging: named, catalogued, and INLINED by Catalyst into the
+    calling plan — the optimized plan is identical to writing the
+    expression by hand (pinned in tests/test_spark4.py), so there is no
+    per-call overhead, unlike any Python UDF. The oracle states the
+    inlined expression directly.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_amount(
+            p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE
+        RETURN p * (1 - d) * (1 + t)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               FLOOR(SUM(net_amount(l_extendedprice, l_discount, l_tax))
+                     * 1e2 + 0.5) / 1e2 AS net_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k: mergeable frequent-items sketch built-in
+# ---------------------------------------------------------------------------
+
+
+def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24/X5: ``approx_top_k`` — frequent items as ONE aggregate.
+
+    Complements the hand-built Misra-Gries summaries in
+    ``operators/sketches.py`` (heavy_hitter_tokens): this is the
+    built-in, JVM-side, map-side-combinable form. Below
+    ``maxItemsTracked`` the sketch tracks every item exactly, so over
+    the 5-value ``event_type`` domain the counts are exact and fully
+    oracle-checkable; past the budget (the 100-TB regime over an
+    unbounded domain) the same query returns guaranteed-overcount-free
+    top-k — the error-bound contract at high cardinality is pinned in
+    tests/test_spark4.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    topk = e.select(
+        F.expr("approx_top_k(event_type, 10)").alias("tk")
+    ).select(F.explode("tk").alias("t"))
+    return topk.select(
+        F.col("t.item").alias("event_type"), F.col("t.count").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# theta sketches: distinct-set ALGEBRA (union / intersection / difference)
+# ---------------------------------------------------------------------------
+
+
+def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24/X5: customer-set overlap across half-years via theta sketches.
+
+    HLL (X5, `operators/sketches.py`) only unions; theta sketches keep
+    the hashed sample, so INTERSECTION and DIFFERENCE are first-class —
+    the sketch answer to "how many buyers did H1 and H2 share?" without
+    an exact-distinct shuffle. State is fixed-size (lgk=14 -> <=16384
+    retained hashes) and map-side combinable. Below the nominal entry
+    count the sketch is EXACT (sf0.01 has 1.5k customers, sf0.1 15k —
+    both under 16384), which makes this driver-checkable bit-for-bit
+    against DuckDB's exact COUNT(DISTINCT ...); the estimate-mode error
+    contract at higher cardinality is pinned in tests/test_spark4.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    mid = F.lit("1996-07-01").cast("timestamp")
+    sk = o.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderdate") < mid, F.col("o_custkey")), F.lit(14)
+        ).alias("a"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderdate") >= mid, F.col("o_custkey")), F.lit(14)
+        ).alias("b"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate(F.theta_union("a", "b"))
+        .cast("bigint")
+        .alias("n_union"),
+        F.theta_sketch_estimate(F.theta_intersection("a", "b"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b"))
+        .cast("bigint")
+        .alias("n_only_h1"),
+    )
+
+
+QUERIES = {
+    "recursive_cte_reach": q_recursive_cte_reach,
+    "lateral_topk_orders": q_lateral_topk_orders,
+    "variant_shred_events": q_variant_shred_events,
+    "collated_source_stats": q_collated_source_stats,
+    "sql_udf_pricing": q_sql_udf_pricing,
+    "approx_topk_event_types": q_approx_topk_event_types,
+    "theta_segment_overlap": q_theta_segment_overlap,
+}
+
+ORACLES = {
+    "recursive_cte_reach": _RECURSIVE_SQL,
+    "lateral_topk_orders": _LATERAL_SQL,
+    "variant_shred_events": """
+        SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY 1
+    """,
+    "collated_source_stats": """
+        SELECT lower(k) AS src_ci, COUNT(*) AS n
+        FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(source)
+                          ELSE source END AS k
+              FROM documents)
+        GROUP BY lower(k)
+    """,
+    "sql_udf_pricing": """
+        SELECT l_returnflag,
+               FLOOR(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                     * 100.0 + 0.5) / 100.0 AS net_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "approx_topk_event_types": """
+        SELECT event_type, COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    "theta_segment_overlap": """
+        SELECT CAST(COUNT(DISTINCT CASE WHEN in_a THEN k END) +
+                    COUNT(DISTINCT CASE WHEN in_b AND NOT in_a THEN k END)
+                    AS BIGINT) AS n_union,
+               CAST(COUNT(DISTINCT CASE WHEN in_a AND in_b THEN k END)
+                    AS BIGINT) AS n_both,
+               CAST(COUNT(DISTINCT CASE WHEN in_a AND NOT in_b THEN k END)
+                    AS BIGINT) AS n_only_h1
+        FROM (SELECT o_custkey AS k,
+                     bool_or(o_orderdate < TIMESTAMP '1996-07-01') AS in_a,
+                     bool_or(o_orderdate >= TIMESTAMP '1996-07-01') AS in_b
+              FROM orders GROUP BY 1)
+    """,
+}

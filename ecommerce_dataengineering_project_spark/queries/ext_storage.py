@@ -196,3 +196,55 @@ ORACLES["generator_source"] = f"""
            h % 100000 AS amount_cents
     FROM h
 """
+
+
+def q_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 write arm: a batch job through the custom Python DataSource
+    SINK (`sources/pyds_sink.py`), read back manifest-scoped, then
+    aggregated — the full two-phase-commit path (task-staged uuid part
+    files -> driver commit -> atomic manifest) under the driver's
+    oracle check. The reference's equivalent is the connector-provided
+    Delta append (streaming_consumer.py:83-90); this is the engine's
+    own sink with the same all-or-nothing visibility contract.
+
+    `mode("overwrite")` exercises the SaveMode plumbing AND makes the
+    query idempotent across runs (re-runs replace, never double)."""
+    from ecommerce_dataengineering_project_spark.sources import pyds_sink
+
+    pyds_sink.register(spark)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+    path = os.path.join(TMP_ROOT, "jsonl_sink", f"returns_{_sf_name(sf_dir)}")
+    (
+        li.repartition(4)
+        .write.format("ecommerce_jsonl_sink")
+        .mode("overwrite")
+        .option("path", path)
+        .save()
+    )
+    back = pyds_sink.read_jsonl_sink(
+        spark, path, "l_orderkey BIGINT, l_linenumber INT, qty BIGINT"
+    )
+    return back.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("qty_sum"),
+    )
+
+
+QUERIES["datasource_write_roundtrip"] = q_datasource_write_roundtrip
+
+ORACLES["datasource_write_roundtrip"] = """
+    SELECT l_linenumber,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linenumber
+"""

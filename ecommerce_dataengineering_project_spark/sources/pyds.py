@@ -89,8 +89,9 @@ class EcommerceEventsReader(DataSourceReader):
         )
 
 
-def register(spark) -> None:
-    """Idempotent, session-correct registration.
+def _register_datasource(spark, cls) -> None:
+    """Idempotent, session-correct registration of any Python
+    DataSource class (shared by pyds / pyds_txlog / pyds_sink).
 
     Spark 4.1 quirk (classic sessions): the public
     ``spark.dataSource.register`` duplicate check fires JVM-wide, but
@@ -104,7 +105,7 @@ def register(spark) -> None:
     the public path uses)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    name = EcommerceEventsDataSource.name()
+    name = cls.name()
     try:
         manager = spark._jsparkSession.sessionState().dataSourceManager()
         if manager.dataSourceExists(name):
@@ -112,20 +113,24 @@ def register(spark) -> None:
     except Exception:
         manager = None  # non-classic session: fall through to public path
     try:
-        spark.dataSource.register(EcommerceEventsDataSource)
+        spark.dataSource.register(cls)
     except AnalysisException as e:
         if "DATA_SOURCE_ALREADY_EXISTS" not in str(e) or manager is None:
             raise
         from pyspark.sql.udf import _wrap_function
 
         sc = spark.sparkContext
-        wrapped = _wrap_function(sc, EcommerceEventsDataSource)
+        wrapped = _wrap_function(sc, cls)
         uds = getattr(
             sc._jvm,
             "org.apache.spark.sql.execution.datasources.v2.python."
             "UserDefinedPythonDataSource",
         )(wrapped)
         manager.registerDataSource(name, uds)
+
+
+def register(spark) -> None:
+    _register_datasource(spark, EcommerceEventsDataSource)
 
 
 class EcommerceEventsStreamReader(SimpleDataSourceStreamReader):

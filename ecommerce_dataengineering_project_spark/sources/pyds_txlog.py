@@ -154,27 +154,8 @@ class TxLogStreamReader(DataSourceStreamReader):
 def register(spark) -> None:
     """Session-correct registration (same 4.1 quirk handling as
     sources/pyds.register)."""
-    from pyspark.errors.exceptions.captured import AnalysisException
+    from ecommerce_dataengineering_project_spark.sources.pyds import (
+        _register_datasource,
+    )
 
-    name = TxLogStreamDataSource.name()
-    try:
-        manager = spark._jsparkSession.sessionState().dataSourceManager()
-        if manager.dataSourceExists(name):
-            return
-    except Exception:
-        manager = None
-    try:
-        spark.dataSource.register(TxLogStreamDataSource)
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e) or manager is None:
-            raise
-        from pyspark.sql.udf import _wrap_function
-
-        sc = spark.sparkContext
-        wrapped = _wrap_function(sc, TxLogStreamDataSource)
-        uds = getattr(
-            sc._jvm,
-            "org.apache.spark.sql.execution.datasources.v2.python."
-            "UserDefinedPythonDataSource",
-        )(wrapped)
-        manager.registerDataSource(name, uds)
+    _register_datasource(spark, TxLogStreamDataSource)
