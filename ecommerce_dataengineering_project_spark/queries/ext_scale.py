@@ -659,3 +659,62 @@ ORACLES["txlog_time_pruned_read"] = """
     FROM events, b
     WHERE epoch_us(ts) <= b.mn + (b.mx - b.mn) // 4
 """
+
+
+def q_mv_routed_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 MV routing: daily_sales answered WITHOUT touching lineitem.
+
+    Builds a (purchase_date x l_returnflag) materialized aggregate with
+    algebraic sum/count partials, then ROUTES the coarser daily request
+    through `plans/mv_router.route` — a compensating roll-up over MV
+    rows instead of a full fact scan (the dbt-mart pattern the
+    reference routes to by hand: models/fct_purchases.sql downstream
+    marts). The oracle is daily_sales' own SQL over the base table: the
+    rewrite must be value-identical. Routing REFUSALS (finer grain,
+    underivable measure) are pinned in tests/test_mv_router.py.
+    """
+    from ecommerce_dataengineering_project_spark.plans.mv_router import build_mv, route
+
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax")
+    base = li.select(
+        F.col("l_shipdate").cast("date").alias("purchase_date"),
+        "l_returnflag",
+        amount.alias("amount"),
+    )
+    mv = build_mv(
+        spark,
+        base,
+        name="sales_by_day_flag",
+        dims=("purchase_date", "l_returnflag"),
+        measures={"sales": ("sum+count", F.col("amount"))},
+        path=os.path.join(
+            TMP_ROOT, "mv", f"sales_by_day_flag_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+        ),
+    )
+    routed = route(
+        spark,
+        mv,
+        dims=("purchase_date",),
+        measures={
+            "daily_total_sales": ("sum", "sales"),
+            "daily_transaction_count": ("count", "sales"),
+        },
+    )
+    assert routed is not None  # request is routable by construction
+    return routed.select(
+        "purchase_date",
+        round_half_up("daily_total_sales", 2).alias("daily_total_sales"),
+        "daily_transaction_count",
+    )
+
+
+QUERIES["mv_routed_daily_sales"] = q_mv_routed_daily_sales
+
+ORACLES["mv_routed_daily_sales"] = """
+    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+           FLOOR((SUM(l_extendedprice*l_quantity*(1-l_discount)+l_tax)) * 100.0 + 0.5) / 100.0
+               AS daily_total_sales,
+           COUNT(l_orderkey) AS daily_transaction_count
+    FROM lineitem GROUP BY 1
+"""
