@@ -338,3 +338,76 @@ ORACLES = {
               FROM orders GROUP BY 1)
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Spark Declarative Pipelines (X26): the reference's dbt models + Airflow
+# DAG as ONE declarative graph, via the official pyspark.pipelines API
+# ---------------------------------------------------------------------------
+
+
+def q_sdp_pipeline_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: medallion slice as a Spark Declarative Pipeline.
+
+    The reference wires fct_purchases (dbt model) and the daily mart
+    through Airflow task order (`sales_pipeline_dag.py:65-107`); here
+    the SAME graph is three decorated datasets with NO explicit edges —
+    `plans/sdp_local.run_pipeline` discovers the order from dataset
+    references (the daily MV is deliberately declared BEFORE the fact
+    MV it reads, so the run exercises deferred resolution). Output is
+    the daily mart, oracle-checked against daily_sales' base SQL.
+    """
+    import os
+
+    from pyspark import pipelines as pl
+
+    from ecommerce_dataengineering_project_spark.functions.scalars import (
+        round_half_up,
+    )
+    from ecommerce_dataengineering_project_spark.plans.sdp_local import run_pipeline
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    def define() -> None:
+        @pl.materialized_view(name="daily_sales_sdp")
+        def daily() -> DataFrame:  # declared first, resolved second
+            f = spark.table("fct_purchases_sdp")
+            return f.groupBy("purchase_date").agg(
+                round_half_up(F.sum("final_amount"), 2).alias("daily_total_sales"),
+                F.count(F.lit(1)).alias("daily_transaction_count"),
+            )
+
+        @pl.temporary_view(name="lineitem_sdp")
+        def src() -> DataFrame:
+            return load_table(spark, sf_dir, "lineitem")
+
+        @pl.materialized_view(name="fct_purchases_sdp")
+        def fct() -> DataFrame:
+            li = spark.table("lineitem_sdp")
+            return li.select(
+                F.col("l_shipdate").cast("date").alias("purchase_date"),
+                F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax").alias(
+                    "final_amount"
+                ),
+            )
+
+    root = os.path.join(
+        TMP_ROOT, "sdp", f"daily_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    )
+    result = run_pipeline(spark, define, root)
+    # declaration order was daily, src, fct — execution order must be
+    # dependency order (flows are named after their datasets)
+    assert result.runs.index("lineitem_sdp") < result.runs.index(
+        "fct_purchases_sdp"
+    ) < result.runs.index("daily_sales_sdp")
+    return result.tables["daily_sales_sdp"]
+
+
+QUERIES["sdp_pipeline_daily"] = q_sdp_pipeline_daily
+
+ORACLES["sdp_pipeline_daily"] = """
+    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+           FLOOR((SUM(l_extendedprice*l_quantity*(1-l_discount)+l_tax)) * 100.0 + 0.5) / 100.0
+               AS daily_total_sales,
+           COUNT(*) AS daily_transaction_count
+    FROM lineitem GROUP BY 1
+"""
