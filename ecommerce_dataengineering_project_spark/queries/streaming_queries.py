@@ -960,3 +960,88 @@ QUERIES["stream_txlog_source"] = q_stream_txlog_source
 ORACLES["stream_txlog_source"] = """
     SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def q_stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup under the RocksDB state store provider — the
+    backend that makes per-key state viable at 100 TB (off-heap,
+    spills to local disk, changelog-checkpointed) where the default
+    HDFS-backed provider keeps every key on the executor heap. Same
+    double-replay source, same exactly-once contract, same oracle: the
+    provider must be invisible in the results. The provider conf is
+    captured into the checkpoint at first start, so it is scoped to
+    this query's run and restored after."""
+
+    def stage(source_dir: str):
+        ev = _tagged_events(spark, sf_dir)
+        dup = ev.withColumn("__batch", F.col("__batch") + 3)
+        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
+        return EVENT_SCHEMA
+
+    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.dropDuplicates(["event_id"]).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        return run_bounded_stream(
+            spark, "stream_dedup_rocksdb", None, transform, source=src
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+QUERIES["stream_dedup_rocksdb"] = q_stream_dedup_rocksdb
+
+ORACLES["stream_dedup_rocksdb"] = """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+
+def q_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational state introspection via Spark's ``statestore`` data
+    source (SPARK-45511): after a bounded dedup run, the operator's
+    state store is read back as a DataFrame — the keys of a
+    dropDuplicates operator ARE the distinct event ids, so the state
+    itself is oracle-checkable against the base table. This is the
+    debugging/ops surface for stuck streaming state (what Delta users
+    get from the state reader on a checkpoint) — no reprocessing, the
+    checkpoint is the source."""
+
+    def stage(source_dir: str):
+        ev = _tagged_events(spark, sf_dir)
+        dup = ev.withColumn("__batch", F.col("__batch") + 3)
+        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
+        return EVENT_SCHEMA
+
+    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.dropDuplicates(["event_id"]).select("event_id")
+
+    run_bounded_stream(spark, "statestore_inspect", None, transform, source=src)
+    from ecommerce_dataengineering_project_spark.streaming.harness import _stream_dirs
+
+    ckpt = _stream_dirs("statestore_inspect")[2]
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(F.col("key.event_id").alias("event_id"))
+
+
+QUERIES["statestore_inspect"] = q_statestore_inspect
+
+ORACLES["statestore_inspect"] = """
+    SELECT event_id FROM events
+"""
