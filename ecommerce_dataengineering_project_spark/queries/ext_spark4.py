@@ -411,3 +411,93 @@ ORACLES["sdp_pipeline_daily"] = """
            COUNT(*) AS daily_transaction_count
     FROM lineitem GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (|>) — Spark 4's composable query form
+# ---------------------------------------------------------------------------
+
+_PIPE_SQL = """
+    FROM lineitem
+    |> EXTEND CAST(l_shipdate AS DATE) AS purchase_date,
+              l_extendedprice*l_quantity*(1-l_discount)+l_tax AS amt
+    |> AGGREGATE FLOOR(SUM(amt) * 1e2 + 0.5) / 1e2 AS daily_total_sales,
+                 COUNT(*) AS daily_transaction_count
+       GROUP BY purchase_date
+"""
+
+
+def q_pipe_syntax_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: the flagship daily mart in SQL PIPE syntax (Spark 4 `|>`,
+    SPARK-49555 — the linear FROM-first form popularized by GoogleSQL).
+    Same Catalyst plan as the nested-SELECT spelling (each pipe stage
+    is sugar for one relational operator), so this is purely front-door
+    surface — the oracle is the classic rendering and must hash-match.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_PIPE_SQL)
+
+
+QUERIES["pipe_syntax_sales"] = q_pipe_syntax_sales
+
+ORACLES["pipe_syntax_sales"] = """
+    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+           FLOOR(SUM(l_extendedprice*l_quantity*(1-l_discount)+l_tax) * 100.0 + 0.5) / 100.0
+               AS daily_total_sales,
+           COUNT(*) AS daily_transaction_count
+    FROM lineitem GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact median / deterministic mode (ordered-set aggregates)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24/§2d: exact ``median`` and deterministic ``mode`` built-ins.
+
+    median is the exact percentile-0.5 (sort-based — the exact twin of
+    percentile_approx in X5, worth its shuffle only on bounded groups);
+    mode uses Spark 4's deterministic form (``mode(col, true)``: ties
+    break to the LOWEST value) so the result is engine-comparable — the
+    oracle re-derives the same tie-break with a count/value-ordered
+    window, since DuckDB's bare mode() keeps arbitrary ties.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               median(l_quantity) AS med_qty,
+               median(l_extendedprice) AS med_price,
+               mode(l_linestatus, true) AS mode_status
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+QUERIES["stats_median_mode"] = q_stats_median_mode
+
+ORACLES["stats_median_mode"] = """
+    WITH counts AS (
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    modes AS (
+        SELECT l_returnflag, l_linestatus,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY n DESC, l_linestatus ASC) AS rn
+        FROM counts
+    ),
+    meds AS (
+        SELECT l_returnflag,
+               median(l_quantity) AS med_qty,
+               median(l_extendedprice) AS med_price
+        FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, m.med_qty, m.med_price,
+           md.l_linestatus AS mode_status
+    FROM meds m JOIN modes md
+      ON m.l_returnflag = md.l_returnflag AND md.rn = 1
+"""
