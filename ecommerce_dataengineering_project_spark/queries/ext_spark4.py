@@ -501,3 +501,131 @@ ORACLES["stats_median_mode"] = """
     FROM meds m JOIN modes md
       ON m.l_returnflag = md.l_returnflag AND md.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# ANSI-mode safe arithmetic: the try_* function family
+# ---------------------------------------------------------------------------
+
+
+def q_ansi_try_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: ``try_divide`` / ``try_add`` — ANSI SQL error semantics
+    made total. Under ANSI mode (the Spark 4 default) division by zero
+    and integer overflow RAISE; the try_* family returns NULL instead,
+    which is the behavior a 100-TB batch job needs (one poisoned row
+    must not kill a 6-hour run — the quarantine pattern, applied to
+    arithmetic). The oracle spells the same totality with guards
+    (NULLIF / CASE), proving try_* == guarded-expression semantics.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("try_divide(l_extendedprice, l_quantity - 30.0)").alias(
+            "price_per_extra_unit"
+        ),
+        F.expr("try_add(9223372036854775800L, l_orderkey)").alias("near_overflow"),
+    )
+
+
+QUERIES["ansi_try_math"] = q_ansi_try_math
+
+ORACLES["ansi_try_math"] = """
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 30.0, 0.0) AS price_per_extra_unit,
+           CASE WHEN l_orderkey > 7 THEN NULL
+                ELSE 9223372036854775800 + l_orderkey END AS near_overflow
+    FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# parameterized SQL + IDENTIFIER binding (injection-safe templating)
+# ---------------------------------------------------------------------------
+
+
+def q_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: named-parameter SQL with an IDENTIFIER-bound table name —
+    the engine-native answer to string-formatted SQL (values bind as
+    literals, identifiers through the IDENTIFIER clause; neither can
+    inject). The reference templates its Athena DDL/queries with
+    Python f-strings; this is the safe form of that pattern.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               FLOOR(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "status": "F"},
+    )
+
+
+QUERIES["parameterized_sql"] = q_parameterized_sql
+
+ORACLES["parameterized_sql"] = """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           FLOOR(SUM(o_totalprice) * 100.0 + 0.5) / 100.0 AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# native XML IO (Spark 4: spark-xml went built-in)
+# ---------------------------------------------------------------------------
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5-family, X24: events through the NATIVE XML file format
+    (spark-xml was absorbed into Spark 4 core — unlike avro, no
+    external jar). Timestamps ride as formatted strings (µs precision,
+    same lossless pattern as jsonl_roundtrip: XML's default timestamp
+    handling is not µs-safe) and are re-cast on read; the oracle is
+    the source table."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    path = os.path.join(
+        TMP_ROOT, "xml", f"events_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    )
+    (
+        ev.repartition(4)
+        .write.format("xml")
+        .option("rowTag", "event")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id BIGINT, ts_s STRING, user_id BIGINT, event_type STRING, value DOUBLE")
+        .load(path)
+    )
+    return back.select(
+        "event_id",
+        F.to_timestamp("ts_s", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+QUERIES["xml_roundtrip"] = q_xml_roundtrip
+
+ORACLES["xml_roundtrip"] = """
+    SELECT event_id, ts, user_id, event_type, value FROM events
+"""
