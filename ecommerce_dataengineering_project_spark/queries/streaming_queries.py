@@ -1045,3 +1045,66 @@ QUERIES["statestore_inspect"] = q_statestore_inspect
 ORACLES["statestore_inspect"] = """
     SELECT event_id FROM events
 """
+
+
+def q_stream_fanout_two_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table streaming fan-out with per-table exactly-once: one
+    bounded replay, each micro-batch committed to TWO transaction-log
+    tables inside one foreachBatch — raw detail rows AND mergeable
+    per-type partials (count + integer-cent sum). Both appends are
+    SetTransaction-idempotent (append_txn keyed by table x batch id),
+    so foreachBatch's at-least-once replay cannot double-commit either
+    table, and a crash BETWEEN the two commits heals on retry: the
+    already-committed table skips, the missed one lands (per-table
+    exactly-once, cross-table eventually-consistent — Delta's own
+    foreachBatch multi-table contract). The returned relation checks
+    BOTH arms at once: per-type counts from the raw table joined to
+    counts and sums re-aggregated from the partials, all oracle-checked
+    against the base events table."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        TMP_ROOT,
+        run_bounded_foreach,
+    )
+
+    src = _events_source(spark, sf_dir, n_flush=0)
+    name = f"fanout_{_sf_key(sf_dir)}"
+    raw = recreate(os.path.join(TMP_ROOT, "streams", name, "raw"))
+    agg = recreate(os.path.join(TMP_ROOT, "streams", name, "agg"))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        detail = batch_df.select("event_id", "user_id", "event_type", "value")
+        if detail.isEmpty():
+            return
+        partials = detail.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("partial_n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+                "partial_cents"
+            ),
+        )
+        raw.append_txn(detail, f"{name}_raw", batch_id)
+        agg.append_txn(partials, f"{name}_agg", batch_id)
+
+    run_bounded_foreach(spark, name, None, lambda s: s, commit, source=src)
+    from_raw = raw.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw")
+    )
+    from_agg = agg.read(spark).groupBy("event_type").agg(
+        F.sum("partial_n").alias("n_agg"),
+        F.sum("partial_cents").alias("total_cents"),
+    )
+    return from_raw.join(from_agg, "event_type")
+
+
+QUERIES["stream_fanout_two_tables"] = q_stream_fanout_two_tables
+
+ORACLES["stream_fanout_two_tables"] = """
+    SELECT event_type,
+           COUNT(*) AS n_raw,
+           COUNT(*) AS n_agg,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+"""
