@@ -629,3 +629,165 @@ QUERIES["xml_roundtrip"] = q_xml_roundtrip
 ORACLES["xml_roundtrip"] = """
     SELECT event_id, ts, user_id, event_type, value FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (BEGIN...END compound statements) + session variables
+# ---------------------------------------------------------------------------
+
+
+def q_sql_scripting_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: SQL scripting (Spark 4 BEGIN...END, SQL/PSM) — DECLARE'd
+    variables, a pure-variable WHILE loop, and IF/ELSE control flow
+    branching on a scanned aggregate, returning the final SELECT. The
+    procedural glue the reference keeps in Python driver scripts
+    (producer.py's control loops) expressed inside the engine, where a
+    DBA can run it with no Python runtime at all. Scans stay in the
+    branches (2 total) — the loop runs on variables only, so the
+    script costs the same as the plain query."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT;
+          DECLARE checksum INT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 10 DO
+            SET checksum = checksum + i;
+            SET i = i + 1;
+          END WHILE;
+          SET n = (SELECT COUNT(*) FROM lineitem);
+          IF n > 1000 THEN
+            SELECT l_returnflag,
+                   COUNT(*) AS n_lines,
+                   'large' AS corpus_size,
+                   checksum AS loop_checksum
+            FROM lineitem GROUP BY l_returnflag;
+          ELSE
+            SELECT l_returnflag,
+                   COUNT(*) AS n_lines,
+                   'small' AS corpus_size,
+                   checksum AS loop_checksum
+            FROM lineitem GROUP BY l_returnflag;
+          END IF;
+        END
+        """
+    )
+
+
+QUERIES["sql_scripting_compound"] = q_sql_scripting_compound
+
+# every fixture SF has >1000 lineitems, and sum(0..9) = 45
+ORACLES["sql_scripting_compound"] = """
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           'large' AS corpus_size,
+           45 AS loop_checksum
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_session_variables_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: session variables (DECLARE/SET VARIABLE) — engine-held
+    state between statements: the cutoff is computed ONCE into a
+    variable by one statement and consumed by the next as a plan
+    literal (no re-evaluation, no correlated subquery). The incremental
+    watermark pattern (P9/A2) spelled in pure SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_cutoff DOUBLE")
+    spark.sql(
+        "SET VARIABLE price_cutoff = (SELECT FLOOR(AVG(o_totalprice)) FROM orders)"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_above,
+               MIN(o_totalprice) AS min_above
+        FROM orders
+        WHERE o_totalprice > price_cutoff
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+QUERIES["session_variables_sql"] = q_session_variables_sql
+
+ORACLES["session_variables_sql"] = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_above,
+           MIN(o_totalprice) AS min_above
+    FROM orders
+    WHERE o_totalprice > (SELECT FLOOR(AVG(o_totalprice)) FROM orders)
+    GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# UDTF with a TABLE argument (PARTITION BY ... ORDER BY ...) — §2j arm
+# ---------------------------------------------------------------------------
+
+
+def q_udtf_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2j/X24: a Python UDTF consuming a TABLE ARGUMENT with
+    ``PARTITION BY user_id ORDER BY ts`` — the engine shuffles and
+    sorts, the UDTF sees each user's ordered history exactly once and
+    emits one summary row (count, distinct types, max inter-event gap).
+    Arrow-batched (``useArrow``); the same per-key ordered-iteration
+    contract as applyInPandas but addressable from PURE SQL
+    (``FROM fn(TABLE(...) PARTITION BY ...)``). Oracle recomputes the
+    gaps with a lag window."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id BIGINT, n_events BIGINT, n_types INT, max_gap_us BIGINT", useArrow=True)
+    class UserSessionStats:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.types: set = set()
+            self.prev_us = None
+            self.max_gap = None
+
+        def eval(self, row) -> None:
+            self.user = row["user_id"]
+            self.n += 1
+            self.types.add(row["event_type"])
+            ts = row["ts"]
+            us = int(ts.timestamp() * 1_000_000) if ts is not None else None
+            if us is not None and self.prev_us is not None:
+                gap = us - self.prev_us
+                if self.max_gap is None or gap > self.max_gap:
+                    self.max_gap = gap
+            if us is not None:
+                self.prev_us = us
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, len(self.types), self.max_gap
+
+    spark.udtf.register("user_session_stats", UserSessionStats)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT * FROM user_session_stats(
+            TABLE(SELECT user_id, ts, event_type FROM events)
+            PARTITION BY user_id ORDER BY (ts, event_type)
+        )
+        """
+    )
+
+
+QUERIES["udtf_user_sessions"] = q_udtf_user_sessions
+
+ORACLES["udtf_user_sessions"] = """
+    WITH g AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type) AS gap
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS INT) AS n_types,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us
+    FROM g GROUP BY user_id
+"""

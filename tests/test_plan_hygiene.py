@@ -59,6 +59,7 @@ _PYTHON_OK = {
     "dedup_embedding_cosine",
     "heavy_hitter_tokens",  # mapInPandas MG partition summaries
     "chunk_documents_udtf",  # ArrowEvalPythonUDTF — the §2j UDTF arm
+    "udtf_user_sessions",  # ArrowEvalPythonUDTF over a TABLE argument
     "mapinarrow_norms",  # raw-Arrow mapInArrow — the §2j third arm
     "anomaly_scores_distributed",  # broadcast-model mapInPandas scoring
 }
