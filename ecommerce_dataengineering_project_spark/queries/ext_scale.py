@@ -718,3 +718,80 @@ ORACLES["mv_routed_daily_sales"] = """
            COUNT(l_orderkey) AS daily_transaction_count
     FROM lineitem GROUP BY 1
 """
+
+
+def q_athena_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: the Delta->Athena leg — expose a txlog table to engines
+    with no log reader via a symlink-format manifest
+    (`sources/txlog.generate_symlink_manifest`; the reference's
+    delta_to_iceberg.py / athena DDL flow). The query builds a
+    two-commit table, generates the manifest, and reads it back
+    THROUGH the manifest only (never the log); the oracle recomputes
+    the same rows from the base table. DuckDB consuming the same
+    manifest as a stand-in Athena is pinned in
+    tests/test_manifest_compact.py."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        generate_symlink_manifest,
+        read_via_manifest,
+        recreate,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = recreate(
+        os.path.join(TMP_ROOT, "txlog", f"manifest_{_sf_name(sf_dir)}")
+    )
+    table.append(o.where(F.col("o_orderkey") % 2 == 0))
+    table.append(o.where(F.col("o_orderkey") % 2 == 1))
+    generate_symlink_manifest(table)
+    return read_via_manifest(spark, table.root)
+
+
+QUERIES["athena_manifest_read"] = q_athena_manifest_read
+
+ORACLES["athena_manifest_read"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
+def q_txlog_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: auto-compaction — eight small streaming-style appends leave
+    a file-count debt; `auto_compact` (post-commit hook shape) rewrites
+    the snapshot into a few bin-packed files as a NEW commit when the
+    count crosses the threshold. Results are layout-invariant (the
+    oracle is the plain base-table SQL); the file-count drop, history
+    retention, and below-threshold no-op are pinned in
+    tests/test_manifest_compact.py."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        auto_compact,
+        recreate,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    table = recreate(
+        os.path.join(TMP_ROOT, "txlog", f"autocompact_{_sf_name(sf_dir)}")
+    )
+    for b in range(8):
+        table.append(e.where(F.col("event_id") % 8 == b).repartition(4))
+    compacted_version = auto_compact(spark=spark, table=table, max_files=16, target_files=4)
+    assert compacted_version is not None  # 32 files > threshold
+    return table.read(spark).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+QUERIES["txlog_auto_compact"] = q_txlog_auto_compact
+
+ORACLES["txlog_auto_compact"] = """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY event_type
+"""

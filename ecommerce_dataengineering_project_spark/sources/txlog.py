@@ -1382,3 +1382,94 @@ def detail(table: TxTable) -> dict:
         "txn_watermarks": man.get("txn", {}),
         "num_retained_versions": len(vs),
     }
+
+
+MANIFEST_DIR = "_symlink_format_manifest"
+
+
+def generate_symlink_manifest(table: TxTable, version: int | None = None) -> str:
+    """Delta ``GENERATE symlink_format_manifest`` twin: write a plain
+    text file listing the ABSOLUTE data-file paths of a snapshot under
+    ``_symlink_format_manifest/manifest``. This is exactly how the
+    reference exposes its Delta lake to Athena/Presto (the
+    Delta->Athena leg of delta_to_iceberg.py / the athena/ DDL): an
+    engine with no transaction-log reader consumes the manifest as the
+    table's file list and never sees uncommitted, vacuumed-pending, or
+    time-traveled files. Publication is atomic (tmp + rename), so a
+    concurrent external reader sees the old or the new snapshot, never
+    a torn list. Regenerate after each commit you want visible —
+    Delta's contract too (or its auto-manifest table property).
+
+    Returns the manifest path. tests/test_manifest_compact.py proves
+    the point by having DuckDB (playing Athena) query the table
+    THROUGH the manifest with no knowledge of the log."""
+    vs = table.versions()
+    if not vs:
+        raise FileNotFoundError(f"no commits in {table.root}")
+    v = vs[-1] if version is None else version
+    man = table._manifest(v)
+    out_dir = os.path.join(table.root, MANIFEST_DIR)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".manifest.tmp.{os.getpid()}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for f in man["files"]:
+            fh.write(os.path.abspath(os.path.join(table.root, f)) + "\n")
+    final = os.path.join(out_dir, "manifest")
+    os.replace(tmp, final)
+    return final
+
+
+def read_via_manifest(spark: SparkSession, root: str) -> DataFrame:
+    """Read a table the way an external engine does: through the
+    symlink manifest's file list, never the log."""
+    path = os.path.join(root, MANIFEST_DIR, "manifest")
+    with open(path, encoding="utf-8") as fh:
+        files = [line.strip() for line in fh if line.strip()]
+    if not files:
+        raise FileNotFoundError(f"empty symlink manifest at {path}")
+    return spark.read.parquet(*files)
+
+
+def compact(table: TxTable, spark: SparkSession, target_files: int) -> int:
+    """OPTIMIZE (bin-packing compaction, no clustering): rewrite the
+    current snapshot into ``target_files`` files as a new commit —
+    history intact, constraints carried, stats re-harvested. The
+    small-file antidote for streaming-append tables (each micro-batch
+    commit lands a few files; a day of minutes is thousands), which at
+    100 TB otherwise turns every scan into an open/footer-read storm.
+    Same concurrency contract as optimize_zorder: a commit racing the
+    rewrite makes the version CAS raise, never silently drops rows."""
+    vs = table.versions()
+    if not vs:
+        raise FileNotFoundError(f"no commits in {table.root}")
+    man = table._manifest(vs[-1])
+    df = table.read(spark, merge_schema=True).coalesce(max(1, target_files))
+    version = vs[-1] + 1
+    files, stats = table._write_commit_data(df, version)
+    return table._publish(
+        version,
+        files,
+        f"optimize-compact:{target_files}",
+        stats,
+        man.get("txn", {}),
+        man.get("schema"),
+        constraints=man.get("constraints", {}),
+    )
+
+
+def auto_compact(
+    table: TxTable,
+    spark: SparkSession,
+    max_files: int = 16,
+    target_files: int = 4,
+) -> int | None:
+    """Delta auto-compaction twin: compact only when the current
+    snapshot's file count exceeds ``max_files``. Call it after commits
+    (a writer-side post-commit hook); a no-op costs one manifest read.
+    Returns the new version, or None when below the threshold."""
+    vs = table.versions()
+    if not vs:
+        return None
+    if len(table._manifest(vs[-1])["files"]) <= max_files:
+        return None
+    return compact(table, spark, target_files)
