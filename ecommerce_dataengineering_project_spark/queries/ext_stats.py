@@ -531,3 +531,103 @@ ORACLES["session_paths"] = f"""
     ORDER BY n_sessions DESC, path ASC
     LIMIT {PATH_TOP_K}
 """
+
+
+def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2j cogrouped-map arm (the one applyInPandas shape the registry
+    lacked): ``groupBy(user).cogroup(groupBy(user)).applyInPandas`` —
+    the engine co-shuffles BOTH relations on the key, hands each user's
+    purchases and clicks to one Arrow-batched pandas call, and
+    ``merge_asof`` attaches the most recent prior click value to every
+    purchase. The per-key two-sided custom merge that neither a join
+    nor a grouped map expresses alone; J2's as-of semantics on the
+    cogroup plan. Ties on click ts break to the highest event id (right
+    side sorted (ts, event_id); merge_asof keeps the last qualifying
+    row) — the oracle's ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            out = left[["event_id", "user_id"]].copy()
+            out["last_click_value"] = pd.Series(dtype="float64")
+            return out
+        right = right.sort_values(["ts", "event_id"]).rename(
+            columns={"event_id": "click_id", "value": "last_click_value"}
+        )
+        merged = pd.merge_asof(
+            left, right[["ts", "last_click_value"]], on="ts", direction="backward"
+        )
+        return merged[["event_id", "user_id", "last_click_value"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            asof, "event_id BIGINT, user_id BIGINT, last_click_value DOUBLE"
+        )
+    )
+
+
+QUERIES["cogroup_asof_pandas"] = q_cogroup_asof_pandas
+
+ORACLES["cogroup_asof_pandas"] = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           (SELECT c.value FROM c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+    FROM p
+"""
+
+
+def q_observed_dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass observability: ``df.observe`` attaches named metrics
+    (row count, null count, value sum in exact cents) that the engine
+    collects AS A SIDE EFFECT of the main job — zero extra scans, the
+    production answer to "emit DQ counters from the pipeline run
+    itself" (X18's table_profile re-scans; this rides along). The
+    observed job here is a routine projection+filter pass; the metrics
+    row is the query result, oracle-checked like any relation."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("bigint")).alias("null_props"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+    # the "real" job: write-shaped pass (noop action materializes it)
+    observed.where(F.col("event_type") != "__none__").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["null_props"], row["total_cents"])],
+        "n_rows BIGINT, null_props BIGINT, total_cents BIGINT",
+    )
+
+
+QUERIES["observed_dq_metrics"] = q_observed_dq_metrics
+
+ORACLES["observed_dq_metrics"] = """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+"""

@@ -62,6 +62,8 @@ _PYTHON_OK = {
     "udtf_user_sessions",  # ArrowEvalPythonUDTF over a TABLE argument
     "mapinarrow_norms",  # raw-Arrow mapInArrow — the §2j third arm
     "anomaly_scores_distributed",  # broadcast-model mapInPandas scoring
+    "cogroup_asof_pandas",  # FlatMapCoGroupsInPandas — the §2j cogroup arm
+    "observed_dq_metrics",  # CollectMetrics rides a noop-write job
 }
 
 _PY_NODES = (
@@ -70,6 +72,7 @@ _PY_NODES = (
     "MapInPandas",
     "MapInArrow",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
 )
 
 
