@@ -149,6 +149,13 @@ def run_pipeline(
         for fname, text in (sql_files or {}).items():
             registry.register_sql(text, Path(fname))
 
+    # A re-run must resolve against THIS run's materializations, not a
+    # previous run's leftover views — stale graph-owned names would
+    # both corrupt the execution order (a dependent flow resolves
+    # before its upstream ran) and read outdated data.
+    for name in registry.outputs:
+        spark.catalog.dropTempView(name)
+
     result = PipelineResult()
     pending = list(registry.flows)
     missing_by_flow: dict[str, str] = {}

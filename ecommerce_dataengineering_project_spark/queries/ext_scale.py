@@ -676,18 +676,27 @@ def q_mv_routed_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ecommerce_dataengineering_project_spark.plans.mv_router import build_mv, route
 
     li = load_table(spark, sf_dir, "lineitem")
-    amount = F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax")
+    # integer-cent measure: FLOOR(amount*100+0.5) per ROW, summed as
+    # BIGINT — exact under ANY grouping, so the MV's two-level sum
+    # (partials at (day, flag), rolled up to day) is bit-identical to
+    # the oracle's one-level sum. A raw double measure is NOT: its
+    # partial sums round differently at half-cent boundaries (caught by
+    # the sf0.001 parity sweep — two dates flipped a cent).
+    cents = F.floor(
+        F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax") * 100
+        + F.lit(0.5)
+    ).cast("bigint")
     base = li.select(
         F.col("l_shipdate").cast("date").alias("purchase_date"),
         "l_returnflag",
-        amount.alias("amount"),
+        cents.alias("amount_cents"),
     )
     mv = build_mv(
         spark,
         base,
         name="sales_by_day_flag",
         dims=("purchase_date", "l_returnflag"),
-        measures={"sales": ("sum+count", F.col("amount"))},
+        measures={"sales": ("sum+count", F.col("amount_cents"))},
         path=os.path.join(
             TMP_ROOT, "mv", f"sales_by_day_flag_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
         ),
@@ -697,15 +706,13 @@ def q_mv_routed_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         mv,
         dims=("purchase_date",),
         measures={
-            "daily_total_sales": ("sum", "sales"),
+            "daily_total_cents": ("sum", "sales"),
             "daily_transaction_count": ("count", "sales"),
         },
     )
     assert routed is not None  # request is routable by construction
     return routed.select(
-        "purchase_date",
-        round_half_up("daily_total_sales", 2).alias("daily_total_sales"),
-        "daily_transaction_count",
+        "purchase_date", "daily_total_cents", "daily_transaction_count"
     )
 
 
@@ -713,8 +720,8 @@ QUERIES["mv_routed_daily_sales"] = q_mv_routed_daily_sales
 
 ORACLES["mv_routed_daily_sales"] = """
     SELECT CAST(l_shipdate AS DATE) AS purchase_date,
-           FLOOR((SUM(l_extendedprice*l_quantity*(1-l_discount)+l_tax)) * 100.0 + 0.5) / 100.0
-               AS daily_total_sales,
+           CAST(SUM(CAST(FLOOR((l_extendedprice*l_quantity*(1-l_discount)+l_tax) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS daily_total_cents,
            COUNT(l_orderkey) AS daily_transaction_count
     FROM lineitem GROUP BY 1
 """
