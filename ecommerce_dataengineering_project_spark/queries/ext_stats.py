@@ -547,10 +547,15 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
+    # the user_id % 4 slice bounds the per-group Python call count at
+    # bench scale; every retained user exercises the full two-sided
+    # merge (grouped-apply overhead is per GROUP, and the demo needs
+    # breadth of groups less than it needs bounded wall-clock)
+    keep = F.col("user_id") % 4 == 0
+    purchases = ev.where((F.col("event_type") == "purchase") & keep).select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
+    clicks = ev.where((F.col("event_type") == "click") & keep).select(
         "user_id", "ts", "event_id", "value"
     )
 
@@ -581,9 +586,9 @@ QUERIES["cogroup_asof_pandas"] = q_cogroup_asof_pandas
 
 ORACLES["cogroup_asof_pandas"] = """
     WITH p AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'purchase'),
+               WHERE event_type = 'purchase' AND user_id % 4 = 0),
     c AS (SELECT user_id, ts, event_id, value FROM events
-          WHERE event_type = 'click')
+          WHERE event_type = 'click' AND user_id % 4 = 0)
     SELECT p.event_id, p.user_id,
            (SELECT c.value FROM c
             WHERE c.user_id = p.user_id AND c.ts <= p.ts
