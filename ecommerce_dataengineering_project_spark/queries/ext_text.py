@@ -1038,3 +1038,71 @@ ORACLES["padding_batches"] = f"""
                  * 1000000.0 + 0.5) / 1000000.0 AS pad_waste
     FROM r GROUP BY 1
 """
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 (tokenizer training, iteration 1): weighted adjacent
+    character-pair counts over the corpus word-frequency relation —
+    the argmax of this relation IS the first BPE merge. Fully
+    oracle-checked (top 20 under a total order); the 5-iteration
+    trainer is `bpe_merges` (rows-only: its loop state is a Spark
+    fold, pinned against a pure-Python reference in tests/test_bpe.py).
+    Scale: the corpus is scanned once into the vocabulary-sized word
+    relation; the pair count is one shuffle on the pair key."""
+    from ecommerce_dataengineering_project_spark.operators.bpe import (
+        pair_counts,
+        word_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        pair_counts(word_counts(docs))
+        .select(
+            F.col("left").alias("lhs"),
+            F.col("right").alias("rhs"),
+            "pair_count",
+        )
+        .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
+        .limit(20)
+    )
+
+
+QUERIES["bpe_pair_counts"] = q_bpe_pair_counts
+
+ORACLES["bpe_pair_counts"] = """
+    WITH words AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+            FROM documents
+        ) WHERE length(word) >= 2 GROUP BY word
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS lhs,
+               substr(word, CAST(i AS INT) + 1, 1) AS rhs,
+               cnt
+        FROM words, LATERAL UNNEST(range(1, length(word))) AS t(i)
+    )
+    SELECT lhs, rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY lhs, rhs
+    ORDER BY pair_count DESC, lhs, rhs
+    LIMIT 20
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: the 5-iteration greedy BPE merge trainer — each step one
+    pair-keyed shuffle over the vocabulary relation + a one-row argmax
+    collect, merge applied via a codegen sequential fold (greedy
+    left-to-right on overlaps, the standard BPE contract). Rows-only
+    for the driver (the merge table emerges from an iterative fold no
+    single SQL statement expresses); equivalence to a pure-Python
+    reference trainer and partitioning-invariance are pinned in
+    tests/test_bpe.py."""
+    from ecommerce_dataengineering_project_spark.operators.bpe import train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_merges(docs, n_merges=5)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
