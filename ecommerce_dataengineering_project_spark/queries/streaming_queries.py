@@ -1108,3 +1108,118 @@ ORACLES["stream_fanout_two_tables"] = """
     FROM events
     GROUP BY event_type
 """
+
+
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantically hard
+    arm beside the inner join: a purchase with no click in its
+    preceding hour must STILL emit (click_id NULL), but only once the
+    watermark proves no matching click can arrive. The far-future
+    flush rows advance the watermark past every real purchase, so the
+    bounded run emits the complete outer result; state for both sides
+    is discarded as the interval provably passes (same bounding
+    condition as the inner join)."""
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        # the flush rows must ride a JOIN BRANCH: Catalyst pushes each
+        # branch's event-type filter below the watermark node, so a
+        # row matching neither filter never reaches it and the
+        # watermark stalls 1 hour short of the data max — the last
+        # hour's outer-null rows would then never release (caught by
+        # the oracle: rows short; pinned by the checkpoint's frozen
+        # batchWatermarkMs during diagnosis). Flush rows join the
+        # click side with user_id=-1 (no purchase carries it), so
+        # they advance the watermark and can never match.
+        wm = stream.withWatermark("ts", "1 hour")
+        clicks = wm.where(F.col("event_type").isin("click", "__flush")).select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = wm.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+            "leftOuter",
+        )
+        return joined.select(
+            "purchase_id", "click_id", F.col("p_user").alias("user_id")
+        )
+
+    return run_bounded_stream(
+        spark, "stream_stream_left_join", None, transform, source=src
+    )
+
+
+QUERIES["stream_stream_left_join"] = q_stream_stream_left_join
+
+ORACLES["stream_stream_left_join"] = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+"""
+
+
+def q_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4's
+    multi-stateful support): exactly-once dedup of a double-replayed
+    source FEEDING a watermarked tumbling daily aggregate, both holding
+    state in the same run with correct watermark propagation between
+    them. The flush rows close every real day-window; their own
+    windows stay (correctly) unemitted. Oracle: distinct events,
+    bucketed by day."""
+
+    def stage(source_dir: str):
+        ev = _tagged_events(spark, sf_dir)
+        dup = ev.withColumn("__batch", F.col("__batch") + 3)
+        stage_source_tagged(
+            ev.unionByName(dup), 6, source_dir, _flush_rows(2)
+        )
+        return EVENT_SCHEMA
+
+    src = staged_source(spark, f"events_dup_flush_{_sf_key(sf_dir)}", stage)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        deduped = stream.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
+        return (
+            deduped.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+                ).alias("total_cents"),
+            )
+            .select(
+                F.col("w.start").alias("day_start"),
+                "n_events",
+                "total_cents",
+            )
+        )
+
+    return run_bounded_stream(
+        spark, "stream_dedup_then_window", None, transform, source=src
+    )
+
+
+QUERIES["stream_dedup_then_window"] = q_stream_dedup_then_window
+
+ORACLES["stream_dedup_then_window"] = """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY 1
+"""
