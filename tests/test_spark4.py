@@ -43,16 +43,17 @@ def test_recursive_cte_min_depth_on_known_chain(spark):
     """BFS min-depth on a hand-built chain 0-1-2-3 (+ isolated 9):
     depth assignments must match the obvious answer, including NOT
     revisiting shallower nodes at greater depth (GROUP BY MIN)."""
+    # part ids stay inside the query's %4==0 edge universe
     spark.createDataFrame(
-        [(1, 0, 10.0), (1, 1, 10.0), (2, 1, 10.0), (2, 2, 10.0),
-         (3, 2, 10.0), (3, 3, 10.0), (4, 9, 10.0)],
+        [(1, 0, 10.0), (1, 4, 10.0), (2, 4, 10.0), (2, 8, 10.0),
+         (3, 8, 10.0), (3, 12, 10.0), (4, 16, 10.0)],
         "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE",
     ).createOrReplaceTempView("lineitem")
     got = {
         (r.part, r.min_depth)
         for r in spark.sql(m._RECURSIVE_SQL).collect()
     }
-    assert got == {(0, 0), (1, 1), (2, 2)}  # depth capped at 2 -> no 3
+    assert got == {(0, 0), (4, 1), (8, 2)}  # depth capped at 2 -> no 12
 
 
 def test_collation_merges_case_variants(spark):
