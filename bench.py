@@ -72,6 +72,13 @@ HEADLINE = [
     "orc_roundtrip",
     "sketch_incremental_rollup",
     "bucketed_join_revenue",
+    # r8-continuation watchlist: the heaviest of the new surface (SDP
+    # executor, RocksDB state, MV routing, tokenizer training)
+    "sdp_pipeline_daily",
+    "stream_dedup_rocksdb",
+    "mv_routed_daily_sales",
+    "bpe_merges",
+    "triangle_count",
 ]
 
 
