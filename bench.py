@@ -12,7 +12,7 @@ reported as BOTH the MEDIAN and the BEST (min) of its runs: the median
 absorbs one co-tenant hiccup, the best is the load-independent floor —
 round-over-round comparisons should use best-vs-best so machine noise
 doesn't read as a regression (r3->r4 medians moved ~20% on load alone).
-A wall-clock budget ($SPARK_GRAFT_BENCH_BUDGET_S, default 540 s)
+A wall-clock budget ($SPARK_GRAFT_BENCH_BUDGET_S, default 900 s)
 degrades remaining queries to single runs if the suite is running
 long, so the harness never blows an orchestration timeout.
 
@@ -86,7 +86,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 
     from ecommerce_dataengineering_project_spark import get_spark
     from ecommerce_dataengineering_project_spark.queries import registry
@@ -112,9 +112,32 @@ def main() -> None:
     # Pre-stage the shared streaming sources (the harness's stand-in
     # for "the Kafka topic already exists"). Staging is test-harness
     # setup, not query work — in production the sources are brokers.
-    from ecommerce_dataengineering_project_spark.queries import streaming_queries as _sq
+    # With the registry grown past the point where every query keeps
+    # its full repeat count inside the budget, a degraded-to-one-run
+    # stream query would otherwise absorb its ~10 s staging job into
+    # the single timed sample.
+    from pyspark.sql import functions as _F
 
+    from ecommerce_dataengineering_project_spark.queries import streaming_queries as _sq
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        stage_source_tagged as _sst,
+        staged_source as _ss,
+    )
+
+    _sq._events_source(spark, sf_dir, n_flush=0)
     _sq._events_source(spark, sf_dir, n_flush=2)
+
+    def _stage_dup(source_dir, flush):
+        def stage(sd):
+            ev = _sq._tagged_events(spark, sf_dir)
+            dup = ev.withColumn("__batch", _F.col("__batch") + 3)
+            _sst(ev.unionByName(dup), 6, sd, _sq._flush_rows(flush) if flush else None)
+            return _sq.EVENT_SCHEMA
+
+        _ss(spark, source_dir, stage)
+
+    _stage_dup(f"events_dup_{_sq._sf_key(sf_dir)}", 0)
+    _stage_dup(f"events_dup_flush_{_sq._sf_key(sf_dir)}", 2)
 
     # Machine-noise calibration (VERDICT r5 item 7): a constant-cost
     # pure-codegen query whose round-over-round drift quantifies
