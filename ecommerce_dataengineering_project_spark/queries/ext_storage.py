@@ -248,3 +248,57 @@ ORACLES["datasource_write_roundtrip"] = """
     WHERE l_returnflag = 'R'
     GROUP BY l_linenumber
 """
+
+
+PUSH_LO, PUSH_HI = 4_000, 9_000
+
+
+def q_generator_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 read-path upgrade: FILTER PUSHDOWN through the Python
+    DataSource API (Spark 4.1 ``pushFilters``). The range predicate on
+    event_id reaches the reader before partition planning, so shards
+    outside [PUSH_LO, PUSH_HI) are never scheduled as tasks — the
+    Python-API analog of parquet row-group pruning (partition-count
+    contract pinned in tests/test_pyds_pushdown.py). Values are the
+    same deterministic integer-hash stream as generator_source, so the
+    pruned scan is fully oracle-checked against DuckDB RANGE() under
+    the same predicate."""
+    from ecommerce_dataengineering_project_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("ecommerce_events")
+        .option("rows", 20_000)
+        .option("partitions", 8)
+        .load()
+        .where(
+            (F.col("event_id") >= PUSH_LO) & (F.col("event_id") < PUSH_HI)
+        )
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("amount_cents").alias("cents"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+QUERIES["generator_pushdown_scan"] = q_generator_pushdown_scan
+
+ORACLES["generator_pushdown_scan"] = f"""
+    WITH ids AS (SELECT UNNEST(RANGE({PUSH_LO}, {PUSH_HI})) AS event_id),
+    h AS (
+        SELECT event_id,
+               ((event_id % 999983) * 1000003) % 999983 AS h
+        FROM ids
+    )
+    SELECT CASE ((h // 1000) % 5)
+               WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'cart'
+               WHEN 3 THEN 'purchase' ELSE 'refund' END AS event_type,
+           COUNT(*) AS n,
+           CAST(SUM(h % 100000) AS BIGINT) AS cents,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM h
+    GROUP BY 1
+"""

@@ -61,20 +61,75 @@ class EcommerceEventsDataSource(DataSource):
 
 
 class EcommerceEventsReader(DataSourceReader):
+    """Batch reader with FILTER PUSHDOWN (Spark 4.1 ``pushFilters``):
+    range/point predicates on ``event_id`` — the source's physical
+    order — narrow the generated id interval BEFORE partition planning,
+    so out-of-range partitions are never scheduled (the Python-API
+    analog of parquet row-group pruning; pinned in
+    tests/test_pyds_pushdown.py). Every accepted filter is also still
+    applied by the generated range itself, so results are identical
+    whether or not Catalyst re-checks them; unsupported filters are
+    returned for Spark to evaluate post-scan."""
+
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.parts = int(options.get("partitions", 4))
+        # pushed-down bounds on event_id: [lo, hi)
+        self.lo = 0
+        self.hi = self.rows
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if attr == ("event_id",) and isinstance(val, int):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, val)
+                    self.hi = min(self.hi, val + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, val + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, val)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, val)
+                elif isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, val + 1)
+                else:
+                    yield f
+                    continue
+                self.pushed.append(f)
+            else:
+                yield f  # unsupported: Spark evaluates it post-scan
 
     def partitions(self):
-        return [InputPartition(i) for i in range(self.parts)]
+        # plan over the FULL id space, keep only shards intersecting
+        # the pushed range — pruned shards never become tasks
+        out = []
+        for i in range(self.parts):
+            lo = i * self.rows // self.parts
+            hi = (i + 1) * self.rows // self.parts
+            if hi > self.lo and lo < self.hi:
+                out.append(InputPartition(i))
+        return out or [InputPartition(0)]
 
     def read(self, partition):
         import numpy as np
         import pyarrow as pa
 
         i = partition.value
-        lo = i * self.rows // self.parts
-        hi = (i + 1) * self.rows // self.parts
+        lo = max(i * self.rows // self.parts, self.lo)
+        hi = min((i + 1) * self.rows // self.parts, self.hi)
+        if hi < lo:
+            hi = lo
         ids = np.arange(lo, hi, dtype=np.int64)
         h = ((ids % HASH_MOD) * HASH_MULT) % HASH_MOD
         types = np.array(EVENT_TYPES, dtype=object)[(h // USER_MOD) % len(EVENT_TYPES)]
@@ -104,6 +159,16 @@ def _register_datasource(spark, cls) -> None:
     session's manager (same ``UserDefinedPythonDataSource`` wrapping
     the public path uses)."""
     from pyspark.errors.exceptions.captured import AnalysisException
+
+    # a reader that implements pushFilters() REFUSES to initialize while
+    # spark.sql.python.filterPushdown.enabled is false (default) — flip
+    # it here, the one choke point every consumer of these sources goes
+    # through, so the capability works on any session incl. the
+    # driver's vanilla one
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # pre-4.1 sessions have no such conf (and no pushFilters)
 
     name = cls.name()
     try:
