@@ -46,12 +46,15 @@ AVG = "avg"
 class MaterializedAggregate:
     """A registered MV: parquet at ``path``, one row per ``dims``
     combination, holding ``partials`` (measure -> partial kinds
-    stored; column names are ``{measure}__sum`` / ``{measure}__count``)."""
+    stored; column names are ``{measure}__sum`` / ``{measure}__count``).
+    ``n_rows`` is the materialized row count — the router's cost
+    statistic (an MV's scan cost IS its grain cardinality)."""
 
     name: str
     dims: tuple[str, ...]
     partials: dict[str, frozenset] = field(hash=False)
     path: str = ""
+    n_rows: int = -1
 
 
 def build_mv(
@@ -79,7 +82,12 @@ def build_mv(
     if not aggs:
         raise ValueError("MV needs at least one measure")
     base.groupBy(*dims).agg(*aggs).write.mode("overwrite").parquet(path)
-    return MaterializedAggregate(name=name, dims=dims, partials=partials, path=path)
+    # metadata-only count (parquet footer row counts) — the router's
+    # cost statistic, captured once at build time
+    n_rows = spark.read.parquet(path).count()
+    return MaterializedAggregate(
+        name=name, dims=dims, partials=partials, path=path, n_rows=n_rows
+    )
 
 
 def route(
@@ -129,3 +137,29 @@ def _rollup(kind: str, m: str) -> Column:
         return F.sum(f"{m}__count")
     # AVG: re-derive from rolled-up partials — never an avg of avgs
     return F.sum(f"{m}__sum") / F.sum(f"{m}__count")
+
+
+def route_best(
+    spark: SparkSession,
+    mvs: list[MaterializedAggregate],
+    dims: tuple[str, ...],
+    measures: dict[str, tuple[str, str]],
+) -> tuple[DataFrame, MaterializedAggregate] | None:
+    """Pick the CHEAPEST qualifying MV for a request — the optimizer
+    decision a real MV system makes when several pre-aggregates could
+    answer: every qualifying candidate is correct (the roll-up rules
+    guarantee it), so cost decides, and an MV's scan cost is its grain
+    cardinality (``n_rows``, captured at build). Returns (plan, chosen)
+    or None when no registered MV qualifies — the caller falls back to
+    the base table. Ties break on name for determinism."""
+    best: tuple[int, str, DataFrame, MaterializedAggregate] | None = None
+    for mv in mvs:
+        plan = route(spark, mv, dims, measures)
+        if plan is None:
+            continue
+        key = (mv.n_rows if mv.n_rows >= 0 else 2**62, mv.name)
+        if best is None or key < (best[0], best[1]):
+            best = (key[0], key[1], plan, mv)
+    if best is None:
+        return None
+    return best[2], best[3]

@@ -81,3 +81,32 @@ def test_routed_plan_scans_the_mv_not_the_base(spark, mv):
     routed = route(spark, m, ("day",), {"total": ("sum", "amt")})
     physical = routed._jdf.queryExecution().executedPlan().toString()
     assert "router_tests" in physical  # FileScan points at the MV path
+
+
+def test_route_best_picks_the_cheapest_qualifying_mv(spark, mv):
+    from ecommerce_dataengineering_project_spark.plans.mv_router import (
+        build_mv,
+        route_best,
+    )
+
+    fine, base = mv  # (day, flag) grain, 4 rows
+    coarse = build_mv(
+        spark, base, "coarse", ("day",),
+        {"amt": ("sum+count", F.col("amt"))},
+        os.path.join(TMP_ROOT, "mv", "router_coarse"),
+    )
+    # day-level request: both qualify; the coarse MV (2 rows) must win
+    picked = route_best(
+        spark, [fine, coarse], ("day",), {"total": ("sum", "amt")}
+    )
+    assert picked is not None
+    plan, chosen = picked
+    assert chosen.name == "coarse" and chosen.n_rows == 2
+    assert {(r.day, r.total) for r in plan.collect()} == {("d1", 35.0), ("d2", 19.0)}
+    # (day, flag) request: only the fine MV qualifies
+    plan2, chosen2 = route_best(
+        spark, [fine, coarse], ("day", "flag"), {"total": ("sum", "amt")}
+    )
+    assert chosen2.name == "t"
+    # un-routable request: no candidate
+    assert route_best(spark, [fine, coarse], ("other",), {"n": ("count", "amt")}) is None
