@@ -636,3 +636,38 @@ ORACLES["observed_dq_metrics"] = """
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
 """
+
+
+def q_arrow_udf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2j newest arm (Spark 4.1 ``arrow_udf``): a NATIVE-Arrow scalar
+    UDF — pyarrow arrays in, pyarrow array out, no pandas conversion
+    layer at all (the fourth vectorized-Python shape beside pandas UDF
+    / mapInPandas / mapInArrow). Whitespace token counting via Arrow's
+    own compute kernels; integer results, exact oracle."""
+    # module-level pyarrow import: the UDF's type hints are strings
+    # under `from __future__ import annotations`, and Spark resolves
+    # them against the function's module globals
+    global pa
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("int")
+    def tok_count(text: pa.Array) -> pa.Array:
+        # arrow kernels end-to-end: split on whitespace, count items
+        return pc.cast(pc.list_value_length(pc.ascii_split_whitespace(text)), pa.int32())
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", tok_count(F.col("text")).alias("n_tokens")
+    )
+
+
+QUERIES["arrow_udf_tokens"] = q_arrow_udf_tokens
+
+ORACLES["arrow_udf_tokens"] = """
+    SELECT doc_id,
+           CAST(length(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'),
+                                   x -> x <> '')) AS INT) AS n_tokens
+    FROM documents
+"""

@@ -63,6 +63,7 @@ _PYTHON_OK = {
     "mapinarrow_norms",  # raw-Arrow mapInArrow — the §2j third arm
     "anomaly_scores_distributed",  # broadcast-model mapInPandas scoring
     "cogroup_asof_pandas",  # FlatMapCoGroupsInPandas — the §2j cogroup arm
+    "arrow_udf_tokens",  # ArrowEvalPython — native-Arrow scalar UDF (4.1)
     "observed_dq_metrics",  # CollectMetrics rides a noop-write job
 }
 
