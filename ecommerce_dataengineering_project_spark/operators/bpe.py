@@ -112,3 +112,31 @@ def train_merges(
     return spark.createDataFrame(
         rows, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )
+
+
+# Encoding with a RELEASED merge list (the production shape: corpora are
+# tokenized with a fixed vocabulary, not retrained per batch). The
+# segmentation state rides a guarded-symbol string: 'low' ->
+# '<l><o><w>', and one merge (l, r) is ONE string replace
+# '<l><r>' -> '<lr>'. Both Spark's and DuckDB's replace() scan
+# left-to-right non-overlapping, which IS greedy BPE ('<a><a><a><a>'
+# -> '<aa><aa>'), and the '<'/'>' guards make cross-symbol matches
+# impossible ('<ba><a>' never matches '<a><a>'). Everything stays in
+# codegen string kernels — no fold, no Python.
+
+
+def encode_token_count_expr(word_col, merges: list[tuple[str, str]]):
+    """Column: BPE token count of one lowercase word under ``merges``
+    (applied in order). Count = number of '<' guards left standing."""
+    s = F.regexp_replace(word_col, "(.)", "<$1>")
+    for left, right in merges:
+        s = F.replace(s, F.lit(f"<{left}><{right}>"), F.lit(f"<{left}{right}>"))
+    return F.length(s) - F.length(F.replace(s, F.lit("<"), F.lit("")))
+
+
+def sql_encode_token_count(word_expr: str, merges: list[tuple[str, str]]) -> str:
+    """The identical encoding as portable SQL (for oracles)."""
+    s = f"regexp_replace({word_expr}, '(.)', '<\\1>', 'g')"
+    for left, right in merges:
+        s = f"replace({s}, '<{left}><{right}>', '<{left}{right}>')"
+    return f"(length({s}) - length(replace({s}, '<', '')))"

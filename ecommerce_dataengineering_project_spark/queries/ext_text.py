@@ -1106,3 +1106,62 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_merges"] = q_bpe_merges
+
+
+# A fixed "released tokenizer" merge list (common English pairs, merges
+# build on earlier merges as in any real BPE vocabulary).
+BPE_VOCAB = [("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n")]
+
+
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 apply side: tokenize the corpus with a FIXED merge list (the
+    production shape — you encode with a released vocabulary, you don't
+    retrain per batch; the trainer is bpe_merges). Per word the
+    segmentation rides a guarded-symbol string and each merge is one
+    left-to-right string replace == greedy BPE; per doc the counts sum.
+    Pure codegen string kernels on both engines — the whole encoding is
+    hash-checked against DuckDB running the identical replaces."""
+    from ecommerce_dataengineering_project_spark.operators.bpe import (
+        encode_token_count_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+    ).where(F.length("w") > 0)
+    per_word = words.select(
+        "doc_id",
+        F.length("w").alias("chars"),
+        encode_token_count_expr(F.col("w"), BPE_VOCAB).alias("toks"),
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.sum("chars").alias("n_char_tokens"),
+        F.sum("toks").alias("n_bpe_tokens"),
+    )
+
+
+QUERIES["bpe_encode_tokens"] = q_bpe_encode_tokens
+
+
+def _bpe_encode_oracle() -> str:
+    from ecommerce_dataengineering_project_spark.operators.bpe import (
+        sql_encode_token_count,
+    )
+
+    expr = sql_encode_token_count("w", BPE_VOCAB)
+    return f"""
+        WITH words AS (
+            SELECT doc_id, UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(SUM(length(w)) AS BIGINT) AS n_char_tokens,
+               CAST(SUM({expr}) AS BIGINT) AS n_bpe_tokens
+        FROM words
+        WHERE length(w) > 0
+        GROUP BY doc_id
+    """
+
+
+ORACLES["bpe_encode_tokens"] = _bpe_encode_oracle()

@@ -94,3 +94,39 @@ def test_pair_counts_weighted_by_word_frequency(spark):
     pc = {(r.left, r.right): r.pair_count for r in pair_counts(vocab).collect()}
     assert pc[("g", "o")] == 3  # weighted by the word count, one scan
     assert pc[("s", "t")] == 1
+
+
+def test_encode_matches_reference_segmentation(spark):
+    """Encoding with a FIXED merge list equals applying the merges in
+    order with the reference algorithm, including overlap greediness
+    and the cross-symbol guard ('ba'+'a' must not merge as (a,a))."""
+    from ecommerce_dataengineering_project_spark.operators.bpe import (
+        encode_token_count_expr,
+    )
+    from pyspark.sql import functions as F
+
+    merges = [("a", "a"), ("b", "a"), ("ba", "aa")]
+    words = ["aaaa", "baa", "banana", "aba", "baaa"]
+
+    def ref_count(w):
+        syms = list(w)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    df = spark.createDataFrame([(w,) for w in words], "w STRING")
+    got = {
+        r.w: r.n
+        for r in df.select(
+            "w", encode_token_count_expr(F.col("w"), merges).alias("n")
+        ).collect()
+    }
+    assert got == {w: ref_count(w) for w in words}
