@@ -66,3 +66,46 @@ def test_state_is_partition_distributed(spark, sf_dir):
     st = spark.read.format("statestore").load(ckpt)
     parts = {r.partition_id for r in st.select("partition_id").distinct().collect()}
     assert len(parts) > 1  # state sharded across store instances
+
+
+def test_join_state_readable_per_side(spark, sf_dir):
+    """The statestore source reads stream-stream JOIN state with the
+    joinSide option — the ops surface for 'why is my join state
+    growing': each side's buffered rows come back as a relation."""
+    from ecommerce_dataengineering_project_spark.queries.streaming_queries import (
+        q_stream_stream_join,
+    )
+
+    q_stream_stream_join(spark, sf_dir)
+    ckpt = _stream_dirs("stream_stream_join")[2]
+    left = (
+        spark.read.format("statestore").option("joinSide", "left").load(ckpt)
+    )
+    right = (
+        spark.read.format("statestore").option("joinSide", "right").load(ckpt)
+    )
+    # both sides hold watermark-bounded buffers keyed by the join key
+    assert "key" in left.columns and "value" in right.columns
+    lc, rc = left.count(), right.count()
+    assert lc >= 0 and rc > 0  # click side always buffers recent rows
+
+
+def test_window_agg_state_keys_are_windows(spark, sf_dir):
+    """Aggregation state of the chained dedup->window query: the agg
+    operator's state keys are the event-time windows with count/sum
+    values (operator id 0; id 1 is the upstream dedup, keyed by
+    event_id). Windows still open at the end of the bounded run (the
+    flush rows' own days) are exactly the state residue."""
+    from ecommerce_dataengineering_project_spark.queries.streaming_queries import (
+        q_stream_dedup_then_window,
+    )
+
+    emitted = q_stream_dedup_then_window(spark, sf_dir)
+    ckpt = _stream_dirs("stream_dedup_then_window")[2]
+    agg_state = (
+        spark.read.format("statestore").option("operatorId", 0).load(ckpt)
+    )
+    starts = {r["key"]["window"]["start"] for r in agg_state.collect()}
+    assert len(starts) >= 1  # the unemitted flush-day windows
+    emitted_days = {r.day_start for r in emitted.collect()}
+    assert starts.isdisjoint(emitted_days)  # open windows were NOT emitted
