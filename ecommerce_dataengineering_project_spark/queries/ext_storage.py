@@ -302,3 +302,51 @@ ORACLES["generator_pushdown_scan"] = f"""
     FROM h
     GROUP BY 1
 """
+
+
+PRUNE_DAY = "2024-01-15"
+
+
+def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning as a driver-visible query (the
+    plan-level contract lives in tests/test_plans.py; this makes the
+    RESULT of pruning oracle-checked too): events written
+    date-partitioned once, then a single-day read whose filter resolves
+    at PLANNING time from directory names — zero non-matching files
+    opened (`PartitionFilters` in the scan, pinned in
+    tests/test_layout.py). The txlog's manifest-stats skipping is the
+    finer-grained sibling; this is the classic directory layout every
+    lake starts with."""
+    path = os.path.join(TMP_ROOT, "hivepart", f"events_{_sf_name(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        (
+            ev.repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path).where(
+        F.col("event_date") == F.lit(PRUNE_DAY).cast("date")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+
+
+QUERIES["partition_pruned_read"] = q_partition_pruned_read
+
+ORACLES["partition_pruned_read"] = f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
+    GROUP BY event_type
+"""

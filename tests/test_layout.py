@@ -156,3 +156,18 @@ def test_bucketed_join_query_plan_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in below_join, "bucketed join inputs shuffled"
     assert "SelectedBucketsCount" in plan
     assert df.count() == 5  # one row per order priority
+
+
+def test_partition_pruned_read_plan_prunes_directories(spark, sf_dir):
+    """The registered partition_pruned_read query's scan must carry the
+    day predicate as a PartitionFilter (resolved from directory names
+    at planning, no data files of other days opened)."""
+    from ecommerce_dataengineering_project_spark.queries.ext_storage import (
+        q_partition_pruned_read,
+    )
+
+    df = q_partition_pruned_read(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.index("PartitionFilters")
+    assert "event_date" in plan[i : i + 220]
+    assert df.count() > 0
