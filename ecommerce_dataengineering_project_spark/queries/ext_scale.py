@@ -802,3 +802,42 @@ ORACLES["txlog_auto_compact"] = """
     FROM events
     GROUP BY event_type
 """
+
+
+def q_txlog_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: DELETE via DELETION VECTORS — the matching rows' (file,
+    row position) pairs land in the manifest and every read filters
+    them positionally (`_metadata.row_index`); NO data file is
+    rewritten, which is what makes small/point deletes (GDPR erasure,
+    bad-record retraction) O(matches) instead of O(touched files) at
+    100 TB. Old versions time-travel to the pre-delete rows; compaction
+    doubles as DV purge. Full oracle: the surviving rows must equal the
+    plain NOT-predicate filter; the no-rewrite/CDF/rollback contracts
+    are pinned in tests/test_deletion_vectors.py."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = recreate(os.path.join(TMP_ROOT, "txlog", f"dv_{_sf_name(sf_dir)}"))
+    table.append(o.repartition(4))
+    table.delete_where_dv(spark, "o_orderkey % 97 = 0")
+    return table.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+QUERIES["txlog_delete_vectors"] = q_txlog_delete_vectors
+
+ORACLES["txlog_delete_vectors"] = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    GROUP BY o_orderstatus
+"""

@@ -179,6 +179,7 @@ class TxTable:
         schema: list | None = None,
         bloom: dict[str, dict] | None = None,
         constraints: dict[str, str] | None = None,
+        dv: dict[str, list] | None = None,
     ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
@@ -223,6 +224,11 @@ class TxTable:
                     # every writer path validates its NEW rows against
                     # these before publish — see _validate_constraints
                     "constraints": constraints or {},
+                    # DELETION VECTORS (Delta DV twin): per-file sorted
+                    # row positions deleted WITHOUT rewriting the file —
+                    # every read path filters them out positionally via
+                    # _metadata.row_index (see _read_files)
+                    "dv": dv or {},
                 },
                 fh,
             )
@@ -565,6 +571,7 @@ class TxTable:
                     schema,
                     bloom={**man.get("bloom", {}), **new_bloom},
                     constraints=cons,
+                    dv=man.get("dv", {}),  # untouched files keep their DVs
                 )
             except ConcurrentCommitError:
                 continue  # rebase on the winner's manifest and retry
@@ -623,6 +630,7 @@ class TxTable:
                     schema,
                     bloom=man.get("bloom", {}),
                     constraints=cons,
+                    dv=man.get("dv", {}),
                 )
             except ConcurrentCommitError:
                 continue  # lost the CAS: re-read the watermark, retry
@@ -670,12 +678,11 @@ class TxTable:
         if touched:
             # mergeSchema: under additive evolution the touched files
             # may carry different column sets; a single-footer schema
-            # would silently DROP evolved columns from the rewrite
-            base = normalize_ntz(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.root, f) for f in touched]
-                )
-            )
+            # would silently DROP evolved columns from the rewrite.
+            # _read_files also applies the snapshot's deletion vectors —
+            # a raw read here would RESURRECT dv-deleted rows into the
+            # rewrite.
+            base = self._read_files(spark, man, touched, merge_schema=True)
         else:
             base = self.read(spark, v, merge_schema=True).limit(0)
         merged = apply_cdc(base, changes, key_cols, seq_col, op_col)
@@ -696,6 +703,11 @@ class TxTable:
         keep_bloom = {
             f: b for f, b in man.get("bloom", {}).items() if f not in touched_set
         }
+        # rewritten files physically exclude their dv rows; their DV
+        # entries die with them, untouched files keep theirs
+        keep_dv = {
+            f: ps for f, ps in man.get("dv", {}).items() if f not in touched_set
+        }
         return self._publish(
             version,
             untouched + new_files,
@@ -705,6 +717,7 @@ class TxTable:
             schema,
             bloom=keep_bloom,
             constraints=cons,
+            dv=keep_dv,
         )
 
     def append_or_quarantine(
@@ -783,11 +796,7 @@ class TxTable:
             return v  # stats prove nothing matches: metadata-only no-op
         touched_set = set(touched)
         untouched = [f for f in man["files"] if f not in touched_set]
-        base = normalize_ntz(
-            spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f) for f in touched]
-            )
-        )
+        base = self._read_files(spark, man, touched, merge_schema=True)
         cond = F.lit(True)
         if lo is not None:
             cond = cond & (F.col(col) >= F.lit(lo))
@@ -802,6 +811,9 @@ class TxTable:
         keep_bloom = {
             f: b for f, b in man.get("bloom", {}).items() if f not in touched_set
         }
+        keep_dv = {
+            f: ps for f, ps in man.get("dv", {}).items() if f not in touched_set
+        }
         return self._publish(
             version,
             untouched + new_files,
@@ -811,6 +823,7 @@ class TxTable:
             man.get("schema"),
             bloom=keep_bloom,
             constraints=man.get("constraints", {}),
+            dv=keep_dv,
         )
 
     def shallow_clone(self, target_root: str) -> "TxTable":
@@ -845,6 +858,11 @@ class TxTable:
                 if f in abs_map
             },
             constraints=man.get("constraints", {}),
+            dv={
+                abs_map[f]: ps
+                for f, ps in man.get("dv", {}).items()
+                if f in abs_map
+            },
         )
         return clone
 
@@ -863,6 +881,7 @@ class TxTable:
             cur.get("txn", {}),
             old.get("schema"),
             bloom=old.get("bloom", {}),
+            dv=old.get("dv", {}),  # restoring data restores its DV state
             # Constraints are table metadata, not snapshot data: the
             # CURRENT rule set stays active across a data restore (like
             # the txn watermarks). A restore to data predating a
@@ -872,6 +891,167 @@ class TxTable:
         )
 
     # ------------------------------------------------------------ read
+    @staticmethod
+    def _dv_frame(spark: SparkSession, dv: dict[str, list]) -> DataFrame:
+        """(part-file basename, row position) pairs of a DV map.
+        Matching is by unique part-file basename — the same contract
+        _file_blooms relies on (uuid'd task file names)."""
+        rows = [
+            (os.path.basename(f), int(p)) for f, ps in dv.items() for p in ps
+        ]
+        return spark.createDataFrame(rows, "__dv_file STRING, __dv_pos BIGINT")
+
+    def _read_files(
+        self,
+        spark: SparkSession,
+        man: dict,
+        rel_files: list[str],
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Read a subset of a snapshot's files with that snapshot's
+        DELETION VECTORS applied — the one choke point every raw file
+        read in this class goes through, so no path (merge bases,
+        delete rewrites, CDF sides, stats/bloom scans) can resurrect a
+        DV-deleted row."""
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(self.root, f) for f in rel_files]
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
+        wanted = set(rel_files)
+        dv = {
+            f: ps
+            for f, ps in man.get("dv", {}).items()
+            if f in wanted and ps
+        }
+        if dv:
+            keyed = df.select(
+                "*",
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__dv_fb"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            dvdf = self._dv_frame(spark, dv)
+            df = keyed.join(
+                F.broadcast(dvdf),
+                (F.col("__dv_fb") == F.col("__dv_file"))
+                & (F.col("__dv_ri") == F.col("__dv_pos")),
+                "left_anti",
+            ).drop("__dv_fb", "__dv_ri")
+        return normalize_ntz(df)
+
+    def _rows_at_positions(
+        self, spark: SparkSession, dv: dict[str, list]
+    ) -> DataFrame:
+        """The INVERSE of the DV filter: fetch exactly the rows a DV
+        map points at (CDF needs the pre-images of a dv-only delete —
+        the bytes are still in the files, that is the point of DVs)."""
+        from pyspark.sql import functions as F
+
+        files = [f for f, ps in dv.items() if ps]
+        if not files:
+            raise ValueError("_rows_at_positions: empty dv")
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+        keyed = df.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__dv_fb"
+            ),
+            F.col("_metadata.row_index").alias("__dv_ri"),
+        )
+        dvdf = self._dv_frame(spark, dv)
+        return normalize_ntz(
+            keyed.join(
+                F.broadcast(dvdf),
+                (F.col("__dv_fb") == F.col("__dv_file"))
+                & (F.col("__dv_ri") == F.col("__dv_pos")),
+                "left_semi",
+            ).drop("__dv_fb", "__dv_ri")
+        )
+
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        max_rows: int = 100_000,
+    ) -> int:
+        """DELETE via DELETION VECTORS (Delta DV twin): record the
+        matching rows' (file, row position) pairs in the manifest
+        instead of rewriting any data file — a metadata-weight commit
+        that makes small/point deletes O(matches), not O(touched
+        files), and keeps time travel exact (old versions carry the
+        old dv map). Reads filter the positions out at the
+        ``_read_files`` choke point.
+
+        Size gate: past ``max_rows`` matches the positional map stops
+        being metadata-weight, so the call falls back to the
+        file-rewrite path's economics — callers doing bulk deletes
+        should use ``delete_where`` (file-scoped rewrite) instead;
+        this raises to make that choice explicit rather than silently
+        committing a multi-MB manifest.
+
+        Positions are evaluated against the CURRENT snapshot (existing
+        dv rows are already filtered, so re-deleting is naturally
+        idempotent). NULL predicate rows are kept (SQL DELETE
+        semantics)."""
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        v = vs[-1]
+        man = self._manifest(v)
+        paths = [os.path.join(self.root, f) for f in man["files"]]
+        base = spark.read.option("mergeSchema", "true").parquet(*paths)
+        keyed = base.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__fb"
+            ),
+            F.col("_metadata.row_index").alias("__ri"),
+            "*",
+        ).where(F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
+        existing = man.get("dv", {})
+        if existing:
+            dvdf = self._dv_frame(spark, existing)
+            keyed = keyed.join(
+                F.broadcast(dvdf),
+                (F.col("__fb") == F.col("__dv_file"))
+                & (F.col("__ri") == F.col("__dv_pos")),
+                "left_anti",
+            )
+        hits = keyed.select("__fb", "__ri").limit(max_rows + 1).collect()
+        if len(hits) > max_rows:
+            raise ValueError(
+                f"delete_where_dv: >{max_rows} matching rows — use the "
+                "file-rewrite delete_where for bulk deletes"
+            )
+        if not hits:
+            return v  # nothing matches: no commit
+        by_base: dict[str, list] = {}
+        for r in hits:
+            by_base.setdefault(r["__fb"], []).append(int(r["__ri"]))
+        base_to_rel = {os.path.basename(f): f for f in man["files"]}
+        merged: dict[str, list] = {f: sorted(ps) for f, ps in existing.items()}
+        for b, ps in by_base.items():
+            rel = base_to_rel[b]
+            merged[rel] = sorted(set(merged.get(rel, [])) | set(ps))
+        return self._publish(
+            v + 1,
+            man["files"],
+            f"delete-dv:{len(hits)} rows",
+            man.get("stats", {}),  # stats now over-cover: conservative, sound
+            man.get("txn", {}),
+            man.get("schema"),
+            bloom=man.get("bloom", {}),
+            constraints=man.get("constraints", {}),
+            dv=merged,
+        )
+
     def read(
         self,
         spark: SparkSession,
@@ -887,13 +1067,10 @@ class TxTable:
         if not vs:
             raise FileNotFoundError(f"no commits in {self.root}")
         v = vs[-1] if version is None else version
-        files = [os.path.join(self.root, f) for f in self._manifest(v)["files"]]
-        if not files:
+        man = self._manifest(v)
+        if not man["files"]:
             raise FileNotFoundError(f"version {v} of {self.root} lists no files")
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return normalize_ntz(reader.parquet(*files))
+        return self._read_files(spark, man, man["files"], merge_schema)
 
     def read_changes(
         self,
@@ -947,33 +1124,66 @@ class TxTable:
         if not window:
             return _empty_feed()
 
-        def _files_df(files: list[str]) -> DataFrame:
-            return normalize_ntz(
-                spark.read.option("mergeSchema", "true").parquet(
-                    *[os.path.join(self.root, f) for f in files]
-                )
-            )
-
         out: DataFrame | None = None
-        prev = set() if from_version == 0 else set(
-            self._manifest(from_version)["files"]
+        prev_man = (
+            {"files": [], "dv": {}}
+            if from_version == 0
+            else self._manifest(from_version)
         )
         for v in window:
             man = self._manifest(v)
+            prev = set(prev_man["files"])
             cur = set(man["files"])
             added = sorted(cur - prev)
             removed = sorted(prev - cur)
-            prev = cur
-            if not added and not removed:
+            # DELETION-VECTOR deltas on files carried across the commit:
+            # a dv-only delete changes ROWS without changing the file
+            # list, so the file-level diff alone would miss it. Rows
+            # whose positions entered the dv are deletes; positions that
+            # LEFT the dv (a rollback restoring pre-delete state) are
+            # inserts. Only carried files count — added/removed files
+            # are handled by the file-level sides with their own
+            # snapshot's dv applied.
+            dv_prev = prev_man.get("dv", {})
+            dv_cur = man.get("dv", {})
+            carried = cur & prev
+            dv_dels = {
+                f: sorted(set(dv_cur.get(f, [])) - set(dv_prev.get(f, [])))
+                for f in carried
+            }
+            dv_dels = {f: ps for f, ps in dv_dels.items() if ps}
+            dv_ins = {
+                f: sorted(set(dv_prev.get(f, [])) - set(dv_cur.get(f, [])))
+                for f in carried
+            }
+            dv_ins = {f: ps for f, ps in dv_ins.items() if ps}
+            this_prev_man = prev_man
+            prev_man = man
+            if not added and not removed and not dv_dels and not dv_ins:
                 continue
-            cols = None
             a_df = r_df = None
             if added:
-                a_df = _files_df(added)
-                cols = a_df.columns
+                # added files read AS OF v (v's dv applied)
+                a_df = self._read_files(spark, man, added, merge_schema=True)
             if removed:
-                r_df = _files_df(removed)
-                cols = cols or r_df.columns
+                # removed files read in their LAST LIVE state (v-1's dv)
+                r_df = self._read_files(
+                    spark, this_prev_man, removed, merge_schema=True
+                )
+            if dv_dels:
+                dv_del_rows = self._rows_at_positions(spark, dv_dels)
+                r_df = (
+                    dv_del_rows
+                    if r_df is None
+                    else r_df.unionByName(dv_del_rows, allowMissingColumns=True)
+                )
+            if dv_ins:
+                dv_ins_rows = self._rows_at_positions(spark, dv_ins)
+                a_df = (
+                    dv_ins_rows
+                    if a_df is None
+                    else a_df.unionByName(dv_ins_rows, allowMissingColumns=True)
+                )
             if a_df is not None and r_df is not None:
                 # Additive schema evolution can leave the two sides with
                 # different column sets inside ONE commit (a rewrite
@@ -1141,9 +1351,9 @@ class TxTable:
         keep, _total = self.candidate_files_point(col, value, version)
         if not keep:
             return self.read(spark, version).limit(0)
-        df = normalize_ntz(
-            spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
-        )
+        vs = self.versions()
+        man = self._manifest(vs[-1] if version is None else version)
+        df = self._read_files(spark, man, keep)
         return df.where(F.col(col) == F.lit(value))
 
     def scan(
@@ -1183,9 +1393,9 @@ class TxTable:
             # provably-empty result: schema from one snapshot file,
             # zero rows, no scan
             return self.read(spark, version).limit(0)
-        df = normalize_ntz(
-            spark.read.parquet(*[os.path.join(self.root, f) for f in keep])
-        )
+        vs = self.versions()
+        man = self._manifest(vs[-1] if version is None else version)
+        df = self._read_files(spark, man, keep)
         for col, lo, hi in preds:
             if lo is not None:
                 df = df.where(F.col(col) >= F.lit(lo))
@@ -1446,6 +1656,9 @@ def compact(table: TxTable, spark: SparkSession, target_files: int) -> int:
     df = table.read(spark, merge_schema=True).coalesce(max(1, target_files))
     version = vs[-1] + 1
     files, stats = table._write_commit_data(df, version)
+    # read() applied the deletion vectors, so the rewritten files are
+    # dv-free by construction: compaction doubles as DV garbage
+    # collection (Delta's PURGE), dv resets to empty
     return table._publish(
         version,
         files,

@@ -1,0 +1,126 @@
+"""Deletion-vector contracts (sources/txlog.py delete_where_dv +
+_read_files): delete rows WITHOUT rewriting files, exact time travel,
+idempotency, CDF row-level deltas for dv-only commits, rollback,
+compaction as DV purge, and the metadata-weight size gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.sources.txlog import (
+    compact,
+    recreate,
+)
+from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+
+@pytest.fixture()
+def table(spark, request):
+    t = recreate(os.path.join(TMP_ROOT, "dv_tests", request.node.name))
+    t.append(
+        spark.range(100).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    return t
+
+
+def _file_state(t):
+    man = t._manifest(t.versions()[-1])
+    return {
+        f: os.path.getmtime(os.path.join(t.root, f)) for f in man["files"]
+    }
+
+
+def test_dv_delete_hides_rows_without_touching_files(spark, table):
+    before = _file_state(table)
+    v = table.delete_where_dv(spark, "k = 3")
+    assert v == 2
+    man = table._manifest(v)
+    assert man["files"] == sorted(before)  # same file list
+    assert _file_state(table) == before  # same bytes: no rewrite
+    assert sum(len(ps) for ps in man["dv"].values()) == 14  # ids 3,10,...,94
+    got = table.read(spark)
+    assert got.count() == 86
+    assert got.where(F.col("k") == 3).count() == 0
+    # time travel to v1 still sees every row
+    assert table.read(spark, version=1).count() == 100
+
+
+def test_dv_delete_is_idempotent_and_accumulates(spark, table):
+    v2 = table.delete_where_dv(spark, "k = 3")
+    assert table.delete_where_dv(spark, "k = 3") == v2  # no-op: no new commit
+    v3 = table.delete_where_dv(spark, "id < 5")
+    assert v3 == v2 + 1
+    assert table.read(spark).count() == 100 - 14 - 4  # id 3 already gone
+    # scans and point reads honor the dv too
+    assert table.scan(spark, "id", 0, 10).where(F.col("k") == 3).count() == 0
+    assert table.scan(spark, "id", 0, 4).count() == 0
+
+
+def test_cdf_emits_dv_only_deletes_and_replay_reconstructs(spark, table):
+    table.delete_where_dv(spark, "k = 3")          # v2: dv-only deletes
+    table.append(
+        spark.range(100, 110).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )                                              # v3: plain append
+    table.delete_where_dv(spark, "id >= 105")      # v4: dv over the new file
+    feed = table.read_changes(spark, 1).collect()
+    dels = [r for r in feed if r._change_type == "delete"]
+    assert {r._commit_version for r in dels} == {2, 4}
+    assert sorted(r.id for r in dels if r._commit_version == 2) == list(
+        range(3, 100, 7)
+    )
+    assert sorted(r.id for r in dels if r._commit_version == 4) == [105, 106, 107, 108, 109]
+    # replay invariant: v1 + feed(1, v] == snapshot at v, for every v
+    for v in table.versions():
+        snap = {tuple(r) for r in table.read(spark, version=v).collect()}
+        state = {tuple(r) for r in table.read(spark, version=1).collect()}
+        for r in table.read_changes(spark, 1, v).collect():
+            row = (r.id, r.k, r.v)
+            if r._change_type == "insert":
+                state.add(row)
+            else:
+                state.discard(row)
+        assert state == snap, f"replay mismatch at v{v}"
+
+
+def test_rollback_restores_pre_dv_state_and_cdf_reinserts(spark, table):
+    table.delete_where_dv(spark, "k = 3")  # v2
+    v3 = table.rollback(1)  # restore: dv cleared with the old manifest
+    assert table.read(spark).count() == 100
+    feed = table.read_changes(spark, 2, v3).collect()
+    ins = [r for r in feed if r._change_type == "insert"]
+    assert sorted(r.id for r in ins) == list(range(3, 100, 7))  # rows came back
+
+
+def test_compact_purges_dv(spark, table):
+    table.delete_where_dv(spark, "k = 3")
+    v = compact(table, spark, target_files=1)
+    man = table._manifest(v)
+    assert man["dv"] == {}  # rewritten files are dv-free (PURGE)
+    assert table.read(spark).count() == 86  # deletes stay applied
+
+
+def test_merge_rewrite_drops_touched_dv_carries_rest(spark, table):
+    """A file-scoped DELETE WHERE after a DV delete: rewritten files'
+    DV entries die with them; untouched files keep theirs."""
+    table.delete_where_dv(spark, "k = 3")
+    # file-rewrite delete over a disjoint id range
+    table.delete_where(spark, "id", 90, 99)
+    got = table.read(spark)
+    assert got.where(F.col("k") == 3).count() == 0  # dv still applied
+    assert got.where(F.col("id") >= 90).count() == 0
+    # exact expectation: survivors = ids not(k==3) and not(90..99)
+    want = [i for i in range(100) if i % 7 != 3 and not (90 <= i <= 99)]
+    assert sorted(r.id for r in got.collect()) == want
+
+
+def test_size_gate_raises_past_max_rows(spark, table):
+    with pytest.raises(ValueError, match="delete_where_dv"):
+        table.delete_where_dv(spark, "id >= 0", max_rows=10)
