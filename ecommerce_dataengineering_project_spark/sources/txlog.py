@@ -1591,6 +1591,10 @@ def detail(table: TxTable) -> dict:
         "bloom_index_columns": bloom_cols,
         "txn_watermarks": man.get("txn", {}),
         "num_retained_versions": len(vs),
+        # deletion-vector debt: how many rows reads filter positionally
+        # and how many files carry a DV — the compaction (PURGE) signal
+        "num_dv_rows": sum(len(ps) for ps in man.get("dv", {}).values()),
+        "num_dv_files": sum(1 for ps in man.get("dv", {}).values() if ps),
     }
 
 

@@ -124,3 +124,14 @@ def test_merge_rewrite_drops_touched_dv_carries_rest(spark, table):
 def test_size_gate_raises_past_max_rows(spark, table):
     with pytest.raises(ValueError, match="delete_where_dv"):
         table.delete_where_dv(spark, "id >= 0", max_rows=10)
+
+
+def test_detail_reports_dv_debt(spark, table):
+    from ecommerce_dataengineering_project_spark.sources.txlog import detail
+
+    assert detail(table)["num_dv_rows"] == 0
+    table.delete_where_dv(spark, "k = 3")
+    d = detail(table)
+    assert d["num_dv_rows"] == 14 and d["num_dv_files"] >= 1
+    compact(table, spark, target_files=1)
+    assert detail(table)["num_dv_rows"] == 0  # purge clears the debt
