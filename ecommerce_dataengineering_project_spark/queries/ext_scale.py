@@ -841,3 +841,46 @@ ORACLES["txlog_delete_vectors"] = """
     WHERE o_orderkey % 97 <> 0
     GROUP BY o_orderstatus
 """
+
+
+def q_txlog_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: UPDATE via deletion vectors in ONE atomic commit — matched
+    rows' positions enter the dv map (pre-image delete) and their
+    rewritten forms append as new files (post-image insert) under the
+    same version CAS; touched files are never rewritten. The change
+    feed shows the commit as the preimage/postimage pair
+    (tests/test_deletion_vectors.py). Oracle: the final relation must
+    equal a plain CASE over the base table."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = recreate(
+        os.path.join(TMP_ROOT, "txlog", f"updv_{_sf_name(sf_dir)}")
+    )
+    table.append(o.repartition(4))
+    table.update_where_dv(
+        spark, "o_orderkey % 101 = 0", {"o_totalprice": "o_totalprice + 1e6"}
+    )
+    return table.read(spark).groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+        ).alias("total_cents"),
+    )
+
+
+QUERIES["txlog_update_dv"] = q_txlog_update_dv
+
+ORACLES["txlog_update_dv"] = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(
+               (CASE WHEN o_orderkey % 101 = 0
+                     THEN o_totalprice + 1e6
+                     ELSE o_totalprice END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY o_orderstatus
+"""

@@ -1052,6 +1052,88 @@ class TxTable:
             dv=merged,
         )
 
+    def update_where_dv(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        set_exprs: dict[str, str],
+        max_rows: int = 100_000,
+    ) -> int:
+        """UPDATE via deletion vectors, in ONE atomic commit: the
+        matching rows' positions enter the dv map (pre-image delete)
+        AND their rewritten forms land as new appended files
+        (post-image insert) under the same version CAS — readers flip
+        from old rows to new rows in one manifest swap, never seeing
+        both or neither. This is Delta's DV-backed UPDATE: touched
+        FILES are not rewritten, only the matched rows' bytes are
+        written once. The change feed sees the commit as dv deletes +
+        added-file inserts — exactly the update_preimage/postimage
+        pair. Same ``max_rows`` metadata-weight gate as
+        delete_where_dv; bulk updates belong on the MERGE path."""
+        from pyspark.sql import functions as F
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        v = vs[-1]
+        man = self._manifest(v)
+        paths = [os.path.join(self.root, f) for f in man["files"]]
+        base = spark.read.option("mergeSchema", "true").parquet(*paths)
+        keyed = base.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__fb"
+            ),
+            F.col("_metadata.row_index").alias("__ri"),
+            "*",
+        ).where(F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
+        existing = man.get("dv", {})
+        if existing:
+            dvdf = self._dv_frame(spark, existing)
+            keyed = keyed.join(
+                F.broadcast(dvdf),
+                (F.col("__fb") == F.col("__dv_file"))
+                & (F.col("__ri") == F.col("__dv_pos")),
+                "left_anti",
+            )
+        matched = keyed.localCheckpoint(eager=True)  # one scan feeds both arms
+        hits = matched.select("__fb", "__ri").limit(max_rows + 1).collect()
+        if len(hits) > max_rows:
+            raise ValueError(
+                f"update_where_dv: >{max_rows} matching rows — use merge() "
+                "for bulk updates"
+            )
+        if not hits:
+            return v
+        post = normalize_ntz(matched.drop("__fb", "__ri"))
+        for col, expr in set_exprs.items():
+            post = post.withColumn(col, F.expr(expr))
+        cons = man.get("constraints", {})
+        self._validate_constraints(post, cons)
+        schema = self._check_schema(
+            man.get("schema"), self._df_schema(post), "merge"
+        )
+        version = v + 1
+        new_files, new_stats = self._write_commit_data(post, version)
+        by_base: dict[str, list] = {}
+        for r in hits:
+            by_base.setdefault(r["__fb"], []).append(int(r["__ri"]))
+        base_to_rel = {os.path.basename(f): f for f in man["files"]}
+        merged_dv: dict[str, list] = {f: sorted(ps) for f, ps in existing.items()}
+        for b, ps in by_base.items():
+            rel = base_to_rel[b]
+            merged_dv[rel] = sorted(set(merged_dv.get(rel, [])) | set(ps))
+        return self._publish(
+            version,
+            man["files"] + new_files,
+            f"update-dv:{len(hits)} rows",
+            {**man.get("stats", {}), **new_stats},
+            man.get("txn", {}),
+            schema,
+            bloom=man.get("bloom", {}),
+            constraints=cons,
+            dv=merged_dv,
+        )
+
     def read(
         self,
         spark: SparkSession,

@@ -135,3 +135,34 @@ def test_detail_reports_dv_debt(spark, table):
     assert d["num_dv_rows"] == 14 and d["num_dv_files"] >= 1
     compact(table, spark, target_files=1)
     assert detail(table)["num_dv_rows"] == 0  # purge clears the debt
+
+
+def test_update_where_dv_is_one_atomic_commit(spark, table):
+    from ecommerce_dataengineering_project_spark.sources.txlog import detail
+
+    v = table.update_where_dv(spark, "k = 3", {"v": "v + 1000000"})
+    assert v == 2 and table.versions() == [1, 2]  # ONE commit, both arms
+    got = table.read(spark)
+    assert got.count() == 100  # update, not delete
+    updated = got.where(F.col("k") == 3).collect()
+    assert sorted(r.v for r in updated) == [i * 10 + 1000000 for i in range(3, 100, 7)]
+    # pre-images still time-travel
+    old = table.read(spark, version=1).where(F.col("k") == 3).collect()
+    assert all(r.v < 1000000 for r in old)
+    # CDF shows the preimage/postimage pair at v2
+    feed = [r for r in table.read_changes(spark, 1).collect() if r._commit_version == 2]
+    pre = sorted(r.v for r in feed if r._change_type == "delete")
+    post = sorted(r.v for r in feed if r._change_type == "insert")
+    assert pre == [i * 10 for i in range(3, 100, 7)]
+    assert post == [i * 10 + 1000000 for i in range(3, 100, 7)]
+    assert detail(table)["num_dv_rows"] == 14
+
+
+def test_update_where_dv_respects_constraints_and_gate(spark, table):
+    table.add_constraint(spark, "v_nonneg", "v >= 0")
+    with pytest.raises(Exception):
+        table.update_where_dv(spark, "k = 3", {"v": "-1"})  # violates CHECK
+    with pytest.raises(ValueError, match="update_where_dv"):
+        table.update_where_dv(spark, "id >= 0", {"v": "v"}, max_rows=10)
+    # failed attempts committed nothing
+    assert table.read(spark).where(F.col("v") < 0).count() == 0
