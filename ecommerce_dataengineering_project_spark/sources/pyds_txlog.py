@@ -123,6 +123,21 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "ignoreChanges=true to emit new files anyway "
                     "(rewritten rows will re-emit, Delta semantics)"
                 )
+            # deletion-vector commits change ROWS without changing the
+            # file list — every bit as much a non-append as a rewrite
+            # (already-emitted rows are now deleted upstream). Same
+            # contract as Delta readStream over a DV delete: refuse
+            # unless ignoreChanges, which degrades to new-files-only
+            # (this source also does not re-apply DVs to files it
+            # already emitted; downstream consumers own the deletes).
+            prev_dv = _manifest(self.root, v - 1).get("dv", {}) if v > 1 else {}
+            if man.get("dv", {}) != prev_dv and not self.ignore_changes:
+                raise ValueError(
+                    f"txlog_stream: commit v{v} ({man.get('action')}) changed "
+                    "deletion vectors — set ignoreChanges=true to continue "
+                    "with new files only (DV-deleted rows will NOT be "
+                    "retracted downstream, Delta semantics)"
+                )
             for f in sorted(cur - prev):
                 parts.append(InputPartition(os.path.join(self.root, f)))
             prev = cur

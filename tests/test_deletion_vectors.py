@@ -166,3 +166,47 @@ def test_update_where_dv_respects_constraints_and_gate(spark, table):
         table.update_where_dv(spark, "id >= 0", {"v": "v"}, max_rows=10)
     # failed attempts committed nothing
     assert table.read(spark).where(F.col("v") < 0).count() == 0
+
+
+def test_table_stream_refuses_dv_commits_unless_ignore_changes(spark, table):
+    """readStream over the table: a DV commit is a non-append (emitted
+    rows got deleted upstream) — the source must refuse without
+    ignoreChanges and continue new-files-only with it (Delta
+    semantics)."""
+    import os as _os
+
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+
+    pyds_txlog.register(spark)
+    table.delete_where_dv(spark, "k = 3")
+    table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    sink = _os.path.join(table.root, "_stream_sink")
+    ckpt = _os.path.join(table.root, "_stream_ckpt")
+
+    def run(ignore_changes):
+        q = (
+            spark.readStream.format("txlog_stream")
+            .option("path", table.root)
+            .option("ignoreChanges", str(ignore_changes).lower())
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="deletion vectors|DV|StreamingQuery"):
+        run(False)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    run(True)  # degrades to new-files-only
+    got = spark.read.parquet(sink)
+    assert got.count() == 105  # all files' rows; DV retraction is downstream's job
