@@ -1105,8 +1105,14 @@ class TxTable:
         if not hits:
             return v
         post = normalize_ntz(matched.drop("__fb", "__ri"))
+        # SQL UPDATE semantics: SET expressions cast to the COLUMN's
+        # existing type (a literal 99 is int, the column may be bigint —
+        # without the cast the post-image append trips the schema check)
+        orig_types = dict(post.dtypes)
         for col, expr in set_exprs.items():
-            post = post.withColumn(col, F.expr(expr))
+            if col not in orig_types:
+                raise ValueError(f"update_where_dv: unknown column {col!r}")
+            post = post.withColumn(col, F.expr(expr).cast(orig_types[col]))
         cons = man.get("constraints", {})
         self._validate_constraints(post, cons)
         schema = self._check_schema(

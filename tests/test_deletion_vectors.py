@@ -210,3 +210,28 @@ def test_table_stream_refuses_dv_commits_unless_ignore_changes(spark, table):
     run(True)  # degrades to new-files-only
     got = spark.read.parquet(sink)
     assert got.count() == 105  # all files' rows; DV retraction is downstream's job
+
+
+def test_dv_delete_equals_plain_filter_for_random_predicates(spark):
+    """Property: for ANY modulus predicate, DV-delete == NOT-filter of
+    the base, and a follow-up DV-update == CASE over that. Random-ish
+    sweep over parameters rather than hypothesis (the table build
+    dominates; a handful of diverse moduli covers the shapes)."""
+    for mod, rem in [(3, 0), (7, 5), (97, 1), (2, 1)]:
+        t = recreate(os.path.join(TMP_ROOT, "dv_tests", f"prop_{mod}_{rem}"))
+        base = spark.range(200).select(
+            F.col("id"), (F.col("id") * 3 % 11).alias("v")
+        )
+        t.append(base.repartition(3))
+        t.delete_where_dv(spark, f"id % {mod} = {rem}")
+        want = sorted(
+            (r.id, r.v) for r in base.where(~(F.col("id") % mod == rem)).collect()
+        )
+        got = sorted((r.id, r.v) for r in t.read(spark).collect())
+        assert got == want, (mod, rem)
+        t.update_where_dv(spark, "v = 0", {"v": "99"})
+        want2 = sorted(
+            (i, 99 if v == 0 else v) for i, v in want
+        )
+        got2 = sorted((r.id, r.v) for r in t.read(spark).collect())
+        assert got2 == want2, (mod, rem)
