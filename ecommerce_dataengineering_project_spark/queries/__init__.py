@@ -26,100 +26,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r8 rotation (VERDICT r7 item 1): SEVENTEEN shapes with zero
-    # driver evidence swapped in for greens whose SURVEY row keeps an
-    # in-cap or prior-board representative. Led by the only three rows
-    # EVER red on a driver board (cohort_retention, ingestion_freshness,
-    # tumbling_window_events — r01, parquet TIMESTAMP-NANOS fixture
-    # issue fixed at sources/readers.py; locally re-verified every round
-    # since). Every swapped-out name stays registered and locally
-    # oracle-checked (tests/test_oracle_parity.py); family floors pinned
-    # by tests/test_registry.py.
+    # r9 rotation (VERDICT r8 item 1, split staged at the bottom of
+    # STATUS r8): THIRTY-FOUR never-driver-checked queries swap in —
+    # the 20 highest-novelty r8-continuation shapes plus the 14
+    # r8-plan leftovers — against long-green r8-board rows. Every
+    # rotated-out name stays registered and locally oracle-checked
+    # (tests/test_oracle_parity.py); every SURVEY §2 family keeps an
+    # in-cap keeper or a prior-board green. All 34 incoming queries
+    # carry full DuckDB oracles (no new rows-only slots; the one r8
+    # rows-only slot, sketch_incremental_rollup, rotates out with its
+    # r8 executed row banked). 16 keepers span the families: core
+    # medallion, streaming bronze->gold + stateful, dedup/SemDeDup,
+    # ANN, multimodal + binary ingest, txlog, corpus pipeline, CDC,
+    # graph, pandas-UDF, Bloom scale lever.
     #
-    # Swaps, OUT (driver-green rounds) -> IN (first evidence):
-    #   dedup_keep_first        (r7)    -> cohort_retention (r01 redo)
-    #   scd2_customer_dim       (r7)    -> ingestion_freshness (r01 redo)
-    #   dedup_incremental       (r7)    -> tumbling_window_events (r01 redo)
-    #   stream_generator_ingest (r5-r7) -> stream_socket_ingest (S1
-    #     network arm: REAL TCP hop, new in r8)
-    #   similarity_topk         (r7)    -> ann_pq_topk (X3 PQ/ADC)
-    #   ann_ivf_topk            (r7)    -> pq_codes (X3, SQL-exact codes)
-    #   txlog_pruned_read       (r7)    -> txlog_zorder_2d_scan (X12)
-    #   zorder_orders_key       (r7)    -> txlog_bloom_point_read (X12)
-    #   json_quarantine         (r7)    -> stream_quarantine (§2i arm)
-    #   range_frame_activity    (r7)    -> window_first_last (§2f)
-    #   jsonl_roundtrip         (r7)    -> orc_roundtrip (K5 family)
-    #   mapinarrow_norms        (r6-r7) -> generator_source (X19 batch)
-    #   session_paths           (r7)    -> doc_fingerprint (X4)
-    #   grouping_sets_revenue   (r7)    -> dedup_substring (X1, C4 shape)
-    #   ewma_revenue            (r7)    -> doc_perplexity (X11 CCNet)
-    #   project_embeddings      (r7)    -> stream_dedup (§2i dedup arm)
-    #   anomaly_scores_distributed (r7) -> sketch_incremental_rollup
-    #     (the ONE rows-only slot moves to a never-driver-run sketch;
-    #      the distributed scorer keeps its r7 board row + golden tests).
-    #
-    # reference core: medallion projections, producer parity, events ELT
+    # reference core: medallion projections + the flagship daily agg
     "daily_sales",
     "fct_purchases",
-    # S1 evidence: the network arm (real TCP hop through the socket
-    # source) + the custom batch DataSource arm; the streaming
-    # DataSource arm holds r5-r7 board greens.
-    "stream_socket_ingest",
-    "generator_source",
-    "pit_join_orders",
-    "item_recommendations",
-    "sql_shipping_priority",
-    "anomaly_features",
-    "table_profile",
-    "scalar_functions",
-    # the three r01-red-since-fixed rows, finally back on the board
-    "cohort_retention",
-    "ingestion_freshness",
-    "tumbling_window_events",
-    # streaming (the reference's core path)
+    # streaming keepers: bronze->silver ELT, stateful restock (the r8
+    # bench watch item stays on the board), streaming MERGE upsert
     "stream_bronze_silver",
-    "stream_txlog_append",
     "stream_inventory_restock",
-    "stream_scd2_dim",
-    "stream_dedup",
-    "stream_quarantine",
-    # LLM-pipeline: dedup family — incremental arms (the 100 TB
-    # operating mode) + cluster collapse + SemDeDup + substring dedup.
+    "stream_upsert_gold",
+    # streaming, first evidence: RocksDB state backend, statestore
+    # introspection, two-table fan-out, LEFT OUTER stream-stream join,
+    # chained stateful (dedup -> tumbling window)
+    "stream_dedup_rocksdb",
+    "statestore_inspect",
+    "stream_fanout_two_tables",
+    "stream_stream_left_join",
+    "stream_dedup_then_window",
+    # declarative pipelines + MV routing + DataSource write half
+    "sdp_pipeline_daily",
+    "mv_routed_daily_sales",
+    "datasource_write_roundtrip",
+    # lakehouse txlog: keepers (Z-order pruning) + first evidence
+    # (symlink-manifest external read, threshold auto-compaction)
+    "txlog_zorder_2d_scan",
+    "athena_manifest_read",
+    "txlog_auto_compact",
+    # dedup / similarity keepers (incremental LSH is the 100 TB mode)
     "dedup_incremental_minhash",
-    "dedup_clusters",
-    "dedup_substring",
     "semantic_dedup",
-    # text-quality + fingerprint + ANN (PQ both arms)
-    "doc_perplexity",
-    "doc_fingerprint",
     "ann_pq_topk",
-    "pq_codes",
-    # multimodal + binary corpus ingest (X15 both arms)
+    "bloom_semi_reduce",
+    # tokenizer training + graph census, first evidence
+    "bpe_pair_counts",
+    "triangle_count",
+    # §2j vectorized-Python surface, first evidence: table-arg Arrow
+    # UDTF, cogrouped merge_asof, observe() DQ metrics; keeper scalar
+    # pandas UDF + multimodal decode + binary corpus ingest
+    "udtf_user_sessions",
+    "cogroup_asof_pandas",
+    "observed_dq_metrics",
+    "pandas_udf_score",
     "multimodal_decode",
     "binary_files_ingest",
-    # lakehouse txlog: 2-D Z-order conjunctive pruning + per-file Bloom
-    # point reads (first driver rows for the r7 index layer)
-    "txlog_zorder_2d_scan",
-    "txlog_bloom_point_read",
-    "bloom_semi_reduce",
+    # X24 modern-SQL surface, first evidence
+    "recursive_cte_reach",
+    "lateral_topk_orders",
+    "variant_shred_events",
+    "theta_segment_overlap",
+    "sql_udf_pricing",
+    # r8-plan leftovers (X4/X7/X10/X11/X23 + SQL shapes), first evidence
+    "array_functions",
+    "attribution_last_touch",
+    "bigram_lm",
+    "corpus_report",
+    "curriculum_order",
+    "doc_familiarity",
+    "ngram_repetition",
+    "padding_batches",
+    "revenue_histogram",
+    "shuffle_corpus",
+    "split_train_val_test",
+    "token_histogram",
+    "unpivot_returnflag",
+    "vocab_coverage",
+    # remaining keepers: end-to-end corpus reduction, CDC MERGE, graph
     "corpus_pipeline_full",
-    "inverted_index",
-    "range_join_coincident",
-    "pagerank_copurchase",
-    "pii_scrub",
     "cdc_apply",
-    "segment_overlap_exact",
-    "pack_training_bins",
-    "mixture_sample",
-    "stream_upsert_gold",
-    "equidepth_histogram",
-    "skew_salted_join",
-    "fuzzy_name_matches",
-    "incremental_mv_refresh",
-    "window_first_last",
-    "orc_roundtrip",
-    "pandas_udf_score",
-    "sketch_incremental_rollup",
+    "pagerank_copurchase",
 )
 
 

@@ -23,13 +23,13 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r8 (VERDICT r7 item 1): seventeen never-driver-checked shapes
-        # rotate in, led by the three r01-red-since-fixed rows; every
-        # swapped-out variant's SURVEY row keeps an in-cap or
-        # prior-board representative and stays registered + locally
-        # oracle-checked.
-        "stream_": 8,
-        "dedup_": 3,
+        # r9 (VERDICT r8 item 1): thirty-four never-driver-checked
+        # queries rotate in (20 high-novelty continuation shapes + 14
+        # r8-plan leftovers); every swapped-out name's SURVEY row keeps
+        # an in-cap keeper or a prior-board green and stays registered
+        # + locally oracle-checked.
+        "stream_": 7,
+        "dedup_": 1,
         "txlog_": 2,
         "multimodal_": 1,
         "ann_": 1,
@@ -37,29 +37,31 @@ def test_priority_covers_every_operator_family():
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
-    for name in ("corpus_pipeline_full",
-                 "pii_scrub", "segment_overlap_exact", "pack_training_bins",
-                 "semantic_dedup",
-                 "pagerank_copurchase", "cdc_apply",
-                 "table_profile",
-                 "dedup_incremental_minhash",
-                 "inverted_index", "equidepth_histogram",
-                 "anomaly_features", "sql_shipping_priority",
-                 "stream_txlog_append", "item_recommendations",
-                 "fuzzy_name_matches",
-                 "pit_join_orders",
-                 "bloom_semi_reduce", "incremental_mv_refresh",
-                 "stream_scd2_dim", "skew_salted_join",
-                 "binary_files_ingest", "pandas_udf_score",
-                 # r8 rotation: first driver evidence for these seventeen
-                 "cohort_retention", "ingestion_freshness",
-                 "tumbling_window_events", "stream_socket_ingest",
-                 "generator_source", "ann_pq_topk", "pq_codes",
-                 "txlog_zorder_2d_scan", "txlog_bloom_point_read",
-                 "stream_quarantine", "window_first_last",
-                 "orc_roundtrip", "doc_fingerprint", "dedup_substring",
-                 "doc_perplexity", "stream_dedup",
-                 "sketch_incremental_rollup"):
+    for name in (
+        # 16 keepers spanning the families
+        "daily_sales", "fct_purchases", "stream_bronze_silver",
+        "stream_inventory_restock", "stream_upsert_gold",
+        "dedup_incremental_minhash", "semantic_dedup", "ann_pq_topk",
+        "multimodal_decode", "binary_files_ingest",
+        "txlog_zorder_2d_scan", "bloom_semi_reduce",
+        "corpus_pipeline_full", "cdc_apply", "pagerank_copurchase",
+        "pandas_udf_score",
+        # r9 rotation: 34 first-evidence rows
+        "stream_dedup_rocksdb", "statestore_inspect",
+        "stream_fanout_two_tables", "stream_stream_left_join",
+        "stream_dedup_then_window", "sdp_pipeline_daily",
+        "mv_routed_daily_sales", "datasource_write_roundtrip",
+        "athena_manifest_read", "txlog_auto_compact",
+        "bpe_pair_counts", "triangle_count", "udtf_user_sessions",
+        "cogroup_asof_pandas", "observed_dq_metrics",
+        "recursive_cte_reach", "lateral_topk_orders",
+        "variant_shred_events", "theta_segment_overlap",
+        "sql_udf_pricing", "array_functions", "attribution_last_touch",
+        "bigram_lm", "corpus_report", "curriculum_order",
+        "doc_familiarity", "ngram_repetition", "padding_batches",
+        "revenue_histogram", "shuffle_corpus", "split_train_val_test",
+        "token_histogram", "unpivot_returnflag", "vocab_coverage",
+    ):
         assert name in PRIORITY
 
 
