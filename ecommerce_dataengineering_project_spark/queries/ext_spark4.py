@@ -753,12 +753,24 @@ def q_udtf_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.prev_us = None
             self.max_gap = None
 
+        @staticmethod
+        def _epoch_us(ts):
+            # exact integer arithmetic: ts.timestamp()*1e6 routes through
+            # float64 and can truncate 1µs low on unlucky timestamps,
+            # mismatching the oracle's exact epoch_us (ADVICE r8)
+            import datetime as dt
+
+            epoch = dt.datetime(
+                1970, 1, 1, tzinfo=dt.timezone.utc if ts.tzinfo else None
+            )
+            return (ts - epoch) // dt.timedelta(microseconds=1)
+
         def eval(self, row) -> None:
             self.user = row["user_id"]
             self.n += 1
             self.types.add(row["event_type"])
             ts = row["ts"]
-            us = int(ts.timestamp() * 1_000_000) if ts is not None else None
+            us = self._epoch_us(ts) if ts is not None else None
             if us is not None and self.prev_us is not None:
                 gap = us - self.prev_us
                 if self.max_gap is None or gap > self.max_gap:

@@ -112,17 +112,24 @@ class JsonlSinkWriter(DataSourceWriter):
 
     def commit(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         man = _read_manifest(self.path)
+        old_files = man["files"] if self.overwrite else []
         if self.overwrite:
-            for old in man["files"]:
-                try:
-                    os.remove(os.path.join(self.path, old))
-                except FileNotFoundError:
-                    pass
             man = {"files": [], "rows": 0, "epochs": {}}
         published = _publish(self.path, messages)
         man["files"].extend(published)
         man["rows"] += sum(m.rows for m in messages if m is not None)
+        # Atomic publication FIRST: manifest-scoped readers flip from
+        # the old file set to the new in one os.replace. Only then
+        # best-effort delete the no-longer-referenced overwritten files
+        # — a crash between the two leaves harmless stragglers (already
+        # invisible to manifest readers), never a manifest pointing at
+        # removed files.
         _write_manifest(self.path, man)
+        for old in old_files:
+            try:
+                os.remove(os.path.join(self.path, old))
+            except FileNotFoundError:
+                pass
 
     def abort(self, messages: List[Optional[WriterCommitMessage]]) -> None:
         staging = os.path.join(self.path, "_staging")

@@ -310,6 +310,10 @@ class TxTable:
             man.get("schema"),
             bloom=man.get("bloom", {}),
             constraints=cons,
+            # metadata-only commit: the data snapshot is unchanged, so
+            # the deletion vectors MUST carry (dropping them would
+            # resurrect every DV-deleted row in the new version)
+            dv=man.get("dv", {}),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -331,6 +335,7 @@ class TxTable:
             man.get("schema"),
             bloom=man.get("bloom", {}),
             constraints=cons,
+            dv=man.get("dv", {}),  # metadata-only: DVs carry (see add)
         )
 
     # ---------------------------------------------------------- schema
@@ -974,6 +979,61 @@ class TxTable:
             ).drop("__dv_fb", "__dv_ri")
         )
 
+    def _dv_candidates(
+        self, spark: SparkSession, predicate: str, man: dict
+    ) -> DataFrame:
+        """The shared candidate scan for both DV write paths
+        (delete_where_dv / update_where_dv): every LIVE row of the
+        snapshot (existing DV positions anti-joined away) matching
+        ``predicate``, keyed by (file basename ``__fb``, row position
+        ``__ri``). NTZ-normalized like the ``_read_files`` choke point,
+        so a timestamp predicate selects exactly the rows the same
+        predicate selects on ``read()`` — evaluating over the raw
+        parquet schema could pick a different row set (tz-adjusted vs
+        NTZ wallclock). NULL predicate rows are kept (SQL DELETE/UPDATE
+        semantics). One helper feeds both callers so a predicate-
+        semantics fix can never land in only one of them."""
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(self.root, f) for f in man["files"]]
+        base = spark.read.option("mergeSchema", "true").parquet(*paths)
+        keyed = normalize_ntz(
+            base.select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("__fb"),
+                F.col("_metadata.row_index").alias("__ri"),
+                "*",
+            )
+        ).where(F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
+        existing = man.get("dv", {})
+        if existing:
+            dvdf = self._dv_frame(spark, existing)
+            keyed = keyed.join(
+                F.broadcast(dvdf),
+                (F.col("__fb") == F.col("__dv_file"))
+                & (F.col("__ri") == F.col("__dv_pos")),
+                "left_anti",
+            )
+        return keyed
+
+    @staticmethod
+    def _merge_dv(man: dict, hits) -> dict[str, list]:
+        """Fold freshly matched (basename, position) rows into the
+        snapshot's existing dv map (manifest-relative keys, sorted
+        positions)."""
+        by_base: dict[str, list] = {}
+        for r in hits:
+            by_base.setdefault(r["__fb"], []).append(int(r["__ri"]))
+        base_to_rel = {os.path.basename(f): f for f in man["files"]}
+        merged: dict[str, list] = {
+            f: sorted(ps) for f, ps in man.get("dv", {}).items()
+        }
+        for b, ps in by_base.items():
+            rel = base_to_rel[b]
+            merged[rel] = sorted(set(merged.get(rel, [])) | set(ps))
+        return merged
+
     def delete_where_dv(
         self,
         spark: SparkSession,
@@ -999,31 +1059,12 @@ class TxTable:
         dv rows are already filtered, so re-deleting is naturally
         idempotent). NULL predicate rows are kept (SQL DELETE
         semantics)."""
-        from pyspark.sql import functions as F
-
         vs = self.versions()
         if not vs:
             raise FileNotFoundError(f"no commits in {self.root}")
         v = vs[-1]
         man = self._manifest(v)
-        paths = [os.path.join(self.root, f) for f in man["files"]]
-        base = spark.read.option("mergeSchema", "true").parquet(*paths)
-        keyed = base.select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "__fb"
-            ),
-            F.col("_metadata.row_index").alias("__ri"),
-            "*",
-        ).where(F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
-        existing = man.get("dv", {})
-        if existing:
-            dvdf = self._dv_frame(spark, existing)
-            keyed = keyed.join(
-                F.broadcast(dvdf),
-                (F.col("__fb") == F.col("__dv_file"))
-                & (F.col("__ri") == F.col("__dv_pos")),
-                "left_anti",
-            )
+        keyed = self._dv_candidates(spark, predicate, man)
         hits = keyed.select("__fb", "__ri").limit(max_rows + 1).collect()
         if len(hits) > max_rows:
             raise ValueError(
@@ -1032,14 +1073,7 @@ class TxTable:
             )
         if not hits:
             return v  # nothing matches: no commit
-        by_base: dict[str, list] = {}
-        for r in hits:
-            by_base.setdefault(r["__fb"], []).append(int(r["__ri"]))
-        base_to_rel = {os.path.basename(f): f for f in man["files"]}
-        merged: dict[str, list] = {f: sorted(ps) for f, ps in existing.items()}
-        for b, ps in by_base.items():
-            rel = base_to_rel[b]
-            merged[rel] = sorted(set(merged.get(rel, [])) | set(ps))
+        merged = self._merge_dv(man, hits)
         return self._publish(
             v + 1,
             man["files"],
@@ -1077,24 +1111,7 @@ class TxTable:
             raise FileNotFoundError(f"no commits in {self.root}")
         v = vs[-1]
         man = self._manifest(v)
-        paths = [os.path.join(self.root, f) for f in man["files"]]
-        base = spark.read.option("mergeSchema", "true").parquet(*paths)
-        keyed = base.select(
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-                "__fb"
-            ),
-            F.col("_metadata.row_index").alias("__ri"),
-            "*",
-        ).where(F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
-        existing = man.get("dv", {})
-        if existing:
-            dvdf = self._dv_frame(spark, existing)
-            keyed = keyed.join(
-                F.broadcast(dvdf),
-                (F.col("__fb") == F.col("__dv_file"))
-                & (F.col("__ri") == F.col("__dv_pos")),
-                "left_anti",
-            )
+        keyed = self._dv_candidates(spark, predicate, man)
         matched = keyed.localCheckpoint(eager=True)  # one scan feeds both arms
         hits = matched.select("__fb", "__ri").limit(max_rows + 1).collect()
         if len(hits) > max_rows:
@@ -1104,7 +1121,8 @@ class TxTable:
             )
         if not hits:
             return v
-        post = normalize_ntz(matched.drop("__fb", "__ri"))
+        # _dv_candidates already NTZ-normalized the relation
+        post = matched.drop("__fb", "__ri")
         # SQL UPDATE semantics: SET expressions cast to the COLUMN's
         # existing type (a literal 99 is int, the column may be bigint —
         # without the cast the post-image append trips the schema check)
@@ -1120,14 +1138,7 @@ class TxTable:
         )
         version = v + 1
         new_files, new_stats = self._write_commit_data(post, version)
-        by_base: dict[str, list] = {}
-        for r in hits:
-            by_base.setdefault(r["__fb"], []).append(int(r["__ri"]))
-        base_to_rel = {os.path.basename(f): f for f in man["files"]}
-        merged_dv: dict[str, list] = {f: sorted(ps) for f, ps in existing.items()}
-        for b, ps in by_base.items():
-            rel = base_to_rel[b]
-            merged_dv[rel] = sorted(set(merged_dv.get(rel, [])) | set(ps))
+        merged_dv = self._merge_dv(man, hits)
         return self._publish(
             version,
             man["files"] + new_files,
@@ -1710,6 +1721,18 @@ def generate_symlink_manifest(table: TxTable, version: int | None = None) -> str
         raise FileNotFoundError(f"no commits in {table.root}")
     v = vs[-1] if version is None else version
     man = table._manifest(v)
+    # A symlink manifest is just a file list — an external engine
+    # reading through it cannot apply deletion vectors, so it would see
+    # DV-deleted rows (and stale pre-images after update_where_dv).
+    # Delta refuses GENERATE on DV-enabled tables for the same reason.
+    dv_rows = sum(len(ps) for ps in man.get("dv", {}).values())
+    if dv_rows:
+        raise ValueError(
+            f"generate_symlink_manifest: snapshot v{v} carries deletion "
+            f"vectors ({dv_rows} row(s)) that a manifest reader cannot "
+            "apply — run compact() first to purge DVs (Delta refuses "
+            "GENERATE on DV-enabled tables for the same reason)"
+        )
     out_dir = os.path.join(table.root, MANIFEST_DIR)
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f".manifest.tmp.{os.getpid()}")

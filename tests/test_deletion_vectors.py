@@ -235,3 +235,71 @@ def test_dv_delete_equals_plain_filter_for_random_predicates(spark):
         )
         got2 = sorted((r.id, r.v) for r in t.read(spark).collect())
         assert got2 == want2, (mod, rem)
+
+
+def test_metadata_only_constraint_commits_carry_dv(spark, table):
+    """ADVICE r8 (high): add/drop_constraint publish metadata-only
+    commits — dropping the dv map there resurrected every DV-deleted
+    row in the new snapshot. DVs must ride along untouched."""
+    table.delete_where_dv(spark, "k = 3")
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+    assert len(before) == 86
+    v = table.add_constraint(spark, "v_nonneg", "v >= 0")
+    assert sum(len(ps) for ps in table._manifest(v)["dv"].values()) == 14
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+    v = table.drop_constraint("v_nonneg")
+    assert sum(len(ps) for ps in table._manifest(v)["dv"].values()) == 14
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == before
+
+
+def test_constraint_commit_after_dv_update_keeps_single_image(spark, table):
+    """The UPDATE flavor of the same bug: losing the dv map after
+    update_where_dv would DOUBLE-COUNT updated rows (pre-image rows
+    resurrect while post-image files stay)."""
+    table.update_where_dv(spark, "k = 3", {"v": "-1"})
+    before = sorted(tuple(r) for r in table.read(spark).collect())
+    assert len(before) == 100  # update, not delete: count unchanged
+    table.add_constraint(spark, "id_nonneg", "id >= 0")
+    after = sorted(tuple(r) for r in table.read(spark).collect())
+    assert after == before
+
+
+def test_symlink_manifest_refuses_dv_snapshots(spark, table):
+    """ADVICE r8 (medium): a symlink manifest is a bare file list — an
+    external engine reading it cannot apply DVs, so GENERATE must
+    refuse on a DV-carrying snapshot (Delta does the same). compact()
+    purges the DVs and unblocks it."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        generate_symlink_manifest,
+    )
+
+    table.delete_where_dv(spark, "k = 3")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        generate_symlink_manifest(table)
+    # explicit old versions without DVs are still exportable
+    assert os.path.exists(generate_symlink_manifest(table, version=1))
+    compact(table, spark, target_files=1)  # DV purge
+    assert os.path.exists(generate_symlink_manifest(table))
+
+
+def test_dv_candidate_scan_is_ntz_normalized(spark, request):
+    """ADVICE r8 (low): the DV predicate scan must evaluate over the
+    same NTZ-normalized relation as read() — a raw parquet scan sees
+    TIMESTAMP_NTZ where read() sees TIMESTAMP, so a timestamp predicate
+    could delete a different row set than it selects on read."""
+    t = recreate(os.path.join(TMP_ROOT, "dv_tests", request.node.name))
+    t.append(
+        spark.sql(
+            "SELECT id, timestampadd(HOUR, CAST(id AS INT), "
+            "timestamp_ntz'2024-03-01 00:00:00') AS ts FROM range(48)"
+        )
+    )
+    man = t._manifest(t.versions()[-1])
+    keyed = t._dv_candidates(spark, "true", man)
+    assert "timestamp_ntz" not in {dt for _, dt in keyed.dtypes}
+    pred = "ts < timestamp'2024-03-02 00:00:00'"
+    want_gone = {r.id for r in t.read(spark).where(pred).collect()}
+    assert want_gone == set(range(24))
+    t.delete_where_dv(spark, pred)
+    kept = {r.id for r in t.read(spark).collect()}
+    assert kept == set(range(24, 48))

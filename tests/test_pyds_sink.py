@@ -141,3 +141,42 @@ def test_streaming_write_through_writestream(spark, table):
     assert {(r.id, r.v) for r in got} == {(i, f"v{i}") for i in range(10)}
     man = pyds_sink._read_manifest(table)
     assert man["rows"] == 10 and man["epochs"]
+
+
+def test_overwrite_publishes_manifest_before_deleting_old_files(
+    spark, table, monkeypatch
+):
+    """ADVICE r8 (low): overwrite commit order — the new manifest must
+    be atomically published BEFORE the old part files are removed, so a
+    crash mid-commit leaves harmless (manifest-invisible) stragglers,
+    never a manifest pointing at deleted files. Spark runs commit() in
+    a separate Python worker, so this drives the writer protocol
+    directly in-process (same style as the epoch-idempotency test)."""
+    _write(spark, table, [(1, "a")])
+    old_files = set(pyds_sink._read_manifest(table)["files"])
+    assert old_files
+    # stage one replacement part file, as a write task would
+    msg = pyds_sink._stage_rows(table, iter([Row(id=9, v="z")]))
+    attempted = []
+    real_remove = os.remove
+
+    def crashy_remove(p):
+        if os.path.basename(p) in old_files:
+            # ordering contract: by the time ANY old file is deleted,
+            # the published manifest must already exclude all of them
+            man_now = pyds_sink._read_manifest(table)
+            assert not old_files & set(man_now["files"])
+            assert msg.filename in man_now["files"]
+            attempted.append(p)
+            return  # simulate a crash before this delete lands
+        real_remove(p)
+
+    monkeypatch.setattr(pyds_sink.os, "remove", crashy_remove)
+    pyds_sink.JsonlSinkWriter({"path": table}, overwrite=True).commit([msg])
+    monkeypatch.undo()
+    assert attempted  # the cleanup ran, after publication
+    # the straggler left by the "crash" is invisible to manifest reads
+    for f in old_files:
+        assert os.path.exists(os.path.join(table, f))
+    got = pyds_sink.read_jsonl_sink(spark, table, SCHEMA).collect()
+    assert [(r.id, r.v) for r in got] == [(9, "z")]
