@@ -83,19 +83,43 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.withColumn("symbols", merged)
 
 
+# Plan-depth wall (same class as the Bloom literal gate): every merge
+# nests one more sequential-fold `aggregate` HOF into the vocab plan,
+# and Catalyst analysis time goes superlinear in that depth — a
+# thousand-merge trainer would build an unanalyzable plan. Truncating
+# lineage with an eager localCheckpoint every CHECKPOINT_EVERY merges
+# bounds the live plan to at most CHECKPOINT_EVERY folds; the relation
+# is vocabulary-sized, so the checkpoint itself is cheap.
+CHECKPOINT_EVERY = 16
+
+# The analyzed plan of the final vocab relation from the last
+# train_merges call — lets tests pin that the fold depth stays bounded
+# (mirrors streaming/harness.LAST_PLAN).
+LAST_VOCAB_PLAN: str | None = None
+
+
 def train_merges(
-    docs: DataFrame, text_col: str = "text", n_merges: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 5,
+    checkpoint_every: int = CHECKPOINT_EVERY,
 ) -> DataFrame:
     """The trainer: n_merges greedy iterations; returns the merge table
     (step, left, right, merged, pair_count) as a DataFrame. Ties on
     pair_count break lexicographically on (left, right), making the
-    whole table deterministic for any partitioning."""
+    whole table deterministic for any partitioning.
+
+    Each iteration re-plans the vocabulary relation from the previous
+    fold, so the vocab plan deepens by one `aggregate` HOF per merge;
+    every ``checkpoint_every`` merges the loop eagerly localCheckpoints
+    the relation (ENFORCED, not advisory — the r8 audit flagged the
+    unbounded-depth path) so plan depth is O(checkpoint_every) no
+    matter how many merges a trainer runs."""
+    global LAST_VOCAB_PLAN
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     spark = docs.sparkSession
     vocab = word_counts(docs, text_col)
-    # each iteration re-plans from the previous fold; the relation is
-    # vocabulary-sized, so localCheckpoint-free replanning stays cheap
-    # for the bounded n_merges a query runs (a production trainer with
-    # thousands of merges would checkpoint every ~50 steps)
     rows = []
     for step in range(1, n_merges + 1):
         top = (
@@ -109,6 +133,9 @@ def train_merges(
         t = top[0]
         rows.append((step, t.left, t.right, t.left + t.right, t.pair_count))
         vocab = _apply_merge(vocab, t.left, t.right)
+        if step % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    LAST_VOCAB_PLAN = vocab._jdf.queryExecution().analyzed().toString()
     return spark.createDataFrame(
         rows, "step INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
     )

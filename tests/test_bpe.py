@@ -130,3 +130,32 @@ def test_encode_matches_reference_segmentation(spark):
         ).collect()
     }
     assert got == {w: ref_count(w) for w in words}
+
+
+def test_fold_depth_stays_bounded_at_50_merges(spark):
+    """The plan-depth wall (r8 audit item): a 50-merge run with the
+    default checkpoint interval must leave at most CHECKPOINT_EVERY
+    sequential-fold `aggregate` HOFs in the live vocab plan (lineage
+    truncated by the enforced localCheckpoint), and checkpointing must
+    not change the merge table."""
+    import string
+
+    from ecommerce_dataengineering_project_spark.operators import bpe
+
+    # two 26-letter words -> ~50 distinct best pairs, enough for 50 merges
+    texts = [string.ascii_lowercase + " " + string.ascii_lowercase[::-1]]
+    docs = spark.createDataFrame([(t,) for t in texts], "text STRING")
+    got = [tuple(r) for r in bpe.train_merges(docs, n_merges=50).collect()]
+    assert len(got) == 50
+    assert bpe.LAST_VOCAB_PLAN is not None
+    folds = bpe.LAST_VOCAB_PLAN.count("aggregate(")
+    assert folds <= bpe.CHECKPOINT_EVERY, folds
+    # identical merges with checkpointing effectively off
+    ungated = [
+        tuple(r)
+        for r in bpe.train_merges(
+            docs, n_merges=50, checkpoint_every=10**9
+        ).collect()
+    ]
+    assert got == ungated
+    assert got == _reference_merges(texts, 50)
