@@ -94,6 +94,13 @@ def main() -> None:
     spark = get_spark(app_name="ecommerce-dataengineering-project-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries, _ = registry()
+    # Bisect loops: SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the timed
+    # set (same warmup/staging/calibration as a full run, so samples
+    # are comparable). The driver never sets it.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        queries = {n: f for n, f in queries.items() if n in keep}
 
     # Warm the JVM/scan path and the Python-worker/Arrow path once so
     # the alphabetically-first queries don't absorb session startup or
