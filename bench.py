@@ -53,32 +53,30 @@ HEADLINE = [
     "fuzzy_name_matches",
     "stream_txlog_append",
     "anomaly_scores_distributed",
-    # r8 rotation watchlist: first driver evidence this round
-    "cohort_retention",
-    "ingestion_freshness",
-    "tumbling_window_events",
+    # long-green representatives still worth watching
     "stream_socket_ingest",
     "generator_source",
     "ann_pq_topk",
-    "pq_codes",
     "txlog_zorder_2d_scan",
-    "txlog_bloom_point_read",
-    "dedup_substring",
     "doc_perplexity",
-    "doc_fingerprint",
     "stream_dedup",
-    "stream_quarantine",
-    "window_first_last",
-    "orc_roundtrip",
-    "sketch_incremental_rollup",
     "bucketed_join_revenue",
-    # r8-continuation watchlist: the heaviest of the new surface (SDP
-    # executor, RocksDB state, MV routing, tokenizer training)
+    # r9 rotation watchlist: first driver evidence this round — the
+    # heaviest of the new window (stateful chains, outer stream-stream
+    # join, fan-out, SDP executor, RocksDB state, UDTF/cogroup arms)
     "sdp_pipeline_daily",
     "stream_dedup_rocksdb",
     "mv_routed_daily_sales",
     "bpe_merges",
     "triangle_count",
+    "stream_stream_left_join",
+    "stream_dedup_then_window",
+    "stream_fanout_two_tables",
+    "udtf_user_sessions",
+    "cogroup_asof_pandas",
+    "datasource_write_roundtrip",
+    "athena_manifest_read",
+    "recursive_cte_reach",
 ]
 
 
@@ -159,6 +157,27 @@ def main() -> None:
 
     calib_runs = [_calib_run() for _ in range(max(repeats, 3))]
 
+    # Second calibration kernel: the PYTHON/Arrow framework floor (a
+    # no-op mapInPandas round-trip). The JVM codegen kernel above
+    # cannot track drift in the python-worker-pool / Arrow-transfer
+    # machinery that streaming-stateful and pandas-UDF queries ride —
+    # the r8 board read a ~0.2 s drift of that floor as a "1.43x
+    # normalized regression" of stream_inventory_restock
+    # (tools/profile_restock_floor.py has the bisect). Stream/UDF
+    # round-over-round comparisons should sanity-check against
+    # calib_py drift before declaring a query regressed.
+    def _calib_py_run() -> float:
+        def _ident(batches):
+            yield from batches
+
+        t0 = time.perf_counter()
+        spark.range(0, 200_000, 1, 32).mapInPandas(
+            _ident, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    calib_py_runs = [_calib_py_run() for _ in range(max(repeats, 3))]
+
     suite_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -209,6 +228,8 @@ def main() -> None:
         "samples": samples,
         "calib": {"median": round(statistics.median(calib_runs), 3),
                   "best": min(calib_runs), "samples": calib_runs},
+        "calib_py": {"median": round(statistics.median(calib_py_runs), 3),
+                     "best": min(calib_py_runs), "samples": calib_py_runs},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -231,6 +252,9 @@ def main() -> None:
             n: [timings[n], best[n]] for n in HEADLINE if n in timings
         },
         "__calib__": [round(statistics.median(calib_runs), 3), min(calib_runs)],
+        "__calib_py__": [
+            round(statistics.median(calib_py_runs), 3), min(calib_py_runs)
+        ],
         "sf": full["sf"],
     }
     if errors:
