@@ -646,3 +646,76 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# ------------------------------------------------------------------
+# Hashed linear text classifier (fastText-style inference; Joulin et
+# al. 2016, arXiv:1607.01759). The production quality-filter shape:
+# a released model hashes each token into a fixed bucket space and
+# scores a document as the sum of its buckets' weights — CCNet-class
+# pipelines run exactly this to keep/drop pretraining documents.
+#
+# Here the released weights are DERIVED deterministically from the
+# bucket id in integer micro-units (a seeded multiplicative-hash
+# ladder), so the whole scorer — tokenize, bucket, weigh, sum,
+# threshold — is exact 64-bit arithmetic reproducible in a SQL oracle.
+# A real model swaps `_bucket_weight_micro` for a broadcast
+# (bucket -> weight) lookup (n_buckets rows, kilobytes); the plan
+# shape is identical either way: ONE map-only codegen fold per row,
+# no explode, no shuffle, no Python. At 100 TB this is the cheapest
+# operator class there is — embarrassingly parallel scan work.
+CLASSIFIER_BUCKETS = 4096
+_W_MULT = 2654435761  # Knuth's 2^32 multiplicative-hash constant
+_W_MOD = 1_000_003    # prime weight range
+_W_SHIFT = _W_MOD // 2  # center weights on zero
+
+
+def _bucket_weight_micro(tok: Column, n_buckets: int) -> Column:
+    """Integer micro-weight of one token: portable sha-256-prefix hash
+    -> bucket -> deterministic weight in [-_W_SHIFT, _W_SHIFT]."""
+    h = F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("bigint")
+    bucket = h % n_buckets
+    return (bucket + 1) * F.lit(_W_MULT).cast("bigint") % _W_MOD - _W_SHIFT
+
+
+def classifier_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = CLASSIFIER_BUCKETS,
+) -> DataFrame:
+    """Per-document linear classifier score + keep/filter label.
+
+    ``score_micro`` is the exact BIGINT sum of per-token bucket
+    weights (micro-units keep the sum associative and
+    partial-sum-order-free — the repo's two-level-sum float policy);
+    ``label`` thresholds at zero, fastText's binary decision."""
+    toks = tokens(text_col)
+    score = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + _bucket_weight_micro(t, n_buckets),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("token_count"),
+        score.alias("score_micro"),
+        F.when(score > 0, F.lit("keep")).otherwise(F.lit("filter")).alias(
+            "label"
+        ),
+    )
+
+
+def sql_classifier_score(
+    text_expr: str, n_buckets: int = CLASSIFIER_BUCKETS
+) -> str:
+    """The identical scorer as DuckDB SQL (for oracles): same sha-256
+    prefix hash, same weight ladder, same integer arithmetic."""
+    w = (
+        f"((CAST(CONCAT('0x', SUBSTR(SHA256(t), 1, 15)) AS BIGINT) "
+        f"% {n_buckets} + 1) * {_W_MULT}) % {_W_MOD} - {_W_SHIFT}"
+    )
+    return (
+        f"CAST(COALESCE(LIST_SUM(LIST_TRANSFORM("
+        f"STRING_SPLIT({text_expr}, ' '), t -> {w})), 0) AS BIGINT)"
+    )

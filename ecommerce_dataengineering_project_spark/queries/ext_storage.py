@@ -350,3 +350,66 @@ ORACLES["partition_pruned_read"] = f"""
     WHERE CAST(ts AS DATE) = DATE '{PRUNE_DAY}'
     GROUP BY event_type
 """
+
+
+DPP_DOW = "Monday"
+
+
+def q_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as a driver-visible query (the plan
+    contract lives in tests/test_plans.py; this oracle-checks the
+    RESULT): the date-partitioned events layout joined to a tiny
+    calendar dimension filtered on a NON-partition attribute (day
+    name). Which fact directories survive is unknowable at planning —
+    static pushdown can't help — so Spark broadcasts the filtered dim
+    and prunes the fact scan at RUNTIME with a DynamicPruning
+    subquery. The mechanism every 100 TB star join lives on: the
+    fact side reads only the matched partitions' files."""
+    path = os.path.join(TMP_ROOT, "hivepart", f"events_{_sf_name(sf_dir)}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        (
+            ev.repartition("event_date")
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(path)
+        )
+    fact = spark.read.parquet(path)
+    # calendar dim: one row per day of 2024H1; the filter column is
+    # derived, not a partition value
+    dim = (
+        spark.range(0, 182)
+        .select(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+                "event_date"
+            )
+        )
+        .withColumn("day_name", F.date_format("event_date", "EEEE"))
+        .where(F.col("day_name") == DPP_DOW)
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+
+
+QUERIES["dpp_partitioned_join"] = q_dpp_partitioned_join
+
+ORACLES["dpp_partitioned_join"] = f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    WHERE DAYNAME(CAST(ts AS DATE)) = '{DPP_DOW}'
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-06-30'
+    GROUP BY event_type
+"""

@@ -1165,3 +1165,38 @@ def _bpe_encode_oracle() -> str:
 
 
 ORACLES["bpe_encode_tokens"] = _bpe_encode_oracle()
+
+
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier inference (operators/text.py
+    classifier_scores — the fastText-shaped quality filter every
+    pretraining pipeline runs): per-document BIGINT score as ONE
+    map-only codegen fold over the token array (no explode, no
+    shuffle, no Python), keep/filter label at the zero threshold.
+    Weights are a deterministic integer ladder standing in for a
+    released model (a real model is a broadcast bucket->weight lookup
+    with the identical plan shape)."""
+    from ecommerce_dataengineering_project_spark.operators.text import classifier_scores
+
+    return classifier_scores(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["quality_classifier_scores"] = q_quality_classifier_scores
+
+
+def _classifier_oracle() -> str:
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        sql_classifier_score,
+    )
+
+    score = sql_classifier_score("text")
+    return f"""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS token_count,
+               {score} AS score_micro,
+               CASE WHEN {score} > 0 THEN 'keep' ELSE 'filter' END AS label
+        FROM documents
+    """
+
+
+ORACLES["quality_classifier_scores"] = _classifier_oracle()

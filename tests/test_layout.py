@@ -171,3 +171,18 @@ def test_partition_pruned_read_plan_prunes_directories(spark, sf_dir):
     i = plan.index("PartitionFilters")
     assert "event_date" in plan[i : i + 220]
     assert df.count() > 0
+
+
+def test_dpp_query_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """The registered dpp_partitioned_join query must carry a
+    DynamicPruning subquery on the fact scan (the dim filter is on a
+    derived, non-partition attribute, so only runtime pruning can
+    restrict the fact directories)."""
+    from ecommerce_dataengineering_project_spark.queries.ext_storage import (
+        q_dpp_partitioned_join,
+    )
+
+    df = q_dpp_partitioned_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert df.count() > 0
