@@ -153,4 +153,8 @@ def optimize_zorder(
         # bloom_cols on the next indexed write); constraints are
         # table-level and carry — the data is unchanged, no revalidation
         constraints=man.get("constraints", {}),
+        # the rewrite wrote PHYSICAL names (write-path translation), so
+        # the column mapping carries — compact() is the purge path
+        colmap=man.get("colmap", {}),
+        dropped=man.get("dropped", []),
     )

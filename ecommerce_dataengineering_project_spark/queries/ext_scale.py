@@ -884,3 +884,50 @@ ORACLES["txlog_update_dv"] = """
     FROM orders
     GROUP BY o_orderstatus
 """
+
+
+def q_txlog_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: COLUMN MAPPING — rename + drop as metadata-only commits
+    (sources/txlog.py rename_column/drop_column, the Delta
+    columnMapping twin): ZERO files rewritten, reads remap
+    physical->logical at the `_read_files` choke point, a post-rename
+    APPEND translates back so every file keeps one physical schema,
+    and stats pruning follows the logical name. At 100 TB a rename is
+    one manifest write instead of a table rewrite. Full oracle: the
+    mapped read must equal the plain aliased scan; the time-travel /
+    collision / purge contracts are pinned in
+    tests/test_column_mapping.py."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import recreate
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    table = recreate(os.path.join(TMP_ROOT, "txlog", f"rename_{_sf_name(sf_dir)}"))
+    table.append(o.where(F.col("o_orderkey") % 2 == 0).repartition(4))
+    table.rename_column("o_totalprice", "price")
+    table.drop_column("o_orderstatus")
+    # the post-rename append arrives with LOGICAL names
+    table.append(
+        o.where(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .repartition(4)
+    )
+    got = table.read(spark, merge_schema=True)
+    return got.groupBy((F.col("o_orderkey") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("price") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "total_cents"
+        ),
+    )
+
+
+QUERIES["txlog_rename_column"] = q_txlog_rename_column
+
+ORACLES["txlog_rename_column"] = """
+    SELECT o_orderkey % 10 AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1
+"""

@@ -90,6 +90,19 @@ class TxLogStreamReader(DataSourceStreamReader):
         # latest schema carries — read() null-pads and reorders each
         # batch to this list (the mergeSchema read semantics)
         self.columns = [f.name for f in schema.fields] if schema else None
+        # column mapping at STREAM START: files hold physical names,
+        # the declared schema logical ones — read() renames per batch.
+        # A mid-stream mapping change is refused in partitions().
+        vs = _versions(self.root)
+        man = _manifest(self.root, vs[-1]) if vs else {}
+        self.colmap = man.get("colmap", {})
+        self.dropped = set(man.get("dropped", []))
+        # mapping-change guard applies only to commits LANDING after
+        # this point: historical commits (any mapping era) read fine —
+        # files are always physical-named and read() presents them
+        # under the start-time logical view, like Delta's latest-schema
+        # history reads
+        self.cm_version = vs[-1] if vs else 0
 
     def initialOffset(self):
         return {"version": self.start_version}
@@ -138,6 +151,23 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "with new files only (DV-deleted rows will NOT be "
                     "retracted downstream, Delta semantics)"
                 )
+            # column-mapping commits change the logical schema; this
+            # source emits raw file bytes remapped under the stream's
+            # START-TIME mapping, so any commit whose mapping differs
+            # from that one must stop the stream (Delta readStream
+            # needs a schemaTrackingLocation to follow renames).
+            # Commits carrying the start-time mapping — including the
+            # historical rename that established it — are fine.
+            if v > self.cm_version and (
+                man.get("colmap", {}) != self.colmap
+                or set(man.get("dropped", [])) != self.dropped
+            ):
+                raise ValueError(
+                    f"txlog_stream: commit v{v} ({man.get('action')}) has a "
+                    "different column mapping (rename_column/drop_column) "
+                    "than the stream's start-time schema — restart the "
+                    "stream with a fresh checkpoint to pick up the new one"
+                )
             for f in sorted(cur - prev):
                 parts.append(InputPartition(os.path.join(self.root, f)))
             prev = cur
@@ -148,6 +178,19 @@ class TxLogStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         for b in pq.ParquetFile(partition.value).iter_batches():
+            if self.colmap or self.dropped:
+                # physical -> logical (start-time column mapping)
+                names = [
+                    self.colmap.get(n, n)
+                    for n in b.schema.names
+                    if n not in self.dropped
+                ]
+                cols = [
+                    b.column(i)
+                    for i, n in enumerate(b.schema.names)
+                    if n not in self.dropped
+                ]
+                b = pa.RecordBatch.from_arrays(cols, names=names)
             if self.columns is None or b.schema.names == self.columns:
                 yield b
                 continue

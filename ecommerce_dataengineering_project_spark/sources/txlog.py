@@ -180,6 +180,8 @@ class TxTable:
         bloom: dict[str, dict] | None = None,
         constraints: dict[str, str] | None = None,
         dv: dict[str, list] | None = None,
+        colmap: dict[str, str] | None = None,
+        dropped: list[str] | None = None,
     ) -> int:
         """Atomic commit: manifest written to a temp name, then hard-
         linked into the log. The link is the commit point AND the
@@ -229,6 +231,17 @@ class TxTable:
                     # every read path filters them out positionally via
                     # _metadata.row_index (see _read_files)
                     "dv": dv or {},
+                    # COLUMN MAPPING (Delta columnMapping twin): rename/
+                    # drop columns as metadata-only commits, zero files
+                    # rewritten. ``colmap`` maps the PHYSICAL name in
+                    # the parquet files to the current LOGICAL name
+                    # (non-identity entries only); ``dropped`` lists
+                    # physical names reads must hide. Data-coupled like
+                    # dv/stats: every commit must carry them forward
+                    # (tests sweep this), rollback restores the old
+                    # snapshot's, compact() purges by physical rewrite.
+                    "colmap": colmap or {},
+                    "dropped": dropped or [],
                 },
                 fh,
             )
@@ -314,6 +327,8 @@ class TxTable:
             # the deletion vectors MUST carry (dropping them would
             # resurrect every DV-deleted row in the new version)
             dv=man.get("dv", {}),
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
         )
 
     def drop_constraint(self, name: str) -> int:
@@ -336,6 +351,122 @@ class TxTable:
             bloom=man.get("bloom", {}),
             constraints=cons,
             dv=man.get("dv", {}),  # metadata-only: DVs carry (see add)
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
+        )
+
+    # ------------------------------------------------- column mapping
+    def _colmap_preflight(self, name: str) -> dict:
+        """Shared checks for rename_column/drop_column: a recorded
+        schema must exist and name a column ``name`` that no CHECK
+        constraint references (Delta blocks both the same way — a
+        constraint expression holds the old name as text)."""
+        import re as _re
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no commits in {self.root}")
+        man = self._manifest(vs[-1])
+        schema = man.get("schema") or []
+        if not schema:
+            raise ValueError(
+                "column mapping needs a recorded schema (old manifests "
+                "without one cannot name their columns)"
+            )
+        if name not in {n for n, _ in schema}:
+            raise KeyError(f"no column {name!r} in the table schema")
+        word = _re.compile(rf"\b{_re.escape(name)}\b")
+        offender = [
+            c for c, expr in man.get("constraints", {}).items() if word.search(expr)
+        ]
+        if offender:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{offender}: drop them first (their expressions hold "
+                "the name as text)"
+            )
+        return man
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Delta column-mapping ``RENAME COLUMN``: a metadata-only
+        commit — ZERO files rewritten. The manifest's ``colmap``
+        records physical(file)->logical(current) and every read path
+        remaps at the ``_read_files`` choke point; every write path
+        translates back to physical, so all files keep ONE physical
+        schema. Time travel to pre-rename versions shows the old name
+        (each snapshot reads under its own mapping); ``compact()``
+        purges the mapping by physical rewrite. Streaming reads opened
+        before the rename keep their start-time schema (Spark's
+        contract; Delta requires a schemaTrackingLocation to follow
+        renames mid-stream)."""
+        man = self._colmap_preflight(old)
+        vs = self.versions()
+        schema = man.get("schema") or []
+        names = {n for n, _ in schema}
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        colmap = dict(man.get("colmap", {}))
+        reverse = {log: phys for phys, log in colmap.items()}
+        phys = reverse.get(old, old)
+        # the new logical name must not shadow an occupied or retired
+        # PHYSICAL slot: old files hold bytes under those names
+        phys_taken = (
+            {reverse.get(n, n) for n in names}
+            | set(man.get("dropped", []))
+        ) - {phys}
+        if new in phys_taken:
+            raise ValueError(
+                f"{new!r} is an in-use or retired physical column name "
+                "— run compact() to purge the mapping first"
+            )
+        if phys == new:
+            colmap.pop(phys, None)  # renamed back to its physical name
+        else:
+            colmap[phys] = new
+        new_schema = [[new if n == old else n, t] for n, t in schema]
+        return self._publish(
+            vs[-1] + 1,
+            man["files"],
+            f"rename-column:{old}->{new}",
+            man.get("stats", {}),
+            man.get("txn", {}),
+            new_schema,
+            bloom=man.get("bloom", {}),
+            constraints=man.get("constraints", {}),
+            dv=man.get("dv", {}),
+            colmap=colmap,
+            dropped=man.get("dropped", []),
+        )
+
+    def drop_column(self, name: str) -> int:
+        """Delta column-mapping ``DROP COLUMN``: metadata-only — the
+        physical bytes stay in the files, reads hide them from this
+        version on (time travel still sees them in old versions).
+        Re-adding a column under the dropped name is refused until
+        ``compact()`` physically purges the old bytes."""
+        man = self._colmap_preflight(name)
+        vs = self.versions()
+        schema = man.get("schema") or []
+        if len(schema) == 1:
+            raise ValueError("cannot drop the table's last column")
+        colmap = dict(man.get("colmap", {}))
+        reverse = {log: phys for phys, log in colmap.items()}
+        phys = reverse.get(name, name)
+        colmap.pop(phys, None)
+        dropped = sorted(set(man.get("dropped", [])) | {phys})
+        new_schema = [[n, t] for n, t in schema if n != name]
+        return self._publish(
+            vs[-1] + 1,
+            man["files"],
+            f"drop-column:{name}",
+            man.get("stats", {}),
+            man.get("txn", {}),
+            new_schema,
+            bloom=man.get("bloom", {}),
+            constraints=man.get("constraints", {}),
+            dv=man.get("dv", {}),
+            colmap=colmap,
+            dropped=dropped,
         )
 
     # ---------------------------------------------------------- schema
@@ -380,9 +511,53 @@ class TxTable:
         return prev + [[n, t] for n, t in new if n not in prev_map]
 
     # ----------------------------------------------------------- write
+    @staticmethod
+    def _phys_name(man: dict, logical: str) -> str:
+        """The parquet-file (physical) name of a logical column under
+        the manifest's column mapping (identity when unmapped)."""
+        reverse = {log: phys for phys, log in man.get("colmap", {}).items()}
+        return reverse.get(logical, logical)
+
+    def _to_physical(self, df: DataFrame, man: dict) -> DataFrame:
+        """Translate a LOGICAL-named frame to PHYSICAL names before a
+        data write, so every file of the table shares one physical
+        schema regardless of renames. Refuses writes that would
+        collide with retired physical names — re-using the name of a
+        dropped column (or of a renamed column's old slot) would make
+        old files' bytes resurface under the new column on a merged
+        read; Delta's column-mapping mode prevents the same thing with
+        column IDs. compact() purges the mapping and frees the names."""
+        colmap = man.get("colmap", {})
+        dropped = set(man.get("dropped", []))
+        if not colmap and not dropped:
+            return df
+        logical_names = set(df.columns)
+        # a logical column named like an occupied physical slot (the
+        # old name of a renamed column, or a dropped column) would land
+        # on bytes old files already hold under that name
+        clash = sorted(logical_names & (set(colmap) | dropped))
+        if clash:
+            raise ValueError(
+                f"write would reuse retired physical column name(s) "
+                f"{clash}: old files still hold bytes under them — run "
+                "compact() to purge the column mapping first"
+            )
+        renames = {
+            log: phys for phys, log in colmap.items() if log in logical_names
+        }
+        return df.withColumnsRenamed(renames) if renames else df
+
     def _write_commit_data(
-        self, df: DataFrame, version: int
+        self, df: DataFrame, version: int, man: dict | None = None
     ) -> tuple[list[str], dict[str, dict]]:
+        # ``man`` — the manifest whose column mapping governs the
+        # write. Default: the latest snapshot's (every in-place writer
+        # path). Pass ``{}`` to write LOGICAL names as physical (schema
+        # redefinition: overwrite, compact's mapping purge).
+        if man is None:
+            vs = self.versions()
+            man = self._manifest(vs[-1]) if vs else {}
+        df = self._to_physical(df, man)
         # Per-ATTEMPT staging dir (version + a unique token): two
         # writers racing for the same version can never clobber each
         # other's staged files, so the publish-time CAS is the only
@@ -560,9 +735,14 @@ class TxTable:
                 self._validate_constraints(df, cons)
                 validated_against = cons
             if new_files is None:  # write the data exactly once
-                new_files, new_stats = self._write_commit_data(df, version)
+                new_files, new_stats = self._write_commit_data(df, version, man)
                 new_bloom = (
-                    self._file_blooms(df.sparkSession, new_files, bloom_cols)
+                    self._file_blooms(
+                        df.sparkSession,
+                        new_files,
+                        # written files carry PHYSICAL names
+                        tuple(self._phys_name(man, c) for c in bloom_cols),
+                    )
                     if bloom_cols
                     else {}
                 )
@@ -577,6 +757,8 @@ class TxTable:
                     bloom={**man.get("bloom", {}), **new_bloom},
                     constraints=cons,
                     dv=man.get("dv", {}),  # untouched files keep their DVs
+                    colmap=man.get("colmap", {}),
+                    dropped=man.get("dropped", []),
                 )
             except ConcurrentCommitError:
                 continue  # rebase on the winner's manifest and retry
@@ -593,7 +775,9 @@ class TxTable:
         prev_man = self._manifest(vs[-1]) if vs else {}
         cons = prev_man.get("constraints", {})
         self._validate_constraints(df, cons)
-        new_files, new_stats = self._write_commit_data(df, version)
+        # schema redefinition: the df's names BECOME the physical
+        # schema, so the column mapping resets (Delta overwriteSchema)
+        new_files, new_stats = self._write_commit_data(df, version, man={})
         return self._publish(
             version, new_files, "overwrite", new_stats,
             prev_man.get("txn", {}),
@@ -624,7 +808,7 @@ class TxTable:
             )
             cons = man.get("constraints", {})
             self._validate_constraints(df, cons)
-            files, stats = self._write_commit_data(df, version)
+            files, stats = self._write_commit_data(df, version, man)
             try:
                 return self._publish(
                     version,
@@ -636,6 +820,8 @@ class TxTable:
                     bloom=man.get("bloom", {}),
                     constraints=cons,
                     dv=man.get("dv", {}),
+                    colmap=man.get("colmap", {}),
+                    dropped=man.get("dropped", []),
                 )
             except ConcurrentCommitError:
                 continue  # lost the CAS: re-read the watermark, retry
@@ -697,7 +883,7 @@ class TxTable:
         cons = man.get("constraints", {})
         self._validate_constraints(merged, cons)
         version = v + 1
-        new_files, new_stats = self._write_commit_data(merged, version)
+        new_files, new_stats = self._write_commit_data(merged, version, man)
         keep_stats = {
             f: s for f, s in man.get("stats", {}).items() if f not in touched_set
         }
@@ -723,6 +909,8 @@ class TxTable:
             bloom=keep_bloom,
             constraints=cons,
             dv=keep_dv,
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
         )
 
     def append_or_quarantine(
@@ -809,7 +997,7 @@ class TxTable:
             cond = cond & (F.col(col) <= F.lit(hi))
         kept = base.where(~F.coalesce(cond, F.lit(False)))
         version = v + 1
-        new_files, new_stats = self._write_commit_data(kept, version)
+        new_files, new_stats = self._write_commit_data(kept, version, man)
         keep_stats = {
             f: s for f, s in man.get("stats", {}).items() if f not in touched_set
         }
@@ -829,6 +1017,8 @@ class TxTable:
             bloom=keep_bloom,
             constraints=man.get("constraints", {}),
             dv=keep_dv,
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
         )
 
     def shallow_clone(self, target_root: str) -> "TxTable":
@@ -868,6 +1058,9 @@ class TxTable:
                 for f, ps in man.get("dv", {}).items()
                 if f in abs_map
             },
+            # column mapping is keyed by COLUMN name, not file: copies
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
         )
         return clone
 
@@ -887,6 +1080,10 @@ class TxTable:
             old.get("schema"),
             bloom=old.get("bloom", {}),
             dv=old.get("dv", {}),  # restoring data restores its DV state
+            # the column mapping is data-coupled (it names the restored
+            # files' physical columns), so it restores with the data
+            colmap=old.get("colmap", {}),
+            dropped=old.get("dropped", []),
             # Constraints are table metadata, not snapshot data: the
             # CURRENT rule set stays active across a data restore (like
             # the txn watermarks). A restore to data predating a
@@ -946,10 +1143,27 @@ class TxTable:
                 & (F.col("__dv_ri") == F.col("__dv_pos")),
                 "left_anti",
             ).drop("__dv_fb", "__dv_ri")
-        return normalize_ntz(df)
+        return normalize_ntz(self._to_logical(df, man))
+
+    @staticmethod
+    def _to_logical(df: DataFrame, man: dict) -> DataFrame:
+        """Apply the snapshot's column mapping to a raw file read:
+        hide dropped physical columns, rename surviving physical names
+        to their logical names. The inverse of _to_physical, applied at
+        the same choke points as the deletion vectors so no read path
+        can leak a physical name or a dropped column."""
+        dropped = [c for c in man.get("dropped", []) if c in df.columns]
+        if dropped:
+            df = df.drop(*dropped)
+        renames = {
+            phys: log
+            for phys, log in man.get("colmap", {}).items()
+            if phys in df.columns
+        }
+        return df.withColumnsRenamed(renames) if renames else df
 
     def _rows_at_positions(
-        self, spark: SparkSession, dv: dict[str, list]
+        self, spark: SparkSession, dv: dict[str, list], man: dict | None = None
     ) -> DataFrame:
         """The INVERSE of the DV filter: fetch exactly the rows a DV
         map points at (CDF needs the pre-images of a dv-only delete —
@@ -970,14 +1184,15 @@ class TxTable:
             F.col("_metadata.row_index").alias("__dv_ri"),
         )
         dvdf = self._dv_frame(spark, dv)
-        return normalize_ntz(
-            keyed.join(
-                F.broadcast(dvdf),
-                (F.col("__dv_fb") == F.col("__dv_file"))
-                & (F.col("__dv_ri") == F.col("__dv_pos")),
-                "left_semi",
-            ).drop("__dv_fb", "__dv_ri")
-        )
+        out = keyed.join(
+            F.broadcast(dvdf),
+            (F.col("__dv_fb") == F.col("__dv_file"))
+            & (F.col("__dv_ri") == F.col("__dv_pos")),
+            "left_semi",
+        ).drop("__dv_fb", "__dv_ri")
+        if man is not None:
+            out = self._to_logical(out, man)
+        return normalize_ntz(out)
 
     def _dv_candidates(
         self, spark: SparkSession, predicate: str, man: dict
@@ -998,12 +1213,15 @@ class TxTable:
         paths = [os.path.join(self.root, f) for f in man["files"]]
         base = spark.read.option("mergeSchema", "true").parquet(*paths)
         keyed = normalize_ntz(
-            base.select(
-                F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ).alias("__fb"),
-                F.col("_metadata.row_index").alias("__ri"),
-                "*",
+            self._to_logical(
+                base.select(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__fb"),
+                    F.col("_metadata.row_index").alias("__ri"),
+                    "*",
+                ),
+                man,
             )
         ).where(F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
         existing = man.get("dv", {})
@@ -1084,6 +1302,8 @@ class TxTable:
             bloom=man.get("bloom", {}),
             constraints=man.get("constraints", {}),
             dv=merged,
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
         )
 
     def update_where_dv(
@@ -1137,7 +1357,7 @@ class TxTable:
             man.get("schema"), self._df_schema(post), "merge"
         )
         version = v + 1
-        new_files, new_stats = self._write_commit_data(post, version)
+        new_files, new_stats = self._write_commit_data(post, version, man)
         merged_dv = self._merge_dv(man, hits)
         return self._publish(
             version,
@@ -1149,6 +1369,8 @@ class TxTable:
             bloom=man.get("bloom", {}),
             constraints=cons,
             dv=merged_dv,
+            colmap=man.get("colmap", {}),
+            dropped=man.get("dropped", []),
         )
 
     def read(
@@ -1223,6 +1445,28 @@ class TxTable:
         if not window:
             return _empty_feed()
 
+        # Change feeds across a column-mapping change would mix frames
+        # whose schemas disagree on names — Delta refuses CDF reads
+        # across rename/drop boundaries for the same reason (without
+        # a schema-tracking location). Narrow the range to either side.
+        check_vs = ([from_version] if from_version > 0 else []) + window
+        shapes = {
+            json.dumps(
+                [
+                    self._manifest(cv).get("colmap", {}),
+                    sorted(self._manifest(cv).get("dropped", [])),
+                ],
+                sort_keys=True,
+            )
+            for cv in check_vs
+        }
+        if len(shapes) > 1:
+            raise ValueError(
+                "read_changes: the requested version range crosses a "
+                "column-mapping change (rename_column/drop_column) — "
+                "read the feed in sub-ranges on either side of it"
+            )
+
         out: DataFrame | None = None
         prev_man = (
             {"files": [], "dv": {}}
@@ -1270,14 +1514,14 @@ class TxTable:
                     spark, this_prev_man, removed, merge_schema=True
                 )
             if dv_dels:
-                dv_del_rows = self._rows_at_positions(spark, dv_dels)
+                dv_del_rows = self._rows_at_positions(spark, dv_dels, man)
                 r_df = (
                     dv_del_rows
                     if r_df is None
                     else r_df.unionByName(dv_del_rows, allowMissingColumns=True)
                 )
             if dv_ins:
-                dv_ins_rows = self._rows_at_positions(spark, dv_ins)
+                dv_ins_rows = self._rows_at_positions(spark, dv_ins, man)
                 a_df = (
                     dv_ins_rows
                     if a_df is None
@@ -1355,9 +1599,11 @@ class TxTable:
         stats = man.get("stats", {})
         keep = []
         # datetime/date bounds compare against the manifest's naive-UTC
-        # ISO-8601 stat strings (lexicographic == chronological)
+        # ISO-8601 stat strings (lexicographic == chronological);
+        # stats are keyed by PHYSICAL column name (harvested from file
+        # footers), so logical predicate columns translate first
         preds = [
-            (col, _norm_time_bound(lo), _norm_time_bound(hi))
+            (self._phys_name(man, col), _norm_time_bound(lo), _norm_time_bound(hi))
             for col, lo, hi in preds
         ]
         for f in man["files"]:
@@ -1402,6 +1648,7 @@ class TxTable:
         vs = self.versions()
         v = vs[-1] if version is None else version
         man = self._manifest(v)
+        col = self._phys_name(man, col)  # stats/blooms keyed physical
         stats, blooms = man.get("stats", {}), man.get("bloom", {})
         # range check against the (possibly ISO-stringified) stats;
         # bloom probe with the value Spark hashed at build time (a DATE
@@ -1733,6 +1980,13 @@ def generate_symlink_manifest(table: TxTable, version: int | None = None) -> str
             "apply — run compact() first to purge DVs (Delta refuses "
             "GENERATE on DV-enabled tables for the same reason)"
         )
+    if man.get("colmap") or man.get("dropped"):
+        raise ValueError(
+            f"generate_symlink_manifest: snapshot v{v} carries a column "
+            "mapping (rename/drop) a manifest reader cannot apply — it "
+            "would see physical names and dropped columns; run "
+            "compact() first to purge the mapping"
+        )
     out_dir = os.path.join(table.root, MANIFEST_DIR)
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f".manifest.tmp.{os.getpid()}")
@@ -1770,7 +2024,11 @@ def compact(table: TxTable, spark: SparkSession, target_files: int) -> int:
     man = table._manifest(vs[-1])
     df = table.read(spark, merge_schema=True).coalesce(max(1, target_files))
     version = vs[-1] + 1
-    files, stats = table._write_commit_data(df, version)
+    # man={}: write the LOGICAL names as the new physical schema — the
+    # full rewrite upgrades every file, so compaction doubles as the
+    # column-mapping purge too (rename/drop debt gone; see
+    # rename_column) exactly as it purges DVs
+    files, stats = table._write_commit_data(df, version, man={})
     # read() applied the deletion vectors, so the rewritten files are
     # dv-free by construction: compaction doubles as DV garbage
     # collection (Delta's PURGE), dv resets to empty

@@ -1,0 +1,275 @@
+"""Column-mapping contracts (sources/txlog.py rename_column /
+drop_column — the Delta columnMapping twin): rename/drop as
+metadata-only commits with ZERO files rewritten, per-version logical
+schemas under time travel, write-side physical translation, stats and
+bloom pruning through renames, retired-name collision refusal, CDF
+boundary refusal, compact() as the mapping purge, and the carry sweep
+(every commit kind must forward the mapping — the same data-coupled
+discipline the DV carry tests enforce).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecommerce_dataengineering_project_spark.sources.txlog import (
+    compact,
+    generate_symlink_manifest,
+    recreate,
+)
+from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+
+@pytest.fixture()
+def table(spark, request):
+    t = recreate(os.path.join(TMP_ROOT, "colmap_tests", request.node.name))
+    t.append(
+        spark.range(100).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    return t
+
+
+def _mtimes(t):
+    man = t._manifest(t.versions()[-1])
+    return {f: os.path.getmtime(os.path.join(t.root, f)) for f in man["files"]}
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, table):
+    before = _mtimes(table)
+    v = table.rename_column("v", "value")
+    assert v == 2
+    assert _mtimes(table) == before  # zero files rewritten
+    got = table.read(spark)
+    assert set(got.columns) == {"id", "k", "value"}
+    assert got.agg(F.sum("value")).collect()[0][0] == sum(i * 10 for i in range(100))
+    # each snapshot reads under its OWN mapping
+    old = table.read(spark, version=1)
+    assert set(old.columns) == {"id", "k", "v"}
+
+
+def test_append_after_rename_translates_to_physical(spark, table):
+    table.rename_column("v", "value")
+    table.append(
+        spark.range(100, 110).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("value")
+        )
+    )
+    got = table.read(spark, merge_schema=True)
+    assert set(got.columns) == {"id", "k", "value"}
+    assert got.count() == 110
+    # ONE physical schema across all files: the new file stores 'v'
+    man = table._manifest(table.versions()[-1])
+    import pyarrow.parquet as pq
+
+    for f in man["files"]:
+        names = pq.read_schema(os.path.join(table.root, f)).names
+        assert "v" in names and "value" not in names, (f, names)
+
+
+def test_stats_and_scan_prune_through_a_rename(spark, table):
+    table.rename_column("v", "value")
+    keep, total = table.candidate_files("value", 980, 990)
+    assert 0 < len(keep) <= total
+    got = table.scan(spark, "value", 980, 990)
+    assert sorted(r.id for r in got.collect()) == [98, 99]
+    assert "value" in got.columns
+
+
+def test_bloom_point_read_through_a_rename(spark, table):
+    t = recreate(table.root + "_bloom")
+    t.append(
+        spark.range(64).select(F.col("id"), (F.col("id") * 3).alias("v")),
+        bloom_cols=("v",),
+    )
+    t.rename_column("v", "tripled")
+    # bloom built pre-rename prunes a post-rename point read
+    got = t.scan_point(spark, "tripled", 96)
+    assert [r.id for r in got.collect()] == [32]
+    # and an indexed append AFTER the rename still builds (physical key)
+    t.append(
+        spark.range(64, 80).select(F.col("id"), (F.col("id") * 3).alias("tripled")),
+        bloom_cols=("tripled",),
+    )
+    man = t._manifest(t.versions()[-1])
+    assert all("v" in b for b in man["bloom"].values())  # keyed physical
+    assert [r.id for r in t.scan_point(spark, "tripled", 210).collect()] == [70]
+
+
+def test_drop_column_hides_bytes_and_blocks_readd(spark, table):
+    before = _mtimes(table)
+    table.drop_column("v")
+    assert _mtimes(table) == before
+    assert set(table.read(spark).columns) == {"id", "k"}
+    assert set(table.read(spark, version=1).columns) == {"id", "k", "v"}
+    # re-adding the dropped name would resurrect old bytes: refused
+    with pytest.raises(ValueError, match="retired physical"):
+        table.append(
+            spark.range(3).select(
+                F.col("id"), (F.col("id") % 7).alias("k"), F.lit(1).alias("v")
+            )
+        )
+    # compact() purges the mapping; the name is free again
+    compact(table, spark, target_files=1)
+    man = table._manifest(table.versions()[-1])
+    assert man["colmap"] == {} and man["dropped"] == []
+    table.append(
+        spark.range(3).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), F.lit(1).alias("v")
+        )
+    )
+    got = table.read(spark, merge_schema=True)
+    # old v bytes purged: only the 3 re-added rows carry v
+    assert got.where(F.col("v").isNotNull()).count() == 3
+
+
+def test_rename_collision_rules(spark, table):
+    table.rename_column("v", "value")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("k", "value")
+    # the retired physical slot 'v' is occupied by old bytes
+    with pytest.raises(ValueError, match="physical"):
+        table.rename_column("k", "v")
+    # renaming BACK to the physical name collapses to identity mapping
+    table.rename_column("value", "v")
+    assert table._manifest(table.versions()[-1])["colmap"] == {}
+    assert set(table.read(spark).columns) == {"id", "k", "v"}
+
+
+def test_constraint_reference_blocks_rename_and_drop(spark, table):
+    table.add_constraint(spark, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        table.rename_column("v", "value")
+    with pytest.raises(ValueError, match="constraint"):
+        table.drop_column("v")
+    table.drop_constraint("v_nonneg")
+    assert table.rename_column("v", "value") > 0
+
+
+def test_every_commit_kind_carries_the_mapping(spark, table):
+    """The DV-carry discipline for colmap: delete/merge/dv/constraint/
+    rollback commits after a rename must forward the mapping (losing it
+    would surface physical names and resurrect dropped columns)."""
+    table.rename_column("v", "value")
+    want = {"v": "value"}
+    table.add_constraint(spark, "id_nonneg", "id >= 0")
+    assert table._manifest(table.versions()[-1])["colmap"] == want
+    table.delete_where_dv(spark, "k = 3")
+    assert table._manifest(table.versions()[-1])["colmap"] == want
+    table.update_where_dv(spark, "k = 5", {"value": "-1"})
+    assert table._manifest(table.versions()[-1])["colmap"] == want
+    table.delete_where(spark, "id", 0, 4)
+    assert table._manifest(table.versions()[-1])["colmap"] == want
+    changes = spark.createDataFrame(
+        [(200, 0, 5, 1, "I")], "id BIGINT, k BIGINT, value BIGINT, seq INT, op STRING"
+    )
+    table.merge(spark, changes, ["id"])
+    assert table._manifest(table.versions()[-1])["colmap"] == want
+    got = table.read(spark, merge_schema=True)
+    assert "value" in got.columns and "v" not in got.columns
+    # the DV'd/updated/deleted/merged state is all consistent
+    assert got.where(F.col("k") == 3).count() == 0
+    assert got.where(F.col("value") == -1).count() == got.where(F.col("k") == 5).count()
+    v_now = table.versions()[-1]
+    table.rollback(2)  # v2 = the rename commit: mapping restores with data
+    man = table._manifest(table.versions()[-1])
+    assert man["colmap"] == want
+    assert table.read(spark).count() == 100
+    table.rollback(1)  # pre-rename snapshot: mapping rolls back too
+    assert table._manifest(table.versions()[-1])["colmap"] == {}
+    assert set(table.read(spark).columns) == {"id", "k", "v"}
+    assert v_now > 2
+
+
+def test_dv_predicate_uses_logical_names(spark, table):
+    table.rename_column("v", "value")
+    table.delete_where_dv(spark, "value >= 980")
+    assert table.read(spark).count() == 98
+    assert table.read(spark).agg(F.max("value")).collect()[0][0] == 970
+
+
+def test_cdf_refuses_ranges_crossing_a_rename(spark, table):
+    table.rename_column("v", "value")
+    table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("value")
+        )
+    )
+    with pytest.raises(ValueError, match="column-mapping"):
+        table.read_changes(spark, 0)
+    # either side of the boundary works
+    feed = table.read_changes(spark, 2)  # (2, 3]: post-rename only
+    assert {r.id for r in feed.collect()} == set(range(100, 105))
+    assert "value" in feed.columns
+
+
+def test_symlink_manifest_refuses_mapped_snapshots(spark, table):
+    table.rename_column("v", "value")
+    with pytest.raises(ValueError, match="column mapping"):
+        generate_symlink_manifest(table)
+    compact(table, spark, target_files=1)
+    assert os.path.exists(generate_symlink_manifest(table))
+
+
+def test_overwrite_resets_the_mapping(spark, table):
+    table.rename_column("v", "value")
+    table.overwrite(spark.range(5).select(F.col("id"), F.lit(1).alias("value")))
+    man = table._manifest(table.versions()[-1])
+    assert man["colmap"] == {} and man["dropped"] == []
+    import pyarrow.parquet as pq
+
+    f = man["files"][0]
+    assert "value" in pq.read_schema(os.path.join(table.root, f)).names
+
+
+def test_clone_carries_the_mapping(spark, table):
+    import shutil
+
+    table.rename_column("v", "value")
+    shutil.rmtree(table.root + "_clone", ignore_errors=True)
+    clone = table.shallow_clone(table.root + "_clone")
+    got = clone.read(spark)
+    assert "value" in got.columns and got.count() == 100
+
+
+def test_stream_source_applies_start_time_mapping(spark, table):
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+
+    table.rename_column("v", "value")
+    pyds_txlog.register(spark)
+    import shutil
+
+    sink = os.path.join(TMP_ROOT, "colmap_tests", "stream_sink")
+    ckpt = os.path.join(TMP_ROOT, "colmap_tests", "stream_ckpt")
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.format("txlog_stream")
+        .option("path", table.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert "value" in got.columns and got.count() == 100
+    # a rename landing AFTER the reader captured its schema stops the
+    # stream (a restart re-captures and continues — Delta's
+    # schemaTrackingLocation restart semantics); drive the reader
+    # protocol directly since availableNow restarts always re-capture
+    reader = pyds_txlog.TxLogStreamReader({"path": table.root}, None)
+    v_rename = table.rename_column("value", "worth")
+    with pytest.raises(ValueError, match="column mapping"):
+        reader.partitions({"version": 0}, {"version": v_rename})
+    # a fresh reader picks the new mapping up and is fine
+    fresh = pyds_txlog.TxLogStreamReader({"path": table.root}, None)
+    assert fresh.partitions({"version": 0}, {"version": v_rename})
