@@ -825,3 +825,121 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    k_pool: int = 10,
+    k_div: int = 3,
+    lam_tenths: int = 7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick ``k_div`` results from each query's
+    exact top-``k_pool`` pool, trading relevance against redundancy —
+    ``score = lam*rel(d) - (1-lam)*max_{s in S} sim(d, s)``. The
+    retrieval-quality reranker RAG pipelines bolt onto ANN output.
+
+    Spark-first shape: the greedy loop UNROLLS into ``k_div`` plan
+    stages (pick 1 = plain argmax; each later pick joins the remaining
+    pool against the selected set's pairwise sims and takes a
+    windowed argmax) — all codegen, no Python, and every stage's
+    width is bounded by ``k_pool`` rows per query, so the whole
+    rerank costs O(Q * k_pool^2) regardless of corpus size. Scores
+    are integer micro-units (rel/sim = 6-dp-rounded cosines * 1e6,
+    lambda in tenths), so the greedy argmax chain — ties broken on
+    neighbor id — reproduces bit-for-bit in a SQL oracle.
+    """
+    pool = brute_force_topk(queries, corpus, id_col, vec_col, k_pool, dim)
+    pool = pool.select(
+        "query_id",
+        "neighbor_id",
+        F.floor(F.col("cosine") * 1e6 + F.lit(0.5)).cast("bigint").alias("rel_u"),
+    ).localCheckpoint(eager=False)
+    vecs = corpus.select(
+        F.col(id_col).alias("__nid"), as_double(F.col(vec_col)).alias("__nv")
+    )
+    pv = pool.join(vecs, F.col("neighbor_id") == F.col("__nid")).select(
+        "query_id", "neighbor_id", "rel_u", "__nv"
+    )
+    a = pv.select(
+        F.col("query_id").alias("qa"),
+        F.col("neighbor_id").alias("na"),
+        F.col("__nv").alias("va"),
+    )
+    b = pv.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("nb"),
+        F.col("__nv").alias("vb"),
+    )
+    # pairwise candidate sims, k_pool^2 rows per query — shuffled on
+    # the query id only
+    pairs = (
+        a.join(b, (F.col("qa") == F.col("qb")) & (F.col("na") != F.col("nb")))
+        .select(
+            F.col("qa").alias("query_id"),
+            F.col("na").alias("cand"),
+            F.col("nb").alias("sel"),
+            F.floor(
+                round_half_up(cosine("va", "vb", dim), 6) * 1e6 + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lam, inv = F.lit(lam_tenths).cast("bigint"), F.lit(10 - lam_tenths).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u").desc(), F.col("neighbor_id").asc()
+    )
+    first = (
+        pool.withColumn("score_u", lam * F.col("rel_u"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", "neighbor_id", "score_u", F.lit(1).alias("pick"))
+    )
+    selected = first
+    for pick in range(2, k_div + 1):
+        remaining = pool.join(
+            selected.select(
+                F.col("query_id").alias("__sq"), F.col("neighbor_id").alias("__sn")
+            ),
+            (F.col("query_id") == F.col("__sq"))
+            & (F.col("neighbor_id") == F.col("__sn")),
+            "left_anti",
+        )
+        penal = (
+            remaining.join(
+                pairs.withColumnRenamed("query_id", "__pq"),
+                (F.col("query_id") == F.col("__pq"))
+                & (F.col("neighbor_id") == F.col("cand")),
+            )
+            .join(
+                selected.select(
+                    F.col("query_id").alias("__sq"),
+                    F.col("neighbor_id").alias("__sn"),
+                ),
+                (F.col("__pq") == F.col("__sq")) & (F.col("sel") == F.col("__sn")),
+            )
+            .groupBy("query_id", "neighbor_id", "rel_u")
+            .agg(F.max("sim_u").alias("max_sim_u"))
+        )
+        nxt = (
+            penal.withColumn(
+                "score_u", lam * F.col("rel_u") - inv * F.col("max_sim_u")
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id", "neighbor_id", "score_u", F.lit(pick).alias("pick")
+            )
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        "query_id", F.col("pick").cast("int").alias("pick"), "neighbor_id", "score_u"
+    )

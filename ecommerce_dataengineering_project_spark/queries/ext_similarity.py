@@ -557,3 +557,109 @@ ORACLES["ann_pq_topk"] = f"""
         FROM scored
     ) WHERE rank <= {TOP_K}
 """
+
+
+K_POOL = 10
+K_DIV = 3
+LAM_TENTHS = 7
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k (operators/similarity.py mmr_topk): the
+    RAG-style rerank over the exact top-10 pool — greedy
+    relevance-vs-redundancy selection, unrolled into codegen plan
+    stages (no Python), integer micro-unit scores so the greedy argmax
+    chain oracle-checks bit-for-bit."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(
+        _queries_df(spark, sf_dir),
+        emb,
+        dim=EMBEDDING_DIM,
+        k_pool=K_POOL,
+        k_div=K_DIV,
+        lam_tenths=LAM_TENTHS,
+    )
+
+
+QUERIES["mmr_diversified_topk"] = q_mmr_diversified_topk
+
+
+def _mmr_oracle() -> str:
+    lam, inv = LAM_TENTHS, 10 - LAM_TENTHS
+    fold = (
+        "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}.v, {b}.v), x -> x[1] * x[2]), "
+        "(x, y) -> x + y) / ({a}.nrm * {b}.nrm)"
+    )
+    base = f"""
+        WITH {_COS_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   FLOOR(({fold.format(a='q', b='c')}) * 1000000.0 + 0.5)
+                       / 1000000.0 AS cosine
+            FROM n q JOIN n c ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id,
+                   CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT) AS rel_u
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+            WHERE rn <= {K_POOL}
+        ),
+        pairs AS (
+            SELECT p1.query_id, p1.neighbor_id AS cand, p2.neighbor_id AS sel,
+                   CAST(FLOOR((FLOOR(({fold.format(a='n1', b='n2')})
+                       * 1000000.0 + 0.5) / 1000000.0) * 1000000.0 + 0.5)
+                       AS BIGINT) AS sim_u
+            FROM pool p1
+            JOIN pool p2 ON p1.query_id = p2.query_id
+                        AND p1.neighbor_id <> p2.neighbor_id
+            JOIN n n1 ON n1.vec_id = p1.neighbor_id
+            JOIN n n2 ON n2.vec_id = p2.neighbor_id
+        ),
+        s1 AS (
+            SELECT query_id, neighbor_id, {lam} * rel_u AS score_u, 1 AS pick
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY rel_u DESC, neighbor_id) AS rn FROM pool)
+            WHERE rn = 1
+        )"""
+    sel_union = "SELECT query_id, neighbor_id FROM s1"
+    picks = ["s1"]
+    for pick in range(2, K_DIV + 1):
+        prev = ", ".join(picks)
+        base += f""",
+        sel{pick} AS ({sel_union}),
+        c{pick} AS (
+            SELECT p.query_id, p.neighbor_id, p.rel_u,
+                   MAX(pr.sim_u) AS max_sim_u
+            FROM pool p
+            JOIN pairs pr ON pr.query_id = p.query_id
+                         AND pr.cand = p.neighbor_id
+            JOIN sel{pick} s ON s.query_id = pr.query_id
+                            AND s.neighbor_id = pr.sel
+            WHERE NOT EXISTS (SELECT 1 FROM sel{pick} x
+                              WHERE x.query_id = p.query_id
+                                AND x.neighbor_id = p.neighbor_id)
+            GROUP BY 1, 2, 3
+        ),
+        s{pick} AS (
+            SELECT query_id, neighbor_id, score_u, {pick} AS pick
+            FROM (SELECT query_id, neighbor_id,
+                         {lam} * rel_u - {inv} * max_sim_u AS score_u,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY ({lam} * rel_u - {inv} * max_sim_u) DESC,
+                                      neighbor_id) AS rn
+                  FROM c{pick})
+            WHERE rn = 1
+        )"""
+        picks.append(f"s{pick}")
+        sel_union += f" UNION ALL SELECT query_id, neighbor_id FROM s{pick}"
+    union = " UNION ALL ".join(
+        f"SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id, score_u FROM {p}"
+        for p in picks
+    )
+    return base + f" {union}"
+
+
+ORACLES["mmr_diversified_topk"] = _mmr_oracle()

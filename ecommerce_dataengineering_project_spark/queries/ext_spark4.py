@@ -811,3 +811,61 @@ ORACLES["udtf_user_sessions"] = """
            CAST(MAX(gap) AS BIGINT) AS max_gap_us
     FROM g GROUP BY user_id
 """
+
+
+_REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+
+def q_transpose_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``DataFrame.transpose``: rows <-> columns for a small
+    summary relation — the index column's values become the transposed
+    column names, every metric becomes a row (values unify to the
+    least common type, DOUBLE here). The BI hand-off shape (metrics as
+    rows, one column per region) done engine-side instead of in a
+    notebook. Oracle rebuilds the transposed relation with explicit
+    conditional aggregates."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    base = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").cast("double").alias("n_nations"),
+            F.count("c_custkey").cast("double").alias("n_customers"),
+        )
+        .orderBy("r_name")
+    )
+    return base.transpose()
+
+
+QUERIES["transpose_region_stats"] = q_transpose_region_stats
+
+
+def _transpose_oracle() -> str:
+    def row(metric: str, expr: str) -> str:
+        cols = ", ".join(
+            f"CAST(SUM(CASE WHEN r_name = '{r}' THEN {expr} ELSE 0 END) "
+            f'AS DOUBLE) AS "{r}"'
+            for r in _REGIONS
+        )
+        return f"SELECT '{metric}' AS key, {cols} FROM base"
+
+    return f"""
+        WITH base AS (
+            SELECT r.r_name,
+                   COUNT(DISTINCT n.n_nationkey) AS n_nations,
+                   COUNT(c.c_custkey) AS n_customers
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        )
+        {row("n_customers", "n_customers")}
+        UNION ALL
+        {row("n_nations", "n_nations")}
+    """
+
+
+ORACLES["transpose_region_stats"] = _transpose_oracle()
