@@ -273,3 +273,83 @@ def test_stream_source_applies_start_time_mapping(spark, table):
     # a fresh reader picks the new mapping up and is fine
     fresh = pyds_txlog.TxLogStreamReader({"path": table.root}, None)
     assert fresh.partitions({"version": 0}, {"version": v_rename})
+
+
+def test_random_op_sequences_match_a_logical_model(spark):
+    """Model-based sweep (the DV property-test discipline applied to
+    column mapping): seeded pseudo-random sequences of
+    append / rename / drop / dv-delete / rollback / compact must keep
+    ``read()`` equal to a pure-Python logical model at every step —
+    the class of bug the r7/r8 audits kept finding (a carry missed on
+    ONE commit kind) cannot survive a sweep that interleaves them."""
+    import random
+
+    for seed in (7, 23, 41, 97):
+        rng = random.Random(seed)
+        t = recreate(os.path.join(TMP_ROOT, "colmap_tests", f"model_{seed}"))
+
+        # logical model: list of dicts + current column list
+        cols = ["id", "a", "b"]
+        next_id = 0
+
+        def fresh_rows(n):
+            nonlocal next_id
+            rows = [
+                {cols[0]: next_id + i, **{c: (next_id + i) * (j + 2) for j, c in enumerate(cols[1:])}}
+                for i in range(n)
+            ]
+            next_id += n
+            return rows
+
+        def to_df(rows):
+            return spark.createDataFrame(
+                [tuple(r[c] for c in cols) for r in rows],
+                ", ".join(f"{c} BIGINT" for c in cols),
+            )
+
+        model = fresh_rows(20)
+        t.append(to_df(model))
+        history = {1: (list(model), list(cols))}
+        renames = 0
+
+        for _step in range(8):
+            op = rng.choice(["append", "rename", "drop", "dvdel", "rollback", "compact"])
+            try:
+                if op == "append":
+                    rows = fresh_rows(rng.randint(1, 8))
+                    t.append(to_df(rows))
+                    model = model + rows
+                elif op == "rename" and len(cols) >= 2:
+                    old = rng.choice(cols[1:])
+                    new = f"r{renames}_{old[-1]}"
+                    renames += 1
+                    t.rename_column(old, new)
+                    cols = [new if c == old else c for c in cols]
+                    model = [{(new if k == old else k): v for k, v in r.items()} for r in model]
+                elif op == "drop" and len(cols) > 2:
+                    victim = rng.choice(cols[1:])
+                    t.drop_column(victim)
+                    cols = [c for c in cols if c != victim]
+                    model = [{k: v for k, v in r.items() if k != victim} for r in model]
+                elif op == "dvdel":
+                    m = rng.choice([3, 5, 7])
+                    t.delete_where_dv(spark, f"{cols[0]} % {m} = 1")
+                    model = [r for r in model if r[cols[0]] % m != 1]
+                elif op == "rollback":
+                    target = rng.choice(sorted(history))
+                    t.rollback(target)
+                    model, cols = list(history[target][0]), list(history[target][1])
+                elif op == "compact":
+                    compact(t, spark, target_files=2)
+            except ValueError:
+                # legitimate refusals (retired-name reuse, etc.): state
+                # must be unchanged — the comparison below verifies it
+                pass
+            history[t.versions()[-1]] = (list(model), list(cols))
+            got = t.read(spark, merge_schema=True)
+            assert sorted(got.columns) == sorted(cols), (seed, _step, op)
+            want = sorted(tuple(r[c] for c in sorted(cols)) for r in model)
+            have = sorted(
+                tuple(row[c] for c in sorted(cols)) for row in got.collect()
+            )
+            assert have == want, (seed, _step, op)
