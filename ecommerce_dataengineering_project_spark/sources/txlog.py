@@ -719,6 +719,7 @@ class TxTable:
         on the constraint predicates, so re-running the validation
         aggregation would be a redundant full scan of the batch."""
         new_files = new_stats = new_bloom = None
+        wrote_under: tuple | None = None
         validated_against: dict | None = _pre_validated
         for _ in range(8):
             vs = self.versions()
@@ -734,8 +735,19 @@ class TxTable:
             if cons != validated_against:
                 self._validate_constraints(df, cons)
                 validated_against = cons
-            if new_files is None:  # write the data exactly once
+            mapping = (man.get("colmap", {}), man.get("dropped", []))
+            if new_files is not None and wrote_under != mapping:
+                # the CAS winner changed the column mapping between our
+                # attempts: the staged files carry STALE physical names.
+                # Restage under the winner's mapping — _to_physical's
+                # clash check turns a genuine name conflict into a loud
+                # error instead of two logicals sharing one physical
+                # slot. The abandoned staging dir is unreferenced by any
+                # manifest; VACUUM collects it.
+                new_files = None
+            if new_files is None:  # write the data exactly once per mapping
                 new_files, new_stats = self._write_commit_data(df, version, man)
+                wrote_under = mapping
                 new_bloom = (
                     self._file_blooms(
                         df.sparkSession,

@@ -353,3 +353,67 @@ def test_random_op_sequences_match_a_logical_model(spark):
                 tuple(row[c] for c in sorted(cols)) for row in got.collect()
             )
             assert have == want, (seed, _step, op)
+
+
+def test_append_rebase_restages_after_concurrent_rename(spark, table, monkeypatch):
+    """A rename landing between an append's write and its CAS must not
+    commit files staged under the stale mapping. Non-conflicting
+    appends restage under the winner's mapping and succeed; an append
+    carrying the renamed column's OLD name fails LOUDLY (two logicals
+    may never share one physical slot)."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        ConcurrentCommitError,
+        TxTable,
+    )
+
+    t2 = TxTable(table.root)  # the racing writer's handle
+    real_publish = table._publish
+    fired = []
+
+    def racing_publish(version, files, action, *a, **k):
+        if not fired and action == "append":
+            fired.append(version)
+            t2.rename_column("v", "value")  # the winner's commit
+            raise ConcurrentCommitError("simulated lost CAS")
+        return real_publish(version, files, action, *a, **k)
+
+    monkeypatch.setattr(table, "_publish", racing_publish)
+    # subset append (no renamed column): restages and lands cleanly
+    table.append(
+        spark.range(100, 105).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    )
+    monkeypatch.undo()
+    got = table.read(spark, merge_schema=True)
+    assert set(got.columns) == {"id", "k", "value"}
+    assert got.count() == 105
+    assert got.where(F.col("id") >= 100).agg(F.sum("value")).collect()[0][0] is None
+
+    # conflicting append: the appender still carries the column under
+    # the name the winner just turned into an occupied PHYSICAL slot
+    # (v -> value leaves physical 'v' holding logical 'value') — the
+    # restage must refuse loudly, never let two logicals share 'v'
+    t3 = recreate(table.root + "_conflict")
+    t3.append(
+        spark.range(10).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    fired.clear()
+    real_publish3 = t3._publish
+
+    def racing_publish3(version, files, action, *a, **k):
+        if not fired and action == "append":
+            fired.append(version)
+            TxTable(t3.root).rename_column("v", "value")
+            raise ConcurrentCommitError("simulated lost CAS")
+        return real_publish3(version, files, action, *a, **k)
+
+    monkeypatch.setattr(t3, "_publish", racing_publish3)
+    with pytest.raises(ValueError, match="retired physical"):
+        t3.append(
+            spark.range(10, 15).select(
+                F.col("id"),
+                (F.col("id") % 7).alias("k"),
+                (F.col("id") * 10).alias("v"),
+            )
+        )
