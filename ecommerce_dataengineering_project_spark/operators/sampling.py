@@ -16,7 +16,7 @@ engine — no engine-private murmur/xxhash in the semantics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.operators.dedup import hash60
@@ -242,4 +242,48 @@ def mixture_resample(
         )
         .drop("__s")
         .where(sample_key(key_cols, salt) < F.col("rate_permille"))
+    )
+
+
+def reservoir_exact_k(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    k: int,
+    salt: str = "reservoir",
+) -> DataFrame:
+    """EXACTLY ``min(k, n_s)`` rows per stratum, reproducible on any
+    engine and any partitioning: rows rank within their stratum by a
+    salted portable hash of the key (sha-256 prefix — the repo's
+    engine-portable hash, ties broken by the key itself) and
+    ``rank <= k`` survive. The eval-slice / debug-sample shape a
+    permille rate cannot give ("exactly 100 documents per language").
+
+    Scale shape: Catalyst rewrites the ``row_number() <= k`` filter
+    into ``WindowGroupLimit`` — a map-side PARTIAL top-k that runs
+    before the stratum exchange, so a 100 TB stratum ships ~k rows per
+    input partition to the shuffle, never the stratum (plan pinned in
+    tests/test_mixture.py)."""
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
+                ),
+                256,
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(strata_col).orderBy(
+        h.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .withColumn("sample_rank", F.col("__rk").cast("int"))
+        .drop("__rk")
     )

@@ -1200,3 +1200,38 @@ def _classifier_oracle() -> str:
 
 
 ORACLES["quality_classifier_scores"] = _classifier_oracle()
+
+
+RESERVOIR_K = 20
+
+
+def q_reservoir_per_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample
+    (operators/sampling.py reservoir_exact_k): exactly 20 documents per
+    language, ranked by a salted portable hash — the eval-slice shape a
+    permille rate cannot express. Catalyst turns the rank<=k filter
+    into a map-side WindowGroupLimit partial top-k (plan pinned in
+    tests/test_mixture.py), so the stratum never ships to the shuffle
+    whole."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        reservoir_exact_k,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return reservoir_exact_k(docs, ["doc_id"], "lang", RESERVOIR_K)
+
+
+QUERIES["reservoir_per_language"] = q_reservoir_per_language
+
+ORACLES["reservoir_per_language"] = f"""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(CONCAT('0x', SUBSTR(SHA256(
+                       'reservoir|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) ASC, doc_id ASC) AS rk
+        FROM documents
+    ) WHERE rk <= {RESERVOIR_K}
+"""

@@ -43,3 +43,26 @@ def test_missing_stratum_dropped_and_determinism(spark):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in out.collect())
     assert a == b and len(a) == 50  # en at/below target keeps all
+
+
+def test_reservoir_exact_k_counts_and_partial_topk_plan(spark, sf_dir):
+    """reservoir_exact_k: exactly min(k, n_s) per stratum, and the
+    rank<=k filter must compile to WindowGroupLimit (map-side partial
+    top-k before the stratum exchange — the 100 TB shape)."""
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        reservoir_exact_k,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    k = 7
+    got = reservoir_exact_k(docs, ["doc_id"], "lang", k)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    counts = {r.lang: r.n for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {lang: min(k, n) for lang, n in full.items()}
+    # reproducible under any partitioning
+    again = reservoir_exact_k(docs.repartition(13), ["doc_id"], "lang", k)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, again.collect()))
