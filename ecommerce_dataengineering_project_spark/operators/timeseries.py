@@ -125,3 +125,92 @@ def histogram_fixed(df: DataFrame, col: str, n_bins: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         round_half_up(F.sum("v"), 2).alias("sum_value"),
     )
+
+
+def subsequence_match(
+    series: DataFrame,
+    pattern: list[float],
+    day_col: str = "day",
+    value_col: str = "n_orders",
+    k: int = 5,
+) -> DataFrame:
+    """Z-normalized subsequence similarity search over a daily series
+    (the UCR-suite / streaming-similarity-search shape — EDBT 2019
+    "Time Series Similarity Search for Streaming Data in Distributed
+    Systems" is the retrieved-paper reference): every length-L window
+    of the series, z-normalized, scored by Euclidean distance against
+    the z-normalized query pattern; top-k closest windows win.
+
+    Scale shape: the SERIES is a post-aggregation, date-cardinality
+    relation (thousands of rows at 100 TB — the fact scan that builds
+    it is the heavy part and is a separate map-side-combined rollup),
+    so the partition-less ordered window is deliberate, same as
+    gapfill_daily. Windows ride ONE collect_list over a rows frame; the
+    z-norm and distance are sequential codegen folds, bit-identical to
+    a SQL oracle's LIST_REDUCE (flat windows — zero variance — znorm to
+    0.0, the UCR convention). No Python anywhere."""
+    L = len(pattern)
+    win = F.collect_list(F.col(value_col).cast("double")).over(
+        Window.orderBy(day_col).rowsBetween(0, L - 1)
+    )
+    df = (
+        series.select(F.col(day_col).alias("start_day"), win.alias("w"))
+        .where(F.size("w") == L)
+    )
+
+    def _fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _znorm(arr, mean, sd):
+        return F.when(sd == 0.0, F.transform(arr, lambda x: F.lit(0.0))).otherwise(
+            F.transform(arr, lambda x: (x - mean) / sd)
+        )
+
+    df = (
+        df.withColumn("m", _fold_sum(F.col("w")) / L)
+        .withColumn(
+            "sd",
+            F.sqrt(
+                F.aggregate(
+                    "w",
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x - F.col("m")) * (x - F.col("m")),
+                )
+                / L
+            ),
+        )
+        .withColumn("zw", _znorm(F.col("w"), F.col("m"), F.col("sd")))
+    )
+    pat = F.array(*[F.lit(float(x)) for x in pattern])
+    df = (
+        df.withColumn("pm", _fold_sum(pat) / L)
+        .withColumn(
+            "psd",
+            F.sqrt(
+                F.aggregate(
+                    pat,
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x - F.col("pm")) * (x - F.col("pm")),
+                )
+                / L
+            ),
+        )
+        .withColumn("zp", _znorm(pat, F.col("pm"), F.col("psd")))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("zw", "zp", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = df.select(
+        "start_day", round_half_up(dist, 6).alias("distance")
+    )
+    w_rank = Window.orderBy(F.col("distance").asc(), F.col("start_day").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= k)
+    )

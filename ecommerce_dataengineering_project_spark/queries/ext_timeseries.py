@@ -187,3 +187,104 @@ ORACLES["equidepth_histogram"] = f"""
            {sql_round_half_up('SUM(o_totalprice)', 2)} AS sum_value
     FROM b GROUP BY 1
 """
+
+
+TS_PATTERN = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 10.0]  # ramp-then-spike
+TS_TOPK = 5
+
+
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-normalized subsequence similarity search
+    (operators/timeseries.py subsequence_match): the top-5 seven-day
+    windows of the gap-filled daily order-count series closest in
+    shape to a ramp-then-spike query pattern. Every stage — window
+    build, z-norm, distance — is a codegen fold over the
+    date-cardinality series, bit-identical to the DuckDB LIST_REDUCE
+    oracle."""
+    from ecommerce_dataengineering_project_spark.operators.timeseries import (
+        subsequence_match,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    series = gapfill_daily(daily_revenue(orders)).select("day", "n_orders")
+    return subsequence_match(series, TS_PATTERN, k=TS_TOPK)
+
+
+QUERIES["ts_pattern_match"] = q_ts_pattern_match
+
+
+def _ts_pattern_oracle() -> str:
+    L = len(TS_PATTERN)
+    pat = "[" + ", ".join(repr(x) for x in TS_PATTERN) + "]"
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        spine AS (
+            SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM bounds
+        ),
+        series AS (
+            SELECT s.day, CAST(COALESCE(d.n_orders, 0) AS DOUBLE) AS n
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
+        ),
+        wins AS (
+            SELECT day AS start_day,
+                   LIST(n) OVER (ORDER BY day ASC
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {L - 1} FOLLOWING) AS w
+            FROM series
+        ),
+        fw AS (SELECT * FROM wins WHERE LEN(w) = {L}),
+        st AS (
+            SELECT start_day, w,
+                   LIST_REDUCE(w, (x, y) -> x + y) / {L} AS m
+            FROM fw
+        ),
+        st2 AS (
+            SELECT *,
+                   SQRT(LIST_REDUCE(LIST_TRANSFORM(w, x -> (x - m) * (x - m)),
+                                    (x, y) -> x + y) / {L}) AS sd
+            FROM st
+        ),
+        z AS (
+            SELECT start_day,
+                   CASE WHEN sd = 0 THEN LIST_TRANSFORM(w, x -> 0.0)
+                        ELSE LIST_TRANSFORM(w, x -> (x - m) / sd) END AS zw
+            FROM st2
+        ),
+        p0 AS (SELECT CAST({pat} AS DOUBLE[]) AS pw),
+        p1 AS (SELECT pw, LIST_REDUCE(pw, (x, y) -> x + y) / {L} AS pm FROM p0),
+        p2 AS (
+            SELECT pw, pm,
+                   SQRT(LIST_REDUCE(LIST_TRANSFORM(pw, x -> (x - pm) * (x - pm)),
+                                    (x, y) -> x + y) / {L}) AS psd
+            FROM p1
+        ),
+        pz AS (
+            SELECT CASE WHEN psd = 0 THEN LIST_TRANSFORM(pw, x -> 0.0)
+                        ELSE LIST_TRANSFORM(pw, x -> (x - pm) / psd) END AS zp
+            FROM p2
+        ),
+        scored AS (
+            SELECT start_day,
+                   FLOOR(SQRT(LIST_REDUCE(
+                       LIST_TRANSFORM(LIST_ZIP(zw, zp),
+                                      t -> (t[1] - t[2]) * (t[1] - t[2])),
+                       (x, y) -> x + y)) * 1000000.0 + 0.5) / 1000000.0
+                       AS distance
+            FROM z, pz
+        )
+        SELECT start_day, distance, CAST(rn AS INTEGER) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY distance ASC,
+                                           start_day ASC) AS rn
+              FROM scored)
+        WHERE rn <= {TS_TOPK}
+    """
+
+
+ORACLES["ts_pattern_match"] = _ts_pattern_oracle()
