@@ -57,3 +57,40 @@ def test_parse_with_quarantine_splits_bad_rows(spark):
     assert t2.add_supplement is True
     bad = [r.raw_record for r in quarantine.collect()]
     assert "this is not json" in bad and '{"unrelated": 1}' in bad
+
+
+def test_classifier_scores_match_pure_python_reference(spark):
+    """classifier_scores (the fastText-shaped codegen fold) must equal
+    a straightforward Python reimplementation of hash->bucket->weight
+    on arbitrary text, including multi-space and empty-token edges."""
+    import hashlib
+
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        CLASSIFIER_BUCKETS,
+        _W_MOD,
+        _W_MULT,
+        _W_SHIFT,
+        classifier_scores,
+    )
+
+    texts = [
+        "the quick brown fox",
+        "spam spam spam buy now",
+        "a",
+        "repeated repeated repeated repeated",
+        "Unicode tøkens üben",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    got = {r.doc_id: (r.token_count, r.score_micro, r.label)
+           for r in classifier_scores(docs).collect()}
+
+    def w(tok: str) -> int:
+        h = int(hashlib.sha256(tok.encode()).hexdigest()[:15], 16)
+        return (h % CLASSIFIER_BUCKETS + 1) * _W_MULT % _W_MOD - _W_SHIFT
+
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        score = sum(w(x) for x in toks)
+        assert got[i] == (len(toks), score, "keep" if score > 0 else "filter"), t

@@ -441,3 +441,60 @@ def test_pq_adc_topk_recall(spark, sf_dir, exact_pairs):
     recall = len(pairs & exact_pairs) / len(exact_pairs)
     # random top-10 of ~2000 candidates would land ~0.005
     assert recall >= 0.2, f"recall {recall:.2f}"
+
+
+def test_mmr_topk_matches_pure_python_greedy(spark):
+    """mmr_topk's unrolled plan must equal a straightforward Python
+    greedy MMR over the same pool/sims on a hand-buildable corpus."""
+    import math
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import mmr_topk
+
+    rows = [
+        (i, [math.sin(i * 1.7 + j) for j in range(8)]) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = emb.where("vec_id < 3")
+    got = {
+        (r.query_id, r.pick): (r.neighbor_id, r.score_u)
+        for r in mmr_topk(queries, emb, dim=8, k_pool=8, k_div=4).collect()
+    }
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    def u6(x):
+        return math.floor(math.floor(x * 1e6 + 0.5) / 1e6 * 1e6 + 0.5)
+
+    vecs = dict(rows)
+    for qid in range(3):
+        rel = sorted(
+            (
+                (math.floor(math.floor(cos(vecs[qid], vecs[n]) * 1e6 + 0.5)), n)
+                for n in vecs
+                if n != qid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:8]
+        pool = {n: r for r, n in rel}
+        sel = []
+        for pick in range(1, 5):
+            best = None
+            for n, r in pool.items():
+                if n in sel:
+                    continue
+                if not sel:
+                    score = 7 * r
+                else:
+                    score = 7 * r - 3 * max(
+                        u6(cos(vecs[n], vecs[s])) for s in sel
+                    )
+                if best is None or (score, -n) > (best[0], -best[1]):
+                    best = (score, n)
+            sel.append(best[1])
+            assert got[(qid, pick)] == (best[1], best[0]), (qid, pick)

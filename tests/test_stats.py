@@ -107,3 +107,45 @@ def test_kafka_builders_configured(spark):
     assert shaped.columns == ["value"]
     writer = kafka_batch_writer(shaped, "broker:9092", "demo.purchases")
     assert writer is not None
+
+
+def test_subsequence_match_reference_and_flat_window(spark):
+    """subsequence_match vs a pure-Python z-norm/distance reference,
+    including a FLAT window (zero variance -> znorm 0.0, the UCR
+    convention) which must score as distance to the z-normed pattern
+    alone."""
+    import math
+
+    from ecommerce_dataengineering_project_spark.operators.timeseries import (
+        subsequence_match,
+    )
+
+    vals = [5, 5, 5, 1, 9, 2, 8, 3, 7, 4]  # first window (len 3) is flat
+    series = spark.createDataFrame(
+        [(f"2024-01-{d + 1:02d}", v) for d, v in enumerate(vals)],
+        "day STRING, n_orders BIGINT",
+    ).selectExpr("CAST(day AS DATE) AS day", "n_orders")
+    pattern = [1.0, 2.0, 4.0]
+    got = {
+        str(r.start_day): (r.distance, r.rank)
+        for r in subsequence_match(series, pattern, k=len(vals)).collect()
+    }
+
+    def znorm(w):
+        m = sum(w) / len(w)
+        sd = math.sqrt(sum((x - m) ** 2 for x in w) / len(w))
+        return [0.0] * len(w) if sd == 0 else [(x - m) / sd for x in w]
+
+    zp = znorm(pattern)
+    want = []
+    for i in range(len(vals) - len(pattern) + 1):
+        zw = znorm([float(x) for x in vals[i : i + len(pattern)]])
+        d = math.sqrt(sum((a - b) ** 2 for a, b in zip(zw, zp)))
+        want.append((f"2024-01-{i + 1:02d}", math.floor(d * 1e6 + 0.5) / 1e6))
+    want.sort(key=lambda t: (t[1], t[0]))
+    assert len(got) == len(want)
+    for rank, (day, dist) in enumerate(want, 1):
+        assert got[day] == (dist, rank), (day, got[day], dist, rank)
+    # the flat window's distance is ||zp|| (znorm(w) == 0 vector)
+    flat = math.floor(math.sqrt(sum(z * z for z in zp)) * 1e6 + 0.5) / 1e6
+    assert got["2024-01-01"][0] == flat
