@@ -1953,6 +1953,11 @@ def detail(table: TxTable) -> dict:
         # and how many files carry a DV — the compaction (PURGE) signal
         "num_dv_rows": sum(len(ps) for ps in man.get("dv", {}).values()),
         "num_dv_files": sum(1 for ps in man.get("dv", {}).values() if ps),
+        # column-mapping debt: logical renames reads must remap and
+        # dropped physical columns reads must hide — like the DV debt,
+        # compact() purges both
+        "num_renamed_columns": len(man.get("colmap", {})),
+        "num_dropped_columns": len(man.get("dropped", [])),
     }
 
 

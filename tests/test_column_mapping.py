@@ -417,3 +417,21 @@ def test_append_rebase_restages_after_concurrent_rename(spark, table, monkeypatc
                 (F.col("id") * 10).alias("v"),
             )
         )
+
+
+def test_detail_reports_mapping_debt(spark, table):
+    from ecommerce_dataengineering_project_spark.sources.txlog import detail
+
+    assert detail(table)["num_renamed_columns"] == 0
+    table.rename_column("v", "value")
+    table.append(
+        spark.range(100, 103).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), F.lit(0).cast("bigint").alias("value")
+        )
+    )
+    table.drop_column("k")
+    d = detail(table)
+    assert d["num_renamed_columns"] == 1 and d["num_dropped_columns"] == 1
+    compact(table, spark, target_files=1)
+    d = detail(table)
+    assert d["num_renamed_columns"] == 0 and d["num_dropped_columns"] == 0
