@@ -53,14 +53,6 @@ HEADLINE = [
     "fuzzy_name_matches",
     "stream_txlog_append",
     "anomaly_scores_distributed",
-    # long-green representatives still worth watching
-    "stream_socket_ingest",
-    "generator_source",
-    "ann_pq_topk",
-    "txlog_zorder_2d_scan",
-    "doc_perplexity",
-    "stream_dedup",
-    "bucketed_join_revenue",
     # r9 rotation watchlist: first driver evidence this round — the
     # heaviest of the new window (stateful chains, outer stream-stream
     # join, fan-out, SDP executor, RocksDB state, UDTF/cogroup arms)

@@ -263,21 +263,12 @@ def reservoir_exact_k(
     into ``WindowGroupLimit`` — a map-side PARTIAL top-k that runs
     before the stratum exchange, so a 100 TB stratum ships ~k rows per
     input partition to the shuffle, never the stratum (plan pinned in
-    tests/test_mixture.py)."""
-    h = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat_ws(
-                    "|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]
-                ),
-                256,
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    tests/test_mixture.py).
+
+    Key contract: same as ``_key_parts`` (non-NULL keys, fail-loud) —
+    here with ``'|'`` as the salt/key separator, matching the SQL
+    oracle's ``'salt|' || key`` spelling."""
+    h = hash60(F.concat_ws("|", F.lit(salt), *_key_parts(key_cols)))
     w = Window.partitionBy(strata_col).orderBy(
         h.asc(), *[F.col(c).asc() for c in key_cols]
     )

@@ -672,9 +672,11 @@ _W_SHIFT = _W_MOD // 2  # center weights on zero
 
 def _bucket_weight_micro(tok: Column, n_buckets: int) -> Column:
     """Integer micro-weight of one token: portable sha-256-prefix hash
-    -> bucket -> deterministic weight in [-_W_SHIFT, _W_SHIFT]."""
-    h = F.conv(F.substring(F.sha2(tok, 256), 1, 15), 16, 10).cast("bigint")
-    bucket = h % n_buckets
+    (the shared ``dedup.hash60``) -> bucket -> deterministic weight in
+    [-_W_SHIFT, _W_SHIFT]."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import hash60
+
+    bucket = hash60(tok) % n_buckets
     return (bucket + 1) * F.lit(_W_MULT).cast("bigint") % _W_MOD - _W_SHIFT
 
 

@@ -130,17 +130,24 @@ def optimize_zorder(
     Returns the new version number. ``table`` is a
     ``sources.txlog.TxTable`` (duck-typed to avoid a module cycle).
     """
+    # Pin the snapshot ONCE, before the read: sampling versions() again
+    # after read() would let an append landing in between publish-race
+    # silently (our version number would skip past it and the CAS
+    # would not fire) — the version and manifest below are the same
+    # read the rewrite is built from, so any concurrent commit makes
+    # the publish CAS raise.
+    vs = table.versions()
+    version = vs[-1] + 1
+    man = table._manifest(vs[-1])
     # merge_schema: after additive evolution the snapshot's files may
     # carry different column sets — a single-footer schema would drop
     # evolved columns from the rewrite while the manifest still
     # records them
     clustered = zorder_layout(
-        table.read(spark, merge_schema=True), x_sql, y_sql, n_files, bits
+        table.read(spark, version=vs[-1], merge_schema=True),
+        x_sql, y_sql, n_files, bits,
     )
-    vs = table.versions()
-    version = vs[-1] + 1
-    man = table._manifest(vs[-1])
-    files, stats = table._write_commit_data(clustered, version)
+    files, stats = table._write_commit_data(clustered, version, man)
     return table._publish(
         version,
         files,

@@ -115,6 +115,32 @@ class TxLogStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if hi <= lo:
             return []
+        if (self.colmap or self.dropped) and lo > 0:
+            # Restart safety: a checkpoint whose last committed offset
+            # was written under a PREVIOUS mapping era means the sink
+            # already holds batches under the old logical names —
+            # resuming it would mix schemas silently (the exact flip
+            # the mid-stream guard below refuses for live streams). A
+            # fresh checkpoint (lo == 0) is always fine: nothing was
+            # emitted, history replays under the current mapping like
+            # Delta's latest-schema reads.
+            era_start = None
+            for v in reversed(_versions(self.root)):
+                m = _manifest(self.root, v)
+                if (
+                    m.get("colmap", {}) == self.colmap
+                    and set(m.get("dropped", [])) == self.dropped
+                ):
+                    era_start = v
+                else:
+                    break
+            if era_start is not None and lo < era_start:
+                raise ValueError(
+                    f"txlog_stream: checkpointed offset v{lo} was committed "
+                    "under a previous column mapping (the current one was "
+                    f"established at v{era_start}) — the sink holds the old "
+                    "schema; restart with a fresh checkpoint"
+                )
         try:
             prev = set(_manifest(self.root, lo)["files"]) if lo > 0 else set()
         except FileNotFoundError:

@@ -356,11 +356,14 @@ class TxTable:
         )
 
     # ------------------------------------------------- column mapping
-    def _colmap_preflight(self, name: str) -> dict:
+    def _colmap_preflight(self, name: str) -> tuple[int, dict]:
         """Shared checks for rename_column/drop_column: a recorded
         schema must exist and name a column ``name`` that no CHECK
         constraint references (Delta blocks both the same way — a
-        constraint expression holds the old name as text)."""
+        constraint expression holds the old name as text). Returns
+        ``(version, manifest)`` read ONCE — the caller must publish at
+        ``version + 1`` so a commit racing in between fails the
+        hard-link CAS instead of being silently erased by a re-read."""
         import re as _re
 
         vs = self.versions()
@@ -385,7 +388,7 @@ class TxTable:
                 f"{offender}: drop them first (their expressions hold "
                 "the name as text)"
             )
-        return man
+        return vs[-1], man
 
     def rename_column(self, old: str, new: str) -> int:
         """Delta column-mapping ``RENAME COLUMN``: a metadata-only
@@ -399,8 +402,7 @@ class TxTable:
         before the rename keep their start-time schema (Spark's
         contract; Delta requires a schemaTrackingLocation to follow
         renames mid-stream)."""
-        man = self._colmap_preflight(old)
-        vs = self.versions()
+        v, man = self._colmap_preflight(old)
         schema = man.get("schema") or []
         names = {n for n, _ in schema}
         if new in names:
@@ -425,7 +427,7 @@ class TxTable:
             colmap[phys] = new
         new_schema = [[new if n == old else n, t] for n, t in schema]
         return self._publish(
-            vs[-1] + 1,
+            v + 1,
             man["files"],
             f"rename-column:{old}->{new}",
             man.get("stats", {}),
@@ -444,8 +446,7 @@ class TxTable:
         version on (time travel still sees them in old versions).
         Re-adding a column under the dropped name is refused until
         ``compact()`` physically purges the old bytes."""
-        man = self._colmap_preflight(name)
-        vs = self.versions()
+        v, man = self._colmap_preflight(name)
         schema = man.get("schema") or []
         if len(schema) == 1:
             raise ValueError("cannot drop the table's last column")
@@ -456,7 +457,7 @@ class TxTable:
         dropped = sorted(set(man.get("dropped", [])) | {phys})
         new_schema = [[n, t] for n, t in schema if n != name]
         return self._publish(
-            vs[-1] + 1,
+            v + 1,
             man["files"],
             f"drop-column:{name}",
             man.get("stats", {}),
@@ -1462,16 +1463,15 @@ class TxTable:
         # across rename/drop boundaries for the same reason (without
         # a schema-tracking location). Narrow the range to either side.
         check_vs = ([from_version] if from_version > 0 else []) + window
-        shapes = {
-            json.dumps(
-                [
-                    self._manifest(cv).get("colmap", {}),
-                    sorted(self._manifest(cv).get("dropped", [])),
-                ],
-                sort_keys=True,
+        shapes = set()
+        for cv in check_vs:
+            m = self._manifest(cv)
+            shapes.add(
+                json.dumps(
+                    [m.get("colmap", {}), sorted(m.get("dropped", []))],
+                    sort_keys=True,
+                )
             )
-            for cv in check_vs
-        }
         if len(shapes) > 1:
             raise ValueError(
                 "read_changes: the requested version range crosses a "

@@ -435,3 +435,28 @@ def test_detail_reports_mapping_debt(spark, table):
     compact(table, spark, target_files=1)
     d = detail(table)
     assert d["num_renamed_columns"] == 0 and d["num_dropped_columns"] == 0
+
+
+def test_stream_resume_across_a_rename_is_refused(spark, table):
+    """A checkpoint whose committed offset predates the current mapping
+    era must be refused on resume (the sink holds old-named batches);
+    a fresh checkpoint (offset 0) replays history under the current
+    mapping and is fine."""
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+
+    table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )  # v2
+    table.rename_column("v", "value")  # v3 — new era
+    reader = pyds_txlog.TxLogStreamReader({"path": table.root}, None)
+    # resume from a pre-era committed offset: refused
+    with pytest.raises(ValueError, match="previous column mapping"):
+        reader.partitions({"version": 1}, {"version": 3})
+    with pytest.raises(ValueError, match="previous column mapping"):
+        reader.partitions({"version": 2}, {"version": 3})
+    # fresh start replays everything under the current mapping
+    assert reader.partitions({"version": 0}, {"version": 3})
+    # a checkpoint committed inside the era resumes fine
+    assert reader.partitions({"version": 3}, {"version": 3}) == []

@@ -312,13 +312,13 @@ def test_optimize_zorder_detects_concurrent_append(spark, table):
     orig = table._write_commit_data
     fired = {}
 
-    def hijack(df, version):
+    def hijack(df, version, man=None):
         if not fired:
             fired["x"] = True  # concurrent writer wins the version first
             TxTable(table.root).append(
                 _df(spark, 5000, 5010).selectExpr("id", "v", "id % 7 AS y")
             )
-        return orig(df, version)
+        return orig(df, version, man)
 
     table._write_commit_data = hijack
     try:
