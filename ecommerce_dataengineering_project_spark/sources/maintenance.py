@@ -208,6 +208,21 @@ def evolve_append(
         return spark.table(table)
     target_cols = {f.name: f.dataType for f in spark.table(table).schema.fields}
     batch_cols = {f.name: f.dataType for f in batch.schema.fields}
+    # additive evolution only: a column present in BOTH must keep its
+    # type — silently cast()ing a conflicting batch column would turn
+    # unparseable values into NULLs (the txlog's _check_schema raises
+    # for exactly this case; enforce the same here)
+    clashes = {
+        c: (target_cols[c].simpleString(), dt.simpleString())
+        for c, dt in batch_cols.items()
+        if c in target_cols and target_cols[c] != dt
+    }
+    if clashes:
+        raise ValueError(
+            f"evolve_append: column type changes are never mergeable: "
+            f"{clashes} — cast the batch explicitly if the change is "
+            "intentional"
+        )
     new_cols = [c for c in batch_cols if c not in target_cols]
     for c in new_cols:
         spark.sql(
@@ -289,11 +304,30 @@ def compact(
     """Rewrite a flat parquet directory into ``target_files`` files;
     returns the file count before compaction. (On a partitioned
     table, use ``compact_partitioned`` so only hot partitions
-    rewrite.)"""
+    rewrite.)
+
+    Crash safety: same staged-swap as ``compact_partitioned`` — the
+    rewrite lands in a dot-prefixed staging dir and swaps in with two
+    renames, so the originals are never deleted before the replacement
+    exists on disk. (The previous in-place ``mode("overwrite")`` wrote
+    through a localCheckpoint whose blocks live only in the running
+    executors — a crash mid-write lost the table outright.)"""
     import glob
     import os
+    import shutil
 
     before = len(glob.glob(os.path.join(path, "*.parquet")))
-    staged = spark.read.parquet(path).localCheckpoint(eager=True)
-    staged.coalesce(target_files).write.mode("overwrite").parquet(path)
+    parent, base = os.path.split(os.path.abspath(path))
+    tmp = os.path.join(parent, "._tmp_" + base)
+    old = os.path.join(parent, "._old_" + base)
+    if os.path.exists(old):
+        raise RuntimeError(
+            f"{old} exists — a previous compaction crashed mid-swap; "
+            "restore or remove it before compacting again"
+        )
+    shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
+    spark.read.parquet(path).coalesce(target_files).write.parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
     return before

@@ -66,7 +66,11 @@ def _stage_rows(path: str, iterator: Iterator[Row]) -> FileCommit:
     tmp = os.path.join(staging, name)
     with open(tmp, "w", encoding="utf-8") as f:
         for row in iterator:
-            f.write(json.dumps(row.asDict(), default=str) + "\n")
+            # recursive: struct columns arrive as nested Row objects —
+            # the non-recursive form would json-serialize them through
+            # default=str as "Row(a=1, ...)" and the schema-declared
+            # read-back would null them out (silent corruption)
+            f.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
             n += 1
     return FileCommit(filename=name, rows=n)
 

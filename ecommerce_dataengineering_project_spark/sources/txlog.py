@@ -809,6 +809,9 @@ class TxTable:
         concurrent-retry race: if another attempt of the same batch
         wins the version, the loser re-reads, sees the watermark, and
         skips."""
+        files = stats = None
+        wrote_under: tuple | None = None
+        validated_against: dict | None = None
         for _ in range(8):
             vs = self.versions()
             man = self._manifest(vs[-1]) if vs else {}
@@ -820,8 +823,20 @@ class TxTable:
                 man.get("schema"), self._df_schema(df), "merge"
             )
             cons = man.get("constraints", {})
-            self._validate_constraints(df, cons)
-            files, stats = self._write_commit_data(df, version, man)
+            if cons != validated_against:
+                self._validate_constraints(df, cons)
+                validated_against = cons
+            # write the data ONCE per column-mapping era, like append():
+            # a lost CAS re-runs only the metadata work against the
+            # winner's manifest; the staged files are reused unless the
+            # winner changed the mapping (then _to_physical's clash
+            # check re-arbitrates under the new names)
+            mapping = (man.get("colmap", {}), man.get("dropped", []))
+            if files is not None and wrote_under != mapping:
+                files = None
+            if files is None:
+                files, stats = self._write_commit_data(df, version, man)
+                wrote_under = mapping
             try:
                 return self._publish(
                     version,
@@ -1116,6 +1131,40 @@ class TxTable:
         ]
         return spark.createDataFrame(rows, "__dv_file STRING, __dv_pos BIGINT")
 
+    @staticmethod
+    def _require_dv_safe_basenames(files: list[str], context: str) -> None:
+        """The DV machinery keys on part-file BASENAMES (the scan side
+        only has ``_metadata.file_path``). That is sound for the log's
+        own uuid'd part files, but convert_to_txlog-adopted layouts can
+        break it two ways, both of which must refuse LOUDLY instead of
+        corrupting silently: (1) duplicate basenames across directories
+        (hive layouts repeat part-00000.parquet per partition — a
+        positional delete would hit every namesake); (2) basenames that
+        URL-encode (``_metadata.file_path`` is a URI, so 'my data'
+        arrives as 'my%20data' and the DV silently never matches,
+        resurrecting deleted rows). compact() rewrites into log-owned
+        uuid'd files and clears both."""
+        import urllib.parse
+
+        seen: dict[str, str] = {}
+        for f in files:
+            b = os.path.basename(f)
+            if b in seen and seen[b] != f:
+                raise ValueError(
+                    f"{context}: two snapshot files share the basename "
+                    f"{b!r} ({seen[b]!r} and {f!r}) — positional deletes "
+                    "key on basenames and would misattribute rows; run "
+                    "compact() to rewrite into uniquely-named files first"
+                )
+            seen[b] = f
+            if urllib.parse.quote(b, safe="-_.~") != b:
+                raise ValueError(
+                    f"{context}: file basename {b!r} contains characters "
+                    "that URL-encode in _metadata.file_path — the "
+                    "positional match would silently miss it; run "
+                    "compact() to rewrite into log-named files first"
+                )
+
     def _read_files(
         self,
         spark: SparkSession,
@@ -1223,6 +1272,12 @@ class TxTable:
         semantics fix can never land in only one of them."""
         from pyspark.sql import functions as F
 
+        # DV writes are only sound when every snapshot basename is
+        # unique and URI-stable (adopted hive layouts are neither) —
+        # loud refusal here protects every later read
+        self._require_dv_safe_basenames(
+            man["files"], "delete_where_dv/update_where_dv"
+        )
         paths = [os.path.join(self.root, f) for f in man["files"]]
         base = spark.read.option("mergeSchema", "true").parquet(*paths)
         keyed = normalize_ntz(
@@ -2006,7 +2061,11 @@ def generate_symlink_manifest(table: TxTable, version: int | None = None) -> str
         )
     out_dir = os.path.join(table.root, MANIFEST_DIR)
     os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, f".manifest.tmp.{os.getpid()}")
+    # unique per ATTEMPT (pid alone is not enough — two threads in one
+    # process would truncate each other's tmp; same fix as _publish)
+    tmp = os.path.join(
+        out_dir, f".manifest.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    )
     with open(tmp, "w", encoding="utf-8") as fh:
         for f in man["files"]:
             fh.write(os.path.abspath(os.path.join(table.root, f)) + "\n")

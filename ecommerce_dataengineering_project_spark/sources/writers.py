@@ -161,6 +161,20 @@ def zorder_key(cols: list[str], bits: int = 16) -> "F.Column":
     n = len(cols)
     if n < 2:
         raise ValueError("zorder_key needs at least two columns")
+    # every interleaved bit must land inside the 63 non-sign bits of
+    # one BIGINT: shiftleft wraps modulo 64, so an overflowing lane
+    # would silently collide with another (and '+'-combined collisions
+    # carry) — the key would stop being a Morton code and the min/max
+    # pruning this exists for would quietly vanish. Past the wall,
+    # lower `bits` (rank locality needs few bits, not exact values).
+    top_bit = (bits - 1) * n + (n - 1)
+    if top_bit > 62:
+        max_bits = (62 - (n - 1)) // n + 1
+        raise ValueError(
+            f"zorder_key: {n} columns x {bits} bits needs bit positions "
+            f"up to {top_bit}, past the 62 a signed BIGINT key can hold "
+            f"order-safely — use bits <= {max_bits}"
+        )
     terms = []
     for lane, c in enumerate(cols):
         for i in range(bits):

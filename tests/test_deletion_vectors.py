@@ -303,3 +303,33 @@ def test_dv_candidate_scan_is_ntz_normalized(spark, request):
     t.delete_where_dv(spark, pred)
     kept = {r.id for r in t.read(spark).collect()}
     assert kept == set(range(24, 48))
+
+
+def test_dv_refuses_unsafe_basenames_from_adopted_layouts(spark, tmp_path):
+    """DVs key on part-file basenames, which adopted layouts can break
+    (duplicate basenames across partition dirs; URI-encoding names) —
+    the write paths must refuse loudly instead of misattributing or
+    silently skipping positions."""
+    from ecommerce_dataengineering_project_spark.sources.txlog import (
+        convert_to_txlog,
+    )
+
+    root = str(tmp_path / "adopted")
+    df = spark.range(20).select(
+        F.col("id"), (F.col("id") % 2).alias("part")
+    )
+    df.where("part = 0").coalesce(1).write.parquet(root + "/d0")
+    df.where("part = 1").coalesce(1).write.parquet(root + "/d1")
+    # same spark write pattern -> both dirs hold a part-00000-... file
+    # with DIFFERENT uuids; force a true collision by renaming
+    import glob
+    import shutil
+
+    for sub in ("d0", "d1"):
+        f = glob.glob(os.path.join(root, sub, "*.parquet"))[0]
+        shutil.move(f, os.path.join(root, sub, "part-00000.parquet"))
+    t = convert_to_txlog(root, spark)
+    with pytest.raises(ValueError, match="share the basename"):
+        t.delete_where_dv(spark, "id % 3 = 0")
+    with pytest.raises(ValueError, match="share the basename"):
+        t.update_where_dv(spark, "id = 1", {"id": "99"})

@@ -186,3 +186,17 @@ def test_dpp_query_prunes_fact_partitions_at_runtime(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     assert df.count() > 0
+
+
+def test_zorder_key_refuses_lane_overflow(spark):
+    """len(cols)*bits must fit the 63 order-safe bits of one BIGINT —
+    shiftleft wraps modulo 64, so an overflowing configuration would
+    silently stop being a Morton code (pruning quietly destroyed)."""
+    from ecommerce_dataengineering_project_spark.sources.writers import zorder_key
+
+    with pytest.raises(ValueError, match="bits <="):
+        zorder_key(["a", "b", "c", "d", "e"], bits=16)
+    with pytest.raises(ValueError, match="bits <="):
+        zorder_key(["a", "b", "c", "d"], bits=16)  # top bit 63 = sign
+    zorder_key(["a", "b", "c", "d"], bits=15)  # top bit 59: fine
+    zorder_key(["a", "b"], bits=31)  # top bit 61: fine

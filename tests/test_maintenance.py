@@ -334,3 +334,35 @@ def test_merge_upsert_path(spark, tmp_path):
     )
     rows = {r.k: r.v for r in spark.read.parquet(p).collect()}
     assert rows == {"a": 1, "b": 20, "c": 30}
+
+
+def test_evolve_append_refuses_type_conflicts(spark):
+    """A batch column whose type conflicts with the table's must raise
+    (the silent cast() null-out path is data corruption)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.sources.maintenance import (
+        evolve_append,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS evolve_clash")
+    evolve_append(
+        spark, "evolve_clash",
+        spark.range(3).select("id", F.lit(10).cast("bigint").alias("amount")),
+    )
+    with pytest.raises(ValueError, match="never mergeable"):
+        evolve_append(
+            spark, "evolve_clash",
+            spark.range(3, 6).select("id", F.lit("12.5x").alias("amount")),
+        )
+    # additive evolution still works
+    out = evolve_append(
+        spark, "evolve_clash",
+        spark.range(6, 8).select(
+            "id", F.lit(5).cast("bigint").alias("amount"),
+            F.lit("eu").alias("region"),
+        ),
+    )
+    assert out.count() == 5 and "region" in out.columns
+    spark.sql("DROP TABLE IF EXISTS evolve_clash")

@@ -180,3 +180,21 @@ def test_overwrite_publishes_manifest_before_deleting_old_files(
         assert os.path.exists(os.path.join(table, f))
     got = pyds_sink.read_jsonl_sink(spark, table, SCHEMA).collect()
     assert [(r.id, r.v) for r in got] == [(9, "z")]
+
+
+def test_struct_columns_round_trip(spark, table):
+    """Nested Row objects must serialize as JSON objects (recursive
+    asDict), not as the string "Row(a=1, ...)" that a schema-declared
+    read-back nulls out."""
+    pyds_sink.register(spark)
+    df = spark.createDataFrame(
+        [(1, ("x", 2)), (2, ("y", 3))], "id BIGINT, s STRUCT<a: STRING, b: BIGINT>"
+    )
+    (
+        df.write.format("ecommerce_jsonl_sink")
+        .mode("append").option("path", table).save()
+    )
+    got = pyds_sink.read_jsonl_sink(
+        spark, table, "id BIGINT, s STRUCT<a: STRING, b: BIGINT>"
+    ).collect()
+    assert sorted((r.id, r.s.a, r.s.b) for r in got) == [(1, "x", 2), (2, "y", 3)]
