@@ -82,6 +82,54 @@ def rfm_segments(
     )
 
 
+# the pair explode shared by every basket consumer — ONE copy, so a
+# fix here reaches basket_pairs, item_item_recs, AND
+# graph.copurchase_edges (previously three byte-identical inline
+# copies, which is exactly how the max_basket_items cap existed in
+# only one of them)
+_PAIR_EXPLODE = (
+    "flatten(transform(items, (x, i) -> "
+    "transform(slice(items, i + 2, size(items)), "
+    "y -> named_struct('a', x, 'b', y))))"
+)
+
+
+def order_baskets(
+    lineitem: DataFrame,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Per-order sorted distinct-item baskets — the shared first stage
+    of every basket-explode consumer: ONE shuffle on the order key
+    (``collect_set`` partial-aggregates map-side). ``max_basket_items``
+    drops bot baskets (a 10k-item basket is 50M pairs, not a signal).
+
+    The relation is materialized with an eager localCheckpoint, NOT
+    ``persist()``: a cache entry pinned under a lazily-returned
+    operator result can never be unpersisted by the caller and leaks
+    executor storage for the session's lifetime; checkpoint blocks are
+    GC-collected once the result is released."""
+    b = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
+    )
+    if max_basket_items is not None:
+        b = b.where(F.size("items") <= max_basket_items)
+    return b.localCheckpoint(eager=True)
+
+
+def basket_pair_counts(baskets: DataFrame, min_support: int = 1) -> DataFrame:
+    """``(a, b, pair_orders)`` over a baskets relation: the codegen
+    ``transform``/``flatten`` pair explode (never a self-join) + one
+    pair-count shuffle, thresholded at ``min_support``."""
+    return (
+        baskets.select(F.explode(F.expr(_PAIR_EXPLODE)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+        .where(F.col("pair_orders") >= min_support)
+    )
+
+
 def basket_pairs(
     lineitem: DataFrame,
     order_col: str = "l_orderkey",
@@ -109,33 +157,17 @@ def basket_pairs(
     Lift = P(a,b) / (P(a)P(b)) over the order universe, computed from
     the same basket relation and rounded for engine parity.
     """
-    baskets = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
-        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
-    )
-    if max_basket_items is not None:
-        baskets = baskets.where(F.size("items") <= max_basket_items)
-    # three consumers (order count, item counts, pair explode) — keep
-    # the one-per-order relation hot instead of re-aggregating lineitem
-    baskets = baskets.persist()
+    # three consumers (order count, item counts, pair explode) share
+    # the one-per-order checkpointed relation
+    baskets = order_baskets(lineitem, order_col, item_col, max_basket_items)
     n_orders = baskets.count()
     item_counts = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
         F.count("*").alias("i_orders")
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items)), "
-                    "y -> named_struct('a', x, 'b', y))))"
-                )
-            ).alias("p")
-        )
-        .groupBy(
-            F.col("p.a").alias("item_a"), F.col("p.b").alias("item_b")
-        )
-        .agg(F.count("*").alias("pair_orders"))
-        .where(F.col("pair_orders") >= min_support)
+    pairs = basket_pair_counts(baskets, min_support).select(
+        F.col("a").alias("item_a"),
+        F.col("b").alias("item_b"),
+        "pair_orders",
     )
     return (
         pairs.join(
@@ -264,26 +296,12 @@ def item_item_recs(
     double-division are exact integers, and sqrt is a single IEEE op —
     oracle-exact at 6 decimals.
     """
-    baskets = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
-        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
-    ).persist()
+    baskets = order_baskets(lineitem, order_col, item_col)
     item_counts = baskets.select(F.explode("items").alias("p")).groupBy("p").agg(
         F.count(F.lit(1)).alias("c")
     )
-    pairs = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(items, (x, i) -> "
-                    "transform(slice(items, i + 2, size(items)), "
-                    "y -> named_struct('a', x, 'b', y))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.a", "pr.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
+    pairs = basket_pair_counts(baskets, min_support).withColumnRenamed(
+        "pair_orders", "support"
     )
     sym = pairs.unionAll(
         pairs.select(

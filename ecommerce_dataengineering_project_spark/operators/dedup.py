@@ -90,10 +90,15 @@ def shingles(df: DataFrame, id_col: str, text_col: str = "text", n: int = 3) -> 
     fewer bytes. The hash is the portable sha-256 prefix (module
     docstring), so SQL oracles reproduce it exactly.
     """
-    # A corpus that arrives as few files would otherwise serialize the
-    # tokenize+hash work into as few tasks; spread it first (cheap: the
-    # exchange moves raw text once, before the n-gram fan-out).
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # A corpus that arrives as FEWER partitions than the session would
+    # otherwise serialize the tokenize+hash work into those few tasks;
+    # spread it first (cheap: the exchange moves raw text once, before
+    # the n-gram fan-out). Guarded like semantic_dedup/pq_encode: at
+    # lake scale the scan already has more partitions than cores and
+    # an unconditional repartition would shuffle every row for nothing.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     toks = F.split(F.col(text_col), " ")
     # Guard: F.sequence(1, 0) would generate a DESCENDING [1, 0], not
     # an empty list — docs shorter than n shingle to nothing instead.
@@ -203,7 +208,10 @@ def minhash_lsh_dedup(
     reuses identical *exchanges*, not arbitrary subtrees).
     """
     if sh is None:
-        sh = shingles(df, id_col, text_col).persist()
+        # eager localCheckpoint, not persist(): the result is
+        # returned lazily, so a cache entry could never be
+        # unpersisted by the caller (session-lifetime storage leak)
+        sh = shingles(df, id_col, text_col).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     return jaccard_verify(cand, sh, id_col, threshold)
@@ -256,7 +264,10 @@ def exact_jaccard_pairs(
     default baseline).
     """
     if sh is None:
-        sh = shingles(df, id_col, text_col).persist()
+        # eager localCheckpoint, not persist(): the result is
+        # returned lazily, so a cache entry could never be
+        # unpersisted by the caller (session-lifetime storage leak)
+        sh = shingles(df, id_col, text_col).localCheckpoint(eager=True)
     if max_doc_freq is None:
         sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
         sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -376,7 +387,11 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = tuple(
+        labels.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(node, label))")
+        ).collect()[0]
+    )
     converged = False
     for _ in range(max_rounds):
         nbr_min = (
@@ -394,7 +409,15 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # convergence signature: count + order-independent XOR of the
+        # (node, label) pair hashes — overflow-proof where SUM(label)
+        # over hash60-scale ids (up to 2^60) blows past int64 at >=16
+        # nodes and RAISES under Spark 4's default ANSI mode (the same
+        # fix connected_components_star._signature documents)
+        row = labels.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(node, label))")
+        ).collect()[0]
+        cur_sum = tuple(row)
         if cur_sum == prev_sum:
             converged = True
             break
@@ -584,6 +607,18 @@ def embedding_near_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    # Both strategies emit ids through a declared BIGINT schema (the
+    # exact path's Arrow conversion would crash on string ids; the LSH
+    # path's cast would NULL them in legacy mode) — fail loudly at
+    # entry instead of either.
+    id_type = dict(emb.select(id_col).dtypes)[id_col.split(".")[-1]]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"embedding_near_dup_pairs: id column {id_col!r} must be an "
+            f"integer type (got {id_type}) — map string ids to a "
+            "surrogate bigint first"
+        )
+
     # Bounded size probe: limit(n+1).count() stops scanning once the
     # threshold is exceeded instead of counting the whole corpus.
     if emb.limit(max_exact_rows + 1).count() > max_exact_rows:
@@ -743,8 +778,14 @@ def minhash_incremental(
 
     - ``n_history_hits``: distinct accepted docs sharing ≥1 band;
     - ``n_batch_hits``: distinct SMALLER-id batch docs sharing ≥1
-      band (greedy keep-first within the batch — reordering the
-      batch's partitions cannot change survivors);
+      band. This is the CONSERVATIVE one-pass within-batch rule, not
+      survivor-aware greedy: a doc is dropped if ANY smaller-id doc
+      shares a band, even one that was itself dropped, so a chained
+      family (1~2, 2~3, 1≁3) keeps only its smallest id. Deterministic
+      under any partitioning; when chained families must keep their
+      per-link survivors, run cluster collapse (``dedup_clusters``)
+      over the batch instead — survivor-aware greedy is inherently
+      sequential.
     - ``dup_of_history`` and ``keep`` (kept ⇔ no hits either way).
 
     Docs with fewer than 3 tokens have no shingles, hence no bands —

@@ -41,24 +41,14 @@ def copurchase_edges(
     ``min_support`` co-occurring orders — the basket-array pair explode
     (ONE shuffle to baskets + the pair-count shuffle), not a self-join.
     """
-    baskets = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
-        F.sort_array(F.collect_set(F.col(item_col))).alias("items")
+    from ecommerce_dataengineering_project_spark.operators.commerce import (
+        basket_pair_counts,
+        order_baskets,
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(items, (x, i) -> "
-                "transform(slice(items, i + 2, size(items)), "
-                "y -> named_struct('a', x, 'b', y))))"
-            )
-        ).alias("p")
-    ).select("p.a", "p.b")
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= min_support)
-        .select("a", "b")
-    )
+
+    return basket_pair_counts(
+        order_baskets(lineitem, order_col, item_col), min_support
+    ).select("a", "b")
 
 
 def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
@@ -73,10 +63,16 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     # deg feeds every iteration's rank rebuild AND the adjacency —
-    # without the persist each iteration would recompute the full
-    # edge derivation (at sf0.1 that tripled the runtime)
-    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).persist()
-    adj = und.join(deg, "a").persist()
+    # without materialization each iteration would recompute the full
+    # edge derivation (at sf0.1 that tripled the runtime). Eager
+    # localCheckpoint, NOT persist: a cache entry pinned under a
+    # lazily-returned result can never be unpersisted by the caller
+    # and leaks executor storage for the session; checkpoint blocks
+    # are GC-cleaned once the result is released.
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    adj = und.join(deg, "a").localCheckpoint(eager=True)
     ranks = deg.select(F.col("a").alias("node"), F.lit(SCALE).cast("bigint").alias("rank"))
     for _ in range(iterations):
         incoming = (

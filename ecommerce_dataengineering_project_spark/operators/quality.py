@@ -90,10 +90,14 @@ def parse_with_quarantine(
     cols = []
     for f in schema.fields:
         group = aliases.get(f.name, [f.name])
+        # _widen_schema REPLACED the canonical name with the alias
+        # names, so a single-alias group must read group[0] (a pure
+        # rename) — data.getField(f.name) would reference a field the
+        # widened struct does not have
         src = (
             F.coalesce(*[data.getField(g) for g in group])
             if len(group) > 1
-            else data.getField(f.name)
+            else data.getField(group[0])
         )
         cols.append(src.alias(f.name))
         all_null = src.isNull() if all_null is None else (all_null & src.isNull())

@@ -189,6 +189,36 @@ def stratified_hash_sample(
     return df.where(sample_key(key_cols, salt) < rate)
 
 
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    target_permille: dict[str, int],
+) -> DataFrame:
+    """The per-stratum keep rates mixture_resample derives —
+    ``(__s, rate_permille)`` with rate = min(1000, (target * N) div n)
+    in pure integer arithmetic. Exposed so rates are testable without
+    leaking the internal join column into the sampler output."""
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    total = df.agg(F.count("*").alias("__total"))
+    weight: Column = F.lit(0)
+    for value, p in sorted(target_permille.items()):
+        weight = F.when(F.col("__s") == value, p).otherwise(weight)
+    return (
+        counts.withColumn("__w", weight)
+        .join(F.broadcast(total))
+        .select(
+            "__s",
+            F.least(
+                F.lit(1000).cast("bigint"),
+                F.expr("CAST((__w * __total) DIV __n AS BIGINT)"),
+            ).alias("rate_permille"),
+        )
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     key_cols: list[str],
@@ -218,30 +248,16 @@ def mixture_resample(
     pass); at 100 TB the count pass is column-pruned to the stratum
     column alone, and persisting it is a few KB.
     """
-    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
-        F.count("*").alias("__n")
-    )
-    total = df.agg(F.count("*").alias("__total"))
-    weight: Column = F.lit(0)
-    for value, p in sorted(target_permille.items()):
-        weight = F.when(F.col("__s") == value, p).otherwise(weight)
-    rates = (
-        counts.withColumn("__w", weight)
-        .join(F.broadcast(total))
-        .select(
-            "__s",
-            F.least(
-                F.lit(1000).cast("bigint"),
-                F.expr("CAST((__w * __total) DIV __n AS BIGINT)"),
-            ).alias("rate_permille"),
-        )
-    )
+    rates = mixture_rates(df, strata_col, target_permille)
     return (
         df.join(
             F.broadcast(rates), df[strata_col] == rates["__s"], "inner"
         )
         .drop("__s")
         .where(sample_key(key_cols, salt) < F.col("rate_permille"))
+        # internal join column: the sampler's contract (like every
+        # other sampler here) is input-schema rows out
+        .drop("rate_permille")
     )
 
 

@@ -66,7 +66,21 @@ def salted_join(
     ``big.join(small, on, how)``, but each hot key's rows spread over
     ``n_salts`` reducers. Use when the small side is too big to
     broadcast and AQE's skew splitting isn't available (e.g. the join
-    feeds a co-partitioned downstream op)."""
+    feeds a co-partitioned downstream op).
+
+    Join types that preserve UNMATCHED SMALL-side rows are refused:
+    the small side is exploded across every salt, so a right/full
+    outer join would emit each unmatched small row ``n_salts`` times.
+    inner / left / left_semi / left_anti are exactly equivalent to the
+    plain join (the big side carries one salt per row)."""
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"small-side rows {n_salts}x (the small side is exploded "
+            "per salt) — use the plain join or AQE skew handling for "
+            "right/full outer"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

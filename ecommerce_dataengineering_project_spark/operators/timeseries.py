@@ -113,7 +113,15 @@ def histogram_fixed(df: DataFrame, col: str, n_bins: int) -> DataFrame:
     """
     bounds = df.agg(
         F.min(col).alias("lo"),
-        ((F.max(col) - F.min(col)) / F.lit(float(n_bins))).alias("width"),
+        # zero-width guard: a constant column (max == min) would make
+        # the bin expression divide by zero — an ERROR under Spark 4's
+        # default ANSI mode. Width 1.0 puts every row in bin 0, the
+        # right degenerate histogram.
+        F.when(
+            F.max(col) == F.min(col), F.lit(1.0)
+        ).otherwise(
+            (F.max(col) - F.min(col)) / F.lit(float(n_bins))
+        ).alias("width"),
     )
     binned = df.join(F.broadcast(bounds)).select(
         _clamped_bin(F.col(col), F.col("lo"), F.col("width"), n_bins).alias("bin"),

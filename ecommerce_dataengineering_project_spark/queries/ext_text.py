@@ -353,13 +353,20 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-threshold keep decision — the whole pipeline reproduces
     bit-for-bit in SQL."""
     from ecommerce_dataengineering_project_spark.operators.sampling import (
+        mixture_rates,
         mixture_resample,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return mixture_resample(
-        docs, ["doc_id"], "lang", MIXTURE_TARGET
-    ).select("doc_id", "lang", "rate_permille")
+    sampled = mixture_resample(docs, ["doc_id"], "lang", MIXTURE_TARGET)
+    # surface the applied rate beside each kept row (the sampler's
+    # output is input-schema rows; the rates relation is the exposed
+    # helper the sampler derives them from)
+    rates = mixture_rates(docs, "lang", MIXTURE_TARGET)
+    return (
+        sampled.join(F.broadcast(rates), sampled["lang"] == rates["__s"])
+        .select("doc_id", "lang", "rate_permille")
+    )
 
 
 SPLIT_CUTS = {"train": 800, "val": 900, "test": 1000}

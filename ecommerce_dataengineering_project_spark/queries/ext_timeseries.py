@@ -91,8 +91,10 @@ ORACLES = {
     "revenue_histogram": f"""
         WITH bounds AS (
             SELECT MIN(o_totalprice) AS lo,
-                   (MAX(o_totalprice) - MIN(o_totalprice)) / {float(N_BINS)}
-                       AS width
+                   CASE WHEN MAX(o_totalprice) = MIN(o_totalprice) THEN 1.0
+                        ELSE (MAX(o_totalprice) - MIN(o_totalprice))
+                             / {float(N_BINS)}
+                   END AS width
             FROM orders
         ),
         binned AS (

@@ -76,8 +76,13 @@ def parse_with_drift(
     cols: list[Column] = []
     for f in schema.fields:
         group = aliases.get(f.name, [f.name])
-        src = F.coalesce(*[F.col(f"__data.{g}") for g in group]) if len(group) > 1 else F.col(
-            f"__data.{f.name}"
+        # _widen_schema REPLACED the canonical name with the alias
+        # names: a single-alias group is a pure rename and must read
+        # group[0], not f.name (which the widened struct lacks)
+        src = (
+            F.coalesce(*[F.col(f"__data.{g}") for g in group])
+            if len(group) > 1
+            else F.col(f"__data.{group[0]}")
         )
         cols.append(src.alias(f.name))
     return parsed.select(*cols)

@@ -21,11 +21,19 @@ def _docs(spark, spec: dict[str, int]):
 def test_rates_follow_target_shares(spark):
     # 800 en / 100 fr / 100 de, uniform target (333 each):
     # en rate = (333*1000) div 800 = 416; fr/de = min(1000, 3330) = 1000
+    from ecommerce_dataengineering_project_spark.operators.sampling import (
+        mixture_rates,
+    )
+
     df = _docs(spark, {"en": 800, "fr": 100, "de": 100})
     out = mixture_resample(df, ["doc_id"], "lang", {"en": 333, "fr": 333, "de": 333})
+    # the sampler's output is input-schema rows (no internal columns)
+    assert out.columns == df.columns
     rates = {
-        r["lang"]: r["rate_permille"]
-        for r in out.select("lang", "rate_permille").distinct().collect()
+        r["__s"]: r["rate_permille"]
+        for r in mixture_rates(
+            df, "lang", {"en": 333, "fr": 333, "de": 333}
+        ).collect()
     }
     assert rates == {"en": 416, "fr": 1000, "de": 1000}
     kept = out.groupBy("lang").count().collect()

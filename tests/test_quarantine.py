@@ -67,3 +67,27 @@ def test_split_streams_are_disjoint_and_total(spark):
     n_clean = out.where(~out.quarantined).count()
     n_bad = out.where(out.quarantined).count()
     assert (n_clean, n_bad) == (3, 2)  # every row lands in exactly one leg
+
+
+def test_single_alias_pure_rename_parses(spark):
+    """aliases={'canonical': ['renamed']} (a pure rename, canonical
+    absent from the alias list) must read the renamed field — the
+    widened struct REPLACES the canonical name."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ecommerce_dataengineering_project_spark.operators.quality import (
+        parse_with_quarantine,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.bronze_silver import (
+        parse_with_drift,
+    )
+
+    schema = StructType([StructField("supplement", LongType())])
+    df = spark.createDataFrame([('{"supplements": 7}',)], "value STRING")
+    good, quar = parse_with_quarantine(
+        df, schema, aliases={"supplement": ["supplements"]}
+    )
+    assert [r.supplement for r in good.collect()] == [7]
+    assert quar.count() == 0
+    drift = parse_with_drift(df, schema, aliases={"supplement": ["supplements"]})
+    assert [r.supplement for r in drift.collect()] == [7]

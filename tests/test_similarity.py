@@ -498,3 +498,16 @@ def test_mmr_topk_matches_pure_python_greedy(spark):
                     best = (score, n)
             sel.append(best[1])
             assert got[(qid, pick)] == (best[1], best[0]), (qid, pick)
+
+
+def test_embedding_near_dup_pairs_refuses_string_ids(spark):
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.createDataFrame(
+        [("doc-1", [1.0, 0.0]), ("doc-2", [1.0, 0.0])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(TypeError, match="integer type"):
+        embedding_near_dup_pairs(emb, dim=2)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -149,3 +151,52 @@ def test_subsequence_match_reference_and_flat_window(spark):
     # the flat window's distance is ||zp|| (znorm(w) == 0 vector)
     flat = math.floor(math.sqrt(sum(z * z for z in zp)) * 1e6 + 0.5) / 1e6
     assert got["2024-01-01"][0] == flat
+
+
+def test_salted_join_refuses_small_side_outer(spark):
+    """right/full outer would emit each unmatched small-side row once
+    per salt copy — refused; left outer stays exactly equivalent."""
+    from ecommerce_dataengineering_project_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k BIGINT, b STRING")
+    small = spark.createDataFrame([(1, "m"), (42, "u")], "k BIGINT, s STRING")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        salted_join(big, small, ["k"], how="full")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        salted_join(big, small, ["k"], how="right")
+    got = sorted(
+        map(tuple, salted_join(big, small, ["k"], n_salts=4, how="left").collect())
+    )
+    want = sorted(map(tuple, big.join(small, ["k"], "left").collect()))
+    assert got == want
+
+
+def test_histogram_fixed_handles_constant_column(spark):
+    """A constant column (max == min) must produce one bin, not an
+    ANSI divide-by-zero."""
+    from ecommerce_dataengineering_project_spark.operators.timeseries import (
+        histogram_fixed,
+    )
+
+    df = spark.range(10).selectExpr("CAST(49.99 AS DOUBLE) AS v")
+    got = histogram_fixed(df, "v", 10).collect()
+    assert len(got) == 1 and got[0].bin == 0 and got[0].n_rows == 10
+
+
+def test_connected_components_handles_hash_scale_ids(spark):
+    """Convergence detection must not SUM hash60-scale labels (int64
+    overflow raises under ANSI at >=16 nodes)."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    base = (1 << 59)
+    edges = spark.createDataFrame(
+        [(base + i, base + i + 1) for i in range(20)], "id_a BIGINT, id_b BIGINT"
+    )
+    nodes = spark.createDataFrame(
+        [(base + i,) for i in range(21)], "doc_id BIGINT"
+    )
+    got = connected_components(edges, nodes, max_rounds=30).collect()
+    clusters = {r.cluster_id for r in got}
+    assert clusters == {base}  # one chain, one component, min-label root
