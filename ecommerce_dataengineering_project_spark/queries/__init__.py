@@ -26,83 +26,85 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r9 rotation (VERDICT r8 item 1, split staged at the bottom of
-    # STATUS r8): THIRTY-FOUR never-driver-checked queries swap in —
-    # the 20 highest-novelty r8-continuation shapes plus the 14
-    # r8-plan leftovers — against long-green r8-board rows. Every
-    # rotated-out name stays registered and locally oracle-checked
-    # (tests/test_oracle_parity.py); every SURVEY §2 family keeps an
-    # in-cap keeper or a prior-board green. All 34 incoming queries
-    # carry full DuckDB oracles (no new rows-only slots; the one r8
-    # rows-only slot, sketch_incremental_rollup, rotates out with its
-    # r8 executed row banked). 16 keepers span the families: core
-    # medallion, streaming bronze->gold + stateful, dedup/SemDeDup,
-    # ANN, multimodal + binary ingest, txlog, corpus pipeline, CDC,
-    # graph, pandas-UDF, Bloom scale lever.
+    # r10 rotation (VERDICT r9 item 1, staged at the bottom of STATUS
+    # r9): ALL THIRTY-THREE remaining never-driver-checked queries swap
+    # in, burning the driver-evidence backlog to ZERO — from r11 on,
+    # rotation is pure re-confirmation. Every rotated-out name stays
+    # registered and locally oracle-checked (tests/test_oracle_parity
+    # .py); every SURVEY §2 family keeps an in-cap keeper or a
+    # prior-board green. 30 of the incoming queries carry full DuckDB
+    # oracles; 3 are rows-only by nature (mergeable-sketch state /
+    # seeded training loop: segment_overlap_sketch, heavy_hitter_tokens,
+    # bpe_merges), each pinned by its own regression/property tests.
+    # 17 keepers span the families: core medallion, streaming
+    # bronze->gold + stateful + MERGE upsert, declarative pipelines,
+    # dedup/SemDeDup, ANN, multimodal + binary ingest, txlog Z-order,
+    # corpus pipeline, CDC, graph, pandas-UDF, Bloom scale lever.
     #
     # reference core: medallion projections + the flagship daily agg
     "daily_sales",
     "fct_purchases",
-    # streaming keepers: bronze->silver ELT, stateful restock (the r8
-    # bench watch item stays on the board), streaming MERGE upsert
+    # streaming keepers: bronze->silver ELT, stateful restock, MERGE
+    # upsert; first evidence: txlog table-as-stream source
     "stream_bronze_silver",
     "stream_inventory_restock",
     "stream_upsert_gold",
-    # streaming, first evidence: RocksDB state backend, statestore
-    # introspection, two-table fan-out, LEFT OUTER stream-stream join,
-    # chained stateful (dedup -> tumbling window)
-    "stream_dedup_rocksdb",
-    "statestore_inspect",
-    "stream_fanout_two_tables",
-    "stream_stream_left_join",
-    "stream_dedup_then_window",
-    # declarative pipelines + MV routing + DataSource write half
+    "stream_txlog_source",
+    # declarative-pipelines keeper
     "sdp_pipeline_daily",
-    "mv_routed_daily_sales",
-    "datasource_write_roundtrip",
-    # lakehouse txlog: keepers (Z-order pruning) + first evidence
-    # (symlink-manifest external read, threshold auto-compaction)
+    # lakehouse/txlog, first evidence: bucketed co-located join, CDF,
+    # CDF-driven MV refresh, DELETE (rewrite + DV forms), UPDATE via
+    # DV, expectations quarantine, in-place parquet conversion,
+    # time-travel pruned read, column mapping; keeper Z-order pruning
+    "bucketed_join_revenue",
+    "txlog_change_feed",
+    "mv_cdf_refresh",
+    "txlog_delete_where",
+    "txlog_expect_quarantine",
+    "txlog_convert_in_place",
+    "txlog_time_pruned_read",
+    "txlog_delete_vectors",
+    "txlog_update_dv",
+    "txlog_rename_column",
     "txlog_zorder_2d_scan",
-    "athena_manifest_read",
-    "txlog_auto_compact",
+    # X24 second-wave modern-SQL surface, first evidence
+    "collated_source_stats",
+    "approx_topk_event_types",
+    "pipe_syntax_sales",
+    "stats_median_mode",
+    "ansi_try_math",
+    "parameterized_sql",
+    "xml_roundtrip",
+    "sql_scripting_compound",
+    "session_variables_sql",
+    # storage / vectorized-UDF arms, first evidence: native arrow_udf,
+    # Python DataSource filter pushdown, hive partition pruning,
+    # dynamic partition pruning
+    "arrow_udf_tokens",
+    "generator_pushdown_scan",
+    "partition_pruned_read",
+    "dpp_partitioned_join",
+    # text/classifier/similarity/sampling/TS, first evidence
+    "bpe_encode_tokens",
+    "quality_classifier_scores",
+    "mmr_diversified_topk",
+    "transpose_region_stats",
+    "reservoir_per_language",
+    "ts_pattern_match",
+    # rows-only sketch/training slots, first evidence (executed,
+    # rows+schema checked; pinned by exact-regime + property tests)
+    "segment_overlap_sketch",
+    "heavy_hitter_tokens",
+    "bpe_merges",
     # dedup / similarity keepers (incremental LSH is the 100 TB mode)
     "dedup_incremental_minhash",
     "semantic_dedup",
     "ann_pq_topk",
     "bloom_semi_reduce",
-    # tokenizer training + graph census, first evidence
-    "bpe_pair_counts",
-    "triangle_count",
-    # §2j vectorized-Python surface, first evidence: table-arg Arrow
-    # UDTF, cogrouped merge_asof, observe() DQ metrics; keeper scalar
-    # pandas UDF + multimodal decode + binary corpus ingest
-    "udtf_user_sessions",
-    "cogroup_asof_pandas",
-    "observed_dq_metrics",
+    # §2j keepers: scalar pandas UDF, multimodal decode, binary ingest
     "pandas_udf_score",
     "multimodal_decode",
     "binary_files_ingest",
-    # X24 modern-SQL surface, first evidence
-    "recursive_cte_reach",
-    "lateral_topk_orders",
-    "variant_shred_events",
-    "theta_segment_overlap",
-    "sql_udf_pricing",
-    # r8-plan leftovers (X4/X7/X10/X11/X23 + SQL shapes), first evidence
-    "array_functions",
-    "attribution_last_touch",
-    "bigram_lm",
-    "corpus_report",
-    "curriculum_order",
-    "doc_familiarity",
-    "ngram_repetition",
-    "padding_batches",
-    "revenue_histogram",
-    "shuffle_corpus",
-    "split_train_val_test",
-    "token_histogram",
-    "unpivot_returnflag",
-    "vocab_coverage",
     # remaining keepers: end-to-end corpus reduction, CDC MERGE, graph
     "corpus_pipeline_full",
     "cdc_apply",
