@@ -99,23 +99,30 @@ def order_baskets(
     order_col: str = "l_orderkey",
     item_col: str = "l_partkey",
     max_basket_items: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-order sorted distinct-item baskets — the shared first stage
     of every basket-explode consumer: ONE shuffle on the order key
     (``collect_set`` partial-aggregates map-side). ``max_basket_items``
     drops bot baskets (a 10k-item basket is 50M pairs, not a signal).
 
-    The relation is materialized with an eager localCheckpoint, NOT
-    ``persist()``: a cache entry pinned under a lazily-returned
-    operator result can never be unpersisted by the caller and leaks
-    executor storage for the session's lifetime; checkpoint blocks are
-    GC-collected once the result is released."""
+    ``materialize`` (default on) snapshots the relation with an eager
+    localCheckpoint, NOT ``persist()``: a cache entry pinned under a
+    lazily-returned operator result can never be unpersisted by the
+    caller and leaks executor storage for the session's lifetime;
+    checkpoint blocks are GC-collected once the result is released.
+    Multi-consumer callers (``basket_pairs``: 3 passes,
+    ``item_item_recs``: 2) keep the default; a SINGLE-consumer caller
+    that materializes its own derived relation one step later
+    (``graph.copurchase_edges`` -> thresholded edges) passes ``False``
+    — eagerly writing the widest intermediate it reads exactly once is
+    pure overhead (measured 1.7x on the sf0.1 triangle census)."""
     b = lineitem.groupBy(F.col(order_col).alias("orderkey")).agg(
         F.sort_array(F.collect_set(F.col(item_col))).alias("items")
     )
     if max_basket_items is not None:
         b = b.where(F.size("items") <= max_basket_items)
-    return b.localCheckpoint(eager=True)
+    return b.localCheckpoint(eager=True) if materialize else b
 
 
 def basket_pair_counts(baskets: DataFrame, min_support: int = 1) -> DataFrame:

@@ -25,7 +25,7 @@ All expressions are built-in column ops — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
@@ -349,16 +349,20 @@ def connected_components(
     Components in MapReduce") converges in O(log n) rounds; the
     per-round dataflow below is the same shape.
 
-    Convergence is detected via the sum of labels: a round either
-    strictly decreases some label or changes nothing, so an unchanged
-    sum IS the fixpoint (one scalar per round to the driver — the
-    loop is driver-side but the data never is). ``localCheckpoint``
-    truncates each round's lineage so the plan doesn't grow with the
-    round count; it is LAZY (``eager=False``) so the round's
-    convergence-sum action materializes it — one job submission per
-    round instead of two (wall-clock-neutral on an idle local JVM,
-    but it halves scheduler round-trips, which is what queues on a
-    shared cluster).
+    Convergence is detected via a 2-scalar signature (count +
+    order-independent XOR of the (node, label) pair hashes): a round
+    either strictly decreases some label or changes nothing, so an
+    unchanged signature IS the fixpoint (two scalars per round to the
+    driver — the loop is driver-side but the data never is). The
+    signature rides the round's label rebuild as an ``observe()``
+    metric (the X28 CollectMetrics pattern): it is accumulated inline
+    by the SAME job that materializes the round's eager
+    ``localCheckpoint`` — no second aggregate pass over the labels,
+    no extra exchange, one job per round. (The earlier lazy-checkpoint
+    + separate ``agg().collect()`` formulation re-scanned the labels
+    through a partial/final aggregate each round — a measured 1.28x
+    on the sf0.1 headline.) ``localCheckpoint`` truncates each
+    round's lineage so the plan doesn't grow with the round count.
 
     If ``max_rounds`` is exhausted before the fixpoint (diameter >
     max_rounds — chained near-dup families), the labels are NOT
@@ -381,16 +385,25 @@ def connected_components(
     # graph nearly every doc is a singleton, and singletons are their
     # own fixpoint — keeping them out shrinks every round's join and
     # state by orders of magnitude at corpus scale.
-    labels = (
+    # convergence signature: count + order-independent XOR of the
+    # (node, label) pair hashes — overflow-proof where SUM(label) over
+    # hash60-scale ids (up to 2^60) blows past int64 at >=16 nodes and
+    # RAISES under Spark 4's default ANSI mode. Observed inline
+    # (CollectMetrics) so the checkpoint-materializing job IS the
+    # signature pass — never a second scan of the labels.
+    def _checkpoint_signed(df: DataFrame) -> tuple[DataFrame, tuple]:
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(node, label))").alias("sig"),
+        ).localCheckpoint(eager=True)
+        return out, (obs.get["n"], obs.get["sig"])
+
+    labels, prev_sum = _checkpoint_signed(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
-    prev_sum = tuple(
-        labels.agg(
-            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(node, label))")
-        ).collect()[0]
     )
     converged = False
     for _ in range(max_rounds):
@@ -399,25 +412,14 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
-            .select(
+        labels, cur_sum = _checkpoint_signed(
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
-        # convergence signature: count + order-independent XOR of the
-        # (node, label) pair hashes — overflow-proof where SUM(label)
-        # over hash60-scale ids (up to 2^60) blows past int64 at >=16
-        # nodes and RAISES under Spark 4's default ANSI mode (the same
-        # fix connected_components_star._signature documents)
-        row = labels.agg(
-            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(node, label))")
-        ).collect()[0]
-        cur_sum = tuple(row)
         if cur_sum == prev_sum:
             converged = True
             break
@@ -466,27 +468,33 @@ def connected_components_star(
     Edge set is kept directed big->small and distinct. Each half-round
     is one groupBy + one join (shuffles on node id); no driver-side
     graph state — only a 2-scalar signature per round for the fixpoint
-    test (whose collect also materializes the round's lazy
-    localCheckpoint — one job per round). At fixpoint the edges form stars (node -> component min);
-    labels fall out of one final left join. Same output contract as
-    :func:`connected_components` (and the same recursive-CTE oracle).
+    test, observed inline (CollectMetrics) on the job that
+    materializes the round's eager localCheckpoint — one job per
+    round, zero extra scans. At fixpoint the edges form stars (node ->
+    component min); labels fall out of one final left join. Same
+    output contract as :func:`connected_components` (and the same
+    recursive-CTE oracle).
     """
-    e = (
+
+    def _checkpoint_signed(df: DataFrame) -> tuple[DataFrame, tuple]:
+        # count + order-independent XOR of edge hashes: overflow-proof
+        # (bit_xor never wraps, unlike SUM under ANSI mode); riding the
+        # checkpoint job as an observe() metric, never a second pass
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("sig"),
+        ).localCheckpoint(eager=True)
+        return out, (obs.get["n"], obs.get["sig"])
+
+    e, sig = _checkpoint_signed(
         edges.select(
             F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-
-    def _signature(df: DataFrame) -> tuple:
-        # count + order-independent XOR of edge hashes: overflow-proof
-        # (bit_xor never wraps, unlike SUM under ANSI mode)
-        row = df.agg(
-            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
-        ).collect()[0]
-        return tuple(row)
 
     def _large_star(df: DataFrame) -> DataFrame:
         sym = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -510,11 +518,9 @@ def connected_components_star(
         )
         return attach.where(F.col("u") != F.col("v")).distinct()
 
-    sig = _signature(e)
     converged = False
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        new_sig = _signature(e)
+        e, new_sig = _checkpoint_signed(_small_star(_large_star(e)))
         if new_sig == sig:
             converged = True
             break

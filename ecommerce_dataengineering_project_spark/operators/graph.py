@@ -46,8 +46,14 @@ def copurchase_edges(
         order_baskets,
     )
 
+    # materialize=False: edges are this relation's ONLY consumer and
+    # both callers (triangle census, pagerank) checkpoint a much
+    # smaller DERIVED relation one step later — eagerly writing the
+    # widest intermediate (the basket arrays) to read it once was a
+    # measured 1.7x regression on the sf0.1 triangle census.
     return basket_pair_counts(
-        order_baskets(lineitem, order_col, item_col), min_support
+        order_baskets(lineitem, order_col, item_col, materialize=False),
+        min_support,
     ).select("a", "b")
 
 
