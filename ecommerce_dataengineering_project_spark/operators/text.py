@@ -691,12 +691,18 @@ def classifier_scores(
     ``score_micro`` is the exact BIGINT sum of per-token bucket
     weights (micro-units keep the sum associative and
     partial-sum-order-free — the repo's two-level-sum float policy);
-    ``label`` thresholds at zero, fastText's binary decision."""
+    ``label`` thresholds at zero, fastText's binary decision. NULL
+    text scores 0 (-> "filter"), matching the SQL twin's COALESCE —
+    ``F.aggregate`` over a NULL array would otherwise yield NULL and
+    silently diverge from the oracle on a NULL-text fixture."""
     toks = tokens(text_col)
-    score = F.aggregate(
-        toks,
+    score = F.coalesce(
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + _bucket_weight_micro(t, n_buckets),
+        ),
         F.lit(0).cast("bigint"),
-        lambda acc, t: acc + _bucket_weight_micro(t, n_buckets),
     )
     return df.select(
         F.col(id_col),

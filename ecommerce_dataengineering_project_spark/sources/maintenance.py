@@ -265,7 +265,11 @@ def compact_partitioned(
     original data intact under ``._old_<partition>``; recovery is
     renaming it back (stale ``._tmp_*`` staging dirs are re-created
     on the next run). This replaces the in-place overwrite, whose
-    delete-then-rewrite window could lose the partition outright."""
+    delete-then-rewrite window could lose the partition outright.
+    NOT safe under concurrent readers: between the two renames the
+    partition directory briefly does not exist (a reader in that
+    window errors, retryable); the txlog ``compact`` is the
+    concurrent-reader-safe form."""
     import glob
     import os
     import shutil
@@ -311,7 +315,17 @@ def compact(
     renames, so the originals are never deleted before the replacement
     exists on disk. (The previous in-place ``mode("overwrite")`` wrote
     through a localCheckpoint whose blocks live only in the running
-    executors — a crash mid-write lost the table outright.)"""
+    executors — a crash mid-write lost the table outright.)
+
+    NOT safe under concurrent readers: between the two renames the
+    table path briefly does not exist, so a reader scanning in that
+    window errors (retryable — no data is lost). A crash inside the
+    window parks the originals under ``._old_<name>`` and the next
+    compact() refuses loudly; manual recovery is one rename:
+    ``mv ._old_<name> <name>`` (discard ``._tmp_<name>``). For
+    concurrent-reader safety use the transaction log
+    (``sources/txlog.py compact``), where the swap is a manifest CAS
+    and old files stay readable until VACUUM."""
     import glob
     import os
     import shutil

@@ -98,11 +98,27 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.colmap = man.get("colmap", {})
         self.dropped = set(man.get("dropped", []))
         # mapping-change guard applies only to commits LANDING after
-        # this point: historical commits (any mapping era) read fine —
-        # files are always physical-named and read() presents them
-        # under the start-time logical view, like Delta's latest-schema
-        # history reads
+        # this point: historical commits read fine — files stay
+        # physical-named across metadata-only rename/drop and read()
+        # presents them under the start-time logical view, like
+        # Delta's latest-schema history reads. The one exception —
+        # pre-compact files whose physical names a later compact()
+        # purged from the mapping — is refused per-commit in
+        # partitions().
         self.cm_version = vs[-1] if vs else 0
+        # the latest physical-regime reset: a compact()/overwrite()
+        # commit that purged a NON-EMPTY mapping rewrote every file
+        # under new physical names; files from earlier commits are not
+        # interpretable under the start-time mapping (see partitions())
+        self.regime_floor = 0
+        for v in vs:
+            man_v = _manifest(self.root, v)
+            act = str(man_v.get("action", ""))
+            if act != "overwrite" and not act.startswith("optimize-compact"):
+                continue
+            prev_man = _manifest(self.root, v - 1) if v > 1 else {}
+            if prev_man.get("colmap") or prev_man.get("dropped"):
+                self.regime_floor = v
 
     def initialOffset(self):
         return {"version": self.start_version}
@@ -194,7 +210,28 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "than the stream's start-time schema — restart the "
                     "stream with a fresh checkpoint to pick up the new one"
                 )
-            for f in sorted(cur - prev):
+            # Historical commits normally read fine under the
+            # start-time mapping — physical names are stable across
+            # metadata-only rename/drop. A compact()/overwrite() that
+            # PURGED a non-empty mapping breaks that: it rewrote every
+            # file under NEW physical names (the then-logical ones),
+            # so files committed before it speak a physical naming the
+            # start-time colmap (expressed against the post-rewrite
+            # regime) cannot re-express — read() would silently
+            # null-pad the renamed columns instead of surfacing the
+            # old bytes. Refuse replaying their files (fresh
+            # checkpoint or ignoreChanges both reach here).
+            new_files = sorted(cur - prev)
+            if new_files and v < self.regime_floor:
+                raise ValueError(
+                    f"txlog_stream: commit v{v} predates the physical "
+                    f"rewrite at v{self.regime_floor} that purged a column "
+                    "mapping — its files carry pre-rewrite physical column "
+                    "names the stream's start-time mapping cannot "
+                    "re-express; start from the rewrite with "
+                    f"option('startingVersion', {self.regime_floor})"
+                )
+            for f in new_files:
                 parts.append(InputPartition(os.path.join(self.root, f)))
             prev = cur
         return parts

@@ -460,3 +460,37 @@ def test_stream_resume_across_a_rename_is_refused(spark, table):
     assert reader.partitions({"version": 0}, {"version": 3})
     # a checkpoint committed inside the era resumes fine
     assert reader.partitions({"version": 3}, {"version": 3}) == []
+
+
+def test_stream_replay_across_a_compact_purge_is_refused(spark, table):
+    """ADVICE r9: a fresh stream (offset 0, ignoreChanges=true)
+    replaying history across a compact() that PURGED a column mapping
+    must refuse the pre-compact commits — their files hold the old
+    physical names, which the start-time (now empty) colmap cannot
+    re-express; read() would silently null-pad the renamed column.
+    Starting from the post-compact version is fine."""
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+
+    table.rename_column("v", "value")  # v2: colmap {v: value}
+    v_compact = compact(table, spark, target_files=1)  # purges the mapping
+    assert table._manifest(v_compact).get("colmap", {}) == {}
+    hi = table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 100).alias("value")
+        )
+    )
+    reader = pyds_txlog.TxLogStreamReader(
+        {"path": table.root, "ignoreChanges": "true"}, None
+    )
+    with pytest.raises(ValueError, match="physical rewrite"):
+        reader.partitions({"version": 0}, {"version": hi})
+    # post-compact start: every file is logical-named, replay is exact
+    parts = reader.partitions({"version": v_compact}, {"version": hi})
+    assert parts
+    import pyarrow as pa
+
+    batches = [b for p in parts for b in reader.read(p)]
+    assert all("value" in b.schema.names for b in batches)
+    assert sum(b.num_rows for b in batches) == 5
+    got = pa.Table.from_batches(batches)
+    assert got.column("value").null_count == 0

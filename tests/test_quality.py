@@ -94,3 +94,18 @@ def test_classifier_scores_match_pure_python_reference(spark):
         toks = t.split(" ")
         score = sum(w(x) for x in toks)
         assert got[i] == (len(toks), score, "keep" if score > 0 else "filter"), t
+
+
+def test_classifier_scores_null_text_scores_zero(spark):
+    """NULL text must score 0/"filter" — the SQL twin wraps the sum in
+    COALESCE(.., 0), and an un-coalesced F.aggregate over the NULL
+    token array would yield NULL and silently diverge from the oracle
+    (ADVICE r9)."""
+    from ecommerce_dataengineering_project_spark.operators.text import classifier_scores
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "the quick brown fox")], "doc_id BIGINT, text STRING"
+    )
+    row = {r.doc_id: r for r in classifier_scores(docs).collect()}[0]
+    assert row.score_micro == 0
+    assert row.label == "filter"
