@@ -39,36 +39,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # stdout tail, so additions displace long-stable entries (which remain
 # timed in the full payload line).
 HEADLINE = [
-    # flagships + the r7-verdict bench watchlist (most expensive plans)
+    # flagships + the standing perf watchlist; triangle_count /
+    # dedup_clusters / pagerank_copurchase carry this round's two
+    # un-regressions (basket materialize opt-out, observe()-folded
+    # convergence probe) — their raw best is the proof
     "daily_sales",
     "fct_purchases",
     "stream_bronze_silver",
     "stream_inventory_restock",
     "stream_stream_join",
     "dedup_clusters",
-    "ann_ivf_topk",
-    "semantic_dedup",
-    "corpus_pipeline_full",
-    "bloom_semi_reduce",
-    "fuzzy_name_matches",
-    "stream_txlog_append",
-    "anomaly_scores_distributed",
-    # r9 rotation watchlist: first driver evidence this round — the
-    # heaviest of the new window (stateful chains, outer stream-stream
-    # join, fan-out, SDP executor, RocksDB state, UDTF/cogroup arms)
-    "sdp_pipeline_daily",
-    "stream_dedup_rocksdb",
-    "mv_routed_daily_sales",
-    "bpe_merges",
     "triangle_count",
-    "stream_stream_left_join",
-    "stream_dedup_then_window",
-    "stream_fanout_two_tables",
-    "udtf_user_sessions",
-    "cogroup_asof_pandas",
-    "datasource_write_roundtrip",
-    "athena_manifest_read",
-    "recursive_cte_reach",
+    "pagerank_copurchase",
+    "semantic_dedup",
+    "ann_ivf_topk",
+    "corpus_pipeline_full",
+    "fuzzy_name_matches",
+    "bloom_semi_reduce",
+    # r10 rotation watchlist: first driver evidence this round — the
+    # heaviest of the incoming window (streaming txlog source, native
+    # arrow UDF, XML, DV update/delete, column mapping, CDF-driven MV
+    # refresh, bucketed join, DPP, MMR, classifier, BPE trainer)
+    "stream_txlog_source",
+    "arrow_udf_tokens",
+    "xml_roundtrip",
+    "txlog_update_dv",
+    "txlog_delete_vectors",
+    "txlog_rename_column",
+    "mv_cdf_refresh",
+    "bucketed_join_revenue",
+    "dpp_partitioned_join",
+    "mmr_diversified_topk",
+    "quality_classifier_scores",
+    "bpe_merges",
 ]
 
 
