@@ -1223,3 +1223,75 @@ ORACLES["stream_dedup_then_window"] = """
     FROM events
     GROUP BY 1
 """
+
+
+def q_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 timers/TTL: per-user sessionization where each key's FINAL
+    session is emitted by an EVENT-TIME TIMER (GroupStateTimeout.
+    EventTimeTimeout) firing after 6 h of watermark-measured silence,
+    and the fired key's state is REMOVED — the TTL discipline that
+    keeps a 100 TB stream's state store bounded by active keys.
+    Mid-stream sessions split inline on the gap, so rows and timers
+    cooperate on one state shape.
+
+    Deterministic under the in-order bounded replay (the two far-future
+    flush batches advance the watermark past every real key's timer),
+    so batch gaps-and-islands SQL is an exact oracle — including the
+    timer-emitted final sessions. The flush key's own open session
+    never fires (nothing advances the watermark past it); its
+    closed-by-gap first session is filtered AFTER the stateful stage
+    (a pre-stateful filter would be pushed below the watermark node
+    and freeze it — the r8 pushdown-trap rule).
+
+    Reference parity: the reference has no timer construct at all; its
+    session notion is the producer's wall-clock batch loop
+    (producer.py). This arm exists because SURVEY §2i T7 claims the
+    full per-key-state API surface, and timers are the one feature the
+    restock/dedup/SCD2 arms don't exercise.
+    """
+    from ecommerce_dataengineering_project_spark.streaming.stateful import timer_sessions_stream
+
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return timer_sessions_stream(stream, gap="6 hours", watermark="1 hour")
+
+    return run_bounded_stream(
+        spark,
+        "timer_sessions",
+        None,
+        transform,
+        state_partitions=16,
+        source=src,
+    ).where(F.col("user_id") >= 0)
+
+
+QUERIES["stream_timer_sessions"] = q_stream_timer_sessions
+
+# Gaps-and-islands twin of the stateful sessionizer: a session breaks
+# when the per-user silence exceeds 6 h (strict >, the operator's
+# split rule); value is summed as per-row integer cents (two-level-sum
+# float policy).
+ORACLES["stream_timer_sessions"] = """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM s GROUP BY user_id, sess_id
+"""

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 RESTOCK_OUTPUT = StructType(
@@ -150,6 +151,138 @@ def inventory_restock_stream(events: DataFrame) -> DataFrame:
         stateStructType=_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+# open-session state: exact epoch-microsecond bounds (integer — the
+# repo's timestamp-exactness convention), event count, integer-cents
+# value sum (two-level-sum float policy: per-row cents, BIGINT total)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+def _session_rows(pdfs: Iterator[pd.DataFrame]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate a key's micro-batch rows into (ts_us, cents),
+    sorted by (ts, event_id) — numpy end-to-end."""
+    ts_parts, eid_parts, cents_parts = [], [], []
+    for pdf in pdfs:
+        # datetime64[ns] -> exact epoch microseconds (integer division,
+        # never float seconds — the repo's epoch-us exactness rule)
+        ts_parts.append(pdf["ts"].astype("int64").to_numpy() // 1000)
+        eid_parts.append(pdf["event_id"].to_numpy(dtype=np.int64))
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        cents_parts.append(np.floor(v * 100 + 0.5).astype(np.int64))
+    ts_us = np.concatenate(ts_parts)
+    eid = np.concatenate(eid_parts)
+    cents = np.concatenate(cents_parts)
+    order = np.lexsort((eid, ts_us))
+    return ts_us[order], cents[order]
+
+
+def make_session_fn(gap_us: int, timer_log: list | None = None):
+    """Build the per-key GroupState transition for timer-driven
+    event-time sessionization (gap = ``gap_us`` microseconds).
+
+    Timer contract (T7 timers — the one stateful-API feature the
+    restock arm doesn't exercise): after each batch the key arms an
+    EVENT-TIME timer at ``last_event + gap``; when the watermark
+    passes it with no new rows, Spark invokes this function with
+    ``state.hasTimedOut`` and NO input — the open session flushes and
+    the state is removed (true TTL: idle keys leave the store, the
+    property that bounds state size on a 100 TB stream). Sessions
+    whose closing gap arrives WITHIN the row stream split inline, so
+    the timer only ever fires for each key's final open session.
+
+    ``timer_log`` (tests only) records each timeout-path invocation.
+    """
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, end_us: int, n: int, cents: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": np.array([key[0]], dtype=np.int64),
+                    "session_start": pd.to_datetime([start_us], unit="us"),
+                    "session_end": pd.to_datetime([end_us], unit="us"),
+                    "n_events": np.array([n], dtype=np.int64),
+                    "value_cents": np.array([cents], dtype=np.int64),
+                },
+                copy=False,
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_event + gap with no new rows: the
+            # open session is final — flush it and drop the state
+            start_us, last_us, n, cents = state.get
+            if timer_log is not None:
+                timer_log.append(key[0])
+            state.remove()
+            yield emit(start_us, last_us, n, cents)
+            return
+
+        ts_us, cents_arr = _session_rows(pdfs)
+        if state.exists:
+            start_us, last_us, n, total = state.get
+        else:
+            start_us = last_us = int(ts_us[0])
+            n, total = 0, 0
+        # in-order replay: gaps close sessions inline (the timer only
+        # handles each key's FINAL session)
+        for i in range(len(ts_us)):
+            t = int(ts_us[i])
+            if n and t - last_us > gap_us:
+                yield emit(start_us, last_us, n, total)
+                start_us, n, total = t, 0, 0
+            last_us = t
+            n += 1
+            total += int(cents_arr[i])
+        state.update((start_us, last_us, n, total))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return _fn
+
+
+def timer_sessions_stream(
+    events: DataFrame, gap: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """T7 timers/TTL: per-user event-time sessionization where each
+    key's final session is emitted by an EVENT-TIME TIMER firing after
+    ``gap`` of silence (watermark-driven), and the fired key's state
+    is removed — the TTL pattern that keeps the state store bounded by
+    ACTIVE keys only. Mid-stream sessions close inline on the gap.
+
+    Deterministic under the bounded in-order replay harness, so plain
+    batch gap-sessionization SQL is an exact oracle — including the
+    timer-emitted final sessions.
+    """
+    unit = {"hours": 3_600_000_000, "minutes": 60_000_000}
+    num, word = gap.split()
+    gap_us = int(num) * unit[word]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_us),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -100,6 +100,7 @@ def test_plan_hygiene(spark, sf_dir, name):
 # allowed only for the declared per-key-state operator.
 _STREAM_PYTHON_OK = {
     "stream_inventory_restock",  # applyInPandasWithState (T7)
+    "stream_timer_sessions",  # applyInPandasWithState + event-time timers
 }
 
 
