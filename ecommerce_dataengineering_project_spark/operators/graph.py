@@ -65,16 +65,23 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     ``SCALE`` start. Every node in the edge list has degree ≥ 1, so
     there are no dangling-node corrections to make.
     """
-    und = edges.select("a", "b").unionAll(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    )
-    # deg feeds every iteration's rank rebuild AND the adjacency —
-    # without materialization each iteration would recompute the full
-    # edge derivation (at sf0.1 that tripled the runtime). Eager
-    # localCheckpoint, NOT persist: a cache entry pinned under a
+    # und is the ONE materialization point: it is tiny (2x the
+    # support-thresholded edge list) yet feeds BOTH deg and adj, whose
+    # separate builds would otherwise each re-derive the full upstream
+    # edge derivation (for copurchase edges: the lineitem scan + two
+    # shuffles, unmaterialized since order_baskets materialize=False).
+    # Eager localCheckpoint, NOT persist: a cache entry pinned under a
     # lazily-returned result can never be unpersisted by the caller
     # and leaks executor storage for the session; checkpoint blocks
     # are GC-cleaned once the result is released.
+    und = (
+        edges.select("a", "b")
+        .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    # deg feeds every iteration's rank rebuild AND the adjacency —
+    # without materialization each iteration would recompute it (at
+    # sf0.1 that tripled the runtime).
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )
