@@ -213,14 +213,16 @@ def make_session_fn(gap_us: int, timer_log: list | None = None):
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def emit(start_us: int, end_us: int, n: int, cents: int) -> pd.DataFrame:
+        def emit(start_us, end_us, n, cents) -> pd.DataFrame:
+            # dict insertion order == SESSION_OUTPUT field order (the
+            # restock op's no-reindex rule)
             return pd.DataFrame(
                 {
-                    "user_id": np.array([key[0]], dtype=np.int64),
-                    "session_start": pd.to_datetime([start_us], unit="us"),
-                    "session_end": pd.to_datetime([end_us], unit="us"),
-                    "n_events": np.array([n], dtype=np.int64),
-                    "value_cents": np.array([cents], dtype=np.int64),
+                    "user_id": np.full(len(n), key[0], dtype=np.int64),
+                    "session_start": pd.to_datetime(start_us, unit="us"),
+                    "session_end": pd.to_datetime(end_us, unit="us"),
+                    "n_events": np.asarray(n, dtype=np.int64),
+                    "value_cents": np.asarray(cents, dtype=np.int64),
                 },
                 copy=False,
             )
@@ -232,26 +234,49 @@ def make_session_fn(gap_us: int, timer_log: list | None = None):
             if timer_log is not None:
                 timer_log.append(key[0])
             state.remove()
-            yield emit(start_us, last_us, n, cents)
+            yield emit([start_us], [last_us], [n], [cents])
             return
 
+        # vectorized session split (no per-row Python, the restock-op
+        # rule): segment boundaries where the gap is exceeded, then
+        # per-segment aggregates via reduceat
         ts_us, cents_arr = _session_rows(pdfs)
+        seg_starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(ts_us) > gap_us) + 1)
+        )
+        seg_last = np.append(seg_starts[1:], len(ts_us)) - 1
+        s_start = ts_us[seg_starts]
+        s_end = ts_us[seg_last]
+        s_n = (seg_last - seg_starts + 1).astype(np.int64)
+        s_cents = np.add.reduceat(cents_arr, seg_starts)
+        closed = None
         if state.exists:
-            start_us, last_us, n, total = state.get
-        else:
-            start_us = last_us = int(ts_us[0])
-            n, total = 0, 0
-        # in-order replay: gaps close sessions inline (the timer only
-        # handles each key's FINAL session)
-        for i in range(len(ts_us)):
-            t = int(ts_us[i])
-            if n and t - last_us > gap_us:
-                yield emit(start_us, last_us, n, total)
-                start_us, n, total = t, 0, 0
-            last_us = t
-            n += 1
-            total += int(cents_arr[i])
-        state.update((start_us, last_us, n, total))
+            o_start, o_last, o_n, o_cents = state.get
+            if int(ts_us[0]) - o_last <= gap_us:
+                # the open session continues into the first segment
+                s_start[0] = o_start
+                s_n[0] += o_n
+                s_cents[0] += o_cents
+            else:
+                # the open session closed on its own before this batch
+                closed = (o_start, o_last, o_n, o_cents)
+        # every segment but the last is final; the last stays open
+        # under a re-armed timer
+        lo = 1 if closed is not None else 0
+        out_start = np.empty(len(s_start) - 1 + lo, dtype=np.int64)
+        out_end = np.empty_like(out_start)
+        out_n = np.empty_like(out_start)
+        out_cents = np.empty_like(out_start)
+        if closed is not None:
+            out_start[0], out_end[0], out_n[0], out_cents[0] = closed
+        out_start[lo:] = s_start[:-1]
+        out_end[lo:] = s_end[:-1]
+        out_n[lo:] = s_n[:-1]
+        out_cents[lo:] = s_cents[:-1]
+        if len(out_start):
+            yield emit(out_start, out_end, out_n, out_cents)
+        last_us = int(s_end[-1])
+        state.update((int(s_start[-1]), last_us, int(s_n[-1]), int(s_cents[-1])))
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
 
     return _fn
