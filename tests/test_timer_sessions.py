@@ -101,3 +101,79 @@ def test_cents_rounding_matches_oracle_form(sessions):
     CAST(FLOOR(value*100+0.5) AS BIGINT) bit-for-bit."""
     u1 = [r for r in sessions if r[0] == 1]
     assert u1[0][4] == 300
+
+
+def _model_sessions(rows, gap_us):
+    """Pure-Python reference: global gap sessionization per user."""
+    import math
+    from collections import defaultdict
+
+    epoch = dt.datetime(1970, 1, 1)
+    by_user = defaultdict(list)
+    for eid, ts, uid, val in rows:
+        us = (ts - epoch) // dt.timedelta(microseconds=1)
+        by_user[uid].append((us, eid, int(math.floor(val * 100 + 0.5))))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        start, last, n, cents = evs[0][0], evs[0][0], 0, 0
+        for us, _eid, c in evs:
+            if n and us - last > gap_us:
+                out.append((uid, start, last, n, cents))
+                start, n, cents = us, 0, 0
+            last = us
+            n += 1
+            cents += c
+        out.append((uid, start, last, n, cents))
+    return sorted(out)
+
+
+def test_random_batch_splits_match_the_model(spark):
+    """The batch-boundary-invariance property: wherever the
+    (time-ordered) micro-batch splits fall, inline gap-splits and
+    timer firings must cooperate to the SAME global sessionization —
+    the class of bug where the state merge or the timer re-arm drops
+    or double-counts a boundary session."""
+    import random
+
+    gap_us = 6 * 3_600_000_000
+    for seed in (3, 11, 29):
+        rng = random.Random(seed)
+        rows = []
+        eid = 0
+        for uid in range(1, 7):
+            t = _T0 + dt.timedelta(minutes=rng.randrange(0, 600))
+            for _ in range(rng.randrange(1, 14)):
+                eid += 1
+                rows.append((eid, t, uid, rng.randrange(0, 5000) / 100.0))
+                # mix of sub-gap steps and session-breaking jumps
+                t += dt.timedelta(
+                    minutes=rng.choice([1, 30, 240, 361, 1500])
+                )
+        rows.sort(key=lambda r: (r[1], r[0]))
+        # random time-ordered split into 1-4 batches + 2 flush batches
+        n_batches = rng.randrange(1, 5)
+        cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+        parts = [rows[i:j] for i, j in zip([0] + cuts, cuts + [len(rows)])]
+        batches = [_rows(spark, p) for p in parts if p] + [
+            _rows(spark, [(-1, _FLUSH, -1, 0.0)]),
+            _rows(spark, [(-2, _FLUSH + dt.timedelta(days=1), -1, 0.0)]),
+        ]
+        out = run_bounded_stream(
+            spark,
+            f"timer_sessions_prop_{seed}",
+            batches,
+            lambda s: timer_sessions_stream(s, gap="6 hours", watermark="1 hour"),
+        ).where(F.col("user_id") >= 0)
+        epoch = dt.datetime(1970, 1, 1)
+        got = sorted(
+            (
+                r.user_id,
+                (r.session_start - epoch) // dt.timedelta(microseconds=1),
+                (r.session_end - epoch) // dt.timedelta(microseconds=1),
+                r.n_events,
+                r.value_cents,
+            )
+            for r in out.collect()
+        )
+        assert got == _model_sessions(rows, gap_us), f"seed {seed}"
