@@ -25,6 +25,8 @@ All expressions are built-in column ops — no Python in the row path.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -324,6 +326,23 @@ def exact_jaccard_pairs(
     return _jaccard_from_inter(inter, sh, id_col, threshold)
 
 
+def _checkpoint_signed(df: DataFrame, c1: str, c2: str) -> tuple[DataFrame, tuple]:
+    """Eagerly localCheckpoint ``df`` and return it with a 2-scalar
+    convergence signature: row count + order-independent XOR of
+    ``xxhash64(c1, c2)`` — overflow-proof where a SUM over hash60-scale
+    ids (up to 2^60) blows past int64 at >=16 rows and RAISES under
+    Spark 4's default ANSI mode. The signature rides the
+    checkpoint-materializing job as an ``observe()`` CollectMetrics
+    metric (the X28 pattern) — never a second scan of the relation."""
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({c1}, {c2}))").alias("sig"),
+    ).localCheckpoint(eager=True)
+    return out, (obs.get["n"], obs.get["sig"])
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
@@ -385,22 +404,10 @@ def connected_components(
     # graph nearly every doc is a singleton, and singletons are their
     # own fixpoint — keeping them out shrinks every round's join and
     # state by orders of magnitude at corpus scale.
-    # convergence signature: count + order-independent XOR of the
-    # (node, label) pair hashes — overflow-proof where SUM(label) over
-    # hash60-scale ids (up to 2^60) blows past int64 at >=16 nodes and
-    # RAISES under Spark 4's default ANSI mode. Observed inline
-    # (CollectMetrics) so the checkpoint-materializing job IS the
-    # signature pass — never a second scan of the labels.
-    def _checkpoint_signed(df: DataFrame) -> tuple[DataFrame, tuple]:
-        obs = Observation()
-        out = df.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(node, label))").alias("sig"),
-        ).localCheckpoint(eager=True)
-        return out, (obs.get["n"], obs.get["sig"])
-
-    labels, prev_sum = _checkpoint_signed(
+    _checkpoint_signed_nl = functools.partial(
+        _checkpoint_signed, c1="node", c2="label"
+    )
+    labels, prev_sum = _checkpoint_signed_nl(
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -412,7 +419,7 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels, cur_sum = _checkpoint_signed(
+        labels, cur_sum = _checkpoint_signed_nl(
             labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left").select(
                 "node",
                 F.least(
@@ -476,19 +483,8 @@ def connected_components_star(
     recursive-CTE oracle).
     """
 
-    def _checkpoint_signed(df: DataFrame) -> tuple[DataFrame, tuple]:
-        # count + order-independent XOR of edge hashes: overflow-proof
-        # (bit_xor never wraps, unlike SUM under ANSI mode); riding the
-        # checkpoint job as an observe() metric, never a second pass
-        obs = Observation()
-        out = df.observe(
-            obs,
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("sig"),
-        ).localCheckpoint(eager=True)
-        return out, (obs.get["n"], obs.get["sig"])
-
-    e, sig = _checkpoint_signed(
+    _checkpoint_signed_uv = functools.partial(_checkpoint_signed, c1="u", c2="v")
+    e, sig = _checkpoint_signed_uv(
         edges.select(
             F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
         )
@@ -520,7 +516,7 @@ def connected_components_star(
 
     converged = False
     for _ in range(max_rounds):
-        e, new_sig = _checkpoint_signed(_small_star(_large_star(e)))
+        e, new_sig = _checkpoint_signed_uv(_small_star(_large_star(e)))
         if new_sig == sig:
             converged = True
             break

@@ -36,10 +36,15 @@ PRIORITY: tuple[str, ...] = (
     # oracles; 3 are rows-only by nature (mergeable-sketch state /
     # seeded training loop: segment_overlap_sketch, heavy_hitter_tokens,
     # bpe_merges), each pinned by its own regression/property tests.
-    # 17 keepers span the families: core medallion, streaming
+    # 16 keepers span the families: core medallion, streaming
     # bronze->gold + stateful + MERGE upsert, declarative pipelines,
-    # dedup/SemDeDup, ANN, multimodal + binary ingest, txlog Z-order,
-    # corpus pipeline, CDC, graph, pandas-UDF, Bloom scale lever.
+    # dedup/SemDeDup, ANN, multimodal, txlog Z-order, corpus
+    # pipeline, CDC, graph, pandas-UDF, Bloom scale lever. The 50th
+    # slot is this round's NEW arm (X38 event-time timers/TTL), so
+    # the backlog stays zero: every registered query has either a
+    # driver row or an in-window slot this round (binary_files_ingest
+    # rotates out on its r9 green; multimodal_decode keeps X15's
+    # family covered).
     #
     # reference core: medallion projections + the flagship daily agg
     "daily_sales",
@@ -101,10 +106,11 @@ PRIORITY: tuple[str, ...] = (
     "semantic_dedup",
     "ann_pq_topk",
     "bloom_semi_reduce",
-    # §2j keepers: scalar pandas UDF, multimodal decode, binary ingest
+    # §2j keepers: scalar pandas UDF, multimodal decode; plus the
+    # round's new X38 timers/TTL arm (first evidence)
     "pandas_udf_score",
     "multimodal_decode",
-    "binary_files_ingest",
+    "stream_timer_sessions",
     # remaining keepers: end-to-end corpus reduction, CDC MERGE, graph
     "corpus_pipeline_full",
     "cdc_apply",

@@ -1296,6 +1296,6 @@ ORACLES["stream_timer_sessions"] = """
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(cents) AS BIGINT) AS value_cents
+           CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS value_cents
     FROM s GROUP BY user_id, sess_id
 """

@@ -106,19 +106,6 @@ class TxLogStreamReader(DataSourceStreamReader):
         # purged from the mapping — is refused per-commit in
         # partitions().
         self.cm_version = vs[-1] if vs else 0
-        # the latest physical-regime reset: a compact()/overwrite()
-        # commit that purged a NON-EMPTY mapping rewrote every file
-        # under new physical names; files from earlier commits are not
-        # interpretable under the start-time mapping (see partitions())
-        self.regime_floor = 0
-        for v in vs:
-            man_v = _manifest(self.root, v)
-            act = str(man_v.get("action", ""))
-            if act != "overwrite" and not act.startswith("optimize-compact"):
-                continue
-            prev_man = _manifest(self.root, v - 1) if v > 1 else {}
-            if prev_man.get("colmap") or prev_man.get("dropped"):
-                self.regime_floor = v
 
     def initialOffset(self):
         return {"version": self.start_version}
@@ -142,7 +129,12 @@ class TxLogStreamReader(DataSourceStreamReader):
             # Delta's latest-schema reads.
             era_start = None
             for v in reversed(_versions(self.root)):
-                m = _manifest(self.root, v)
+                try:
+                    m = _manifest(self.root, v)
+                except FileNotFoundError:
+                    # expired region: era boundary unknowable past it —
+                    # the earliest retained consistent version stands
+                    break
                 if (
                     m.get("colmap", {}) == self.colmap
                     and set(m.get("dropped", [])) == self.dropped
@@ -158,18 +150,61 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "schema; restart with a fresh checkpoint"
                 )
         try:
-            prev = set(_manifest(self.root, lo)["files"]) if lo > 0 else set()
+            mans = {lo: _manifest(self.root, lo)} if lo > 0 else {}
         except FileNotFoundError:
             raise ValueError(
                 f"txlog_stream: checkpointed offset v{lo} was expired "
                 "(expire_snapshots removed its manifest) — restart with a "
                 "fresh checkpoint or option('startingVersion', <retained>)"
             ) from None
-        parts: list[InputPartition] = []
-        for v in _versions(self.root):
-            if not (lo < v <= hi):
+        prev = set(mans[lo]["files"]) if lo > 0 else set()
+        window = [v for v in _versions(self.root) if lo < v <= hi]
+        for v in window:
+            mans[v] = _manifest(self.root, v)
+        # Physical-regime floor, scoped to THIS window: a commit that
+        # purged a non-empty column mapping by full rewrite
+        # (compact()/overwrite(); structurally: mapping went non-empty
+        # -> empty with every file replaced, rollback excluded since it
+        # restores files and mapping together) renamed the physical
+        # columns — files from EARLIER commits speak a naming the
+        # start-time mapping (expressed against the post-rewrite
+        # regime) cannot re-express. Commits at or after the floor are
+        # fine; only a replay window that CROSSES the floor is unsafe,
+        # so the scan never touches manifests outside the window (an
+        # expired or absent predecessor is treated as mapped — refusal
+        # is loud, null-padding is silent).
+        regime_floor = 0
+        for v in window:
+            man_v = mans[v]
+            if man_v.get("colmap") or man_v.get("dropped"):
+                continue  # mapping survives: not a purge
+            act = str(man_v.get("action", ""))
+            if act.startswith("rollback") or v == 1:
+                continue  # rollback restores files+mapping together;
+                # v1 is table creation (no predecessor to protect)
+            prev_man = mans.get(v - 1)
+            if prev_man is None and v - 1 > 0:
+                try:
+                    prev_man = _manifest(self.root, v - 1)
+                except FileNotFoundError:
+                    prev_man = None  # expired: assume it was mapped
+            prev_mapped = prev_man is None or bool(
+                prev_man.get("colmap") or prev_man.get("dropped")
+            )
+            if not prev_mapped:
                 continue
-            man = _manifest(self.root, v)
+            full_rewrite = prev_man is None or not (
+                set(man_v["files"]) & set(prev_man["files"])
+            )
+            if (
+                act == "overwrite"
+                or act.startswith("optimize-compact")
+                or full_rewrite
+            ):
+                regime_floor = v
+        parts: list[InputPartition] = []
+        for v in window:
+            man = mans[v]
             cur = set(man["files"])
             if (prev - cur) and not self.ignore_changes:
                 raise ValueError(
@@ -185,7 +220,17 @@ class TxLogStreamReader(DataSourceStreamReader):
             # unless ignoreChanges, which degrades to new-files-only
             # (this source also does not re-apply DVs to files it
             # already emitted; downstream consumers own the deletes).
-            prev_dv = _manifest(self.root, v - 1).get("dv", {}) if v > 1 else {}
+            if v > 1 and (v - 1) in mans:
+                prev_dv = mans[v - 1].get("dv", {})
+            elif v > 1:
+                try:
+                    prev_dv = _manifest(self.root, v - 1).get("dv", {})
+                except FileNotFoundError:
+                    # expired predecessor: compare against this
+                    # commit's own dv (no observable change)
+                    prev_dv = man.get("dv", {})
+            else:
+                prev_dv = {}
             if man.get("dv", {}) != prev_dv and not self.ignore_changes:
                 raise ValueError(
                     f"txlog_stream: commit v{v} ({man.get('action')}) changed "
@@ -210,26 +255,24 @@ class TxLogStreamReader(DataSourceStreamReader):
                     "than the stream's start-time schema — restart the "
                     "stream with a fresh checkpoint to pick up the new one"
                 )
-            # Historical commits normally read fine under the
-            # start-time mapping — physical names are stable across
-            # metadata-only rename/drop. A compact()/overwrite() that
-            # PURGED a non-empty mapping breaks that: it rewrote every
-            # file under NEW physical names (the then-logical ones),
-            # so files committed before it speak a physical naming the
-            # start-time colmap (expressed against the post-rewrite
-            # regime) cannot re-express — read() would silently
-            # null-pad the renamed columns instead of surfacing the
-            # old bytes. Refuse replaying their files (fresh
-            # checkpoint or ignoreChanges both reach here).
+            # Pre-rewrite files would be silently null-padded by the
+            # start-time mapping (see the regime-floor scan above) —
+            # refuse them loudly instead (fresh checkpoint and
+            # ignoreChanges replays both reach here).
             new_files = sorted(cur - prev)
-            if new_files and v < self.regime_floor:
+            if new_files and v < regime_floor:
                 raise ValueError(
                     f"txlog_stream: commit v{v} predates the physical "
-                    f"rewrite at v{self.regime_floor} that purged a column "
+                    f"rewrite at v{regime_floor} that purged a column "
                     "mapping — its files carry pre-rewrite physical column "
                     "names the stream's start-time mapping cannot "
-                    "re-express; start from the rewrite with "
-                    f"option('startingVersion', {self.regime_floor})"
+                    "re-express. To replay the full post-rewrite snapshot, "
+                    f"use option('startingVersion', {regime_floor - 1}) "
+                    "with ignoreChanges=true (offsets are exclusive, so "
+                    f"that window starts AT the v{regime_floor} rewrite, "
+                    "whose files hold the complete rewritten table); "
+                    f"option('startingVersion', {regime_floor}) replays "
+                    "only commits after it"
                 )
             for f in new_files:
                 parts.append(InputPartition(os.path.join(self.root, f)))

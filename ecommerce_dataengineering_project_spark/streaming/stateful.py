@@ -185,7 +185,11 @@ def _session_rows(pdfs: Iterator[pd.DataFrame]) -> tuple[np.ndarray, np.ndarray]
         ts_parts.append(pdf["ts"].astype("int64").to_numpy() // 1000)
         eid_parts.append(pdf["event_id"].to_numpy(dtype=np.int64))
         v = pdf["value"].to_numpy(dtype=np.float64)
-        cents_parts.append(np.floor(v * 100 + 0.5).astype(np.int64))
+        # NULL value -> NaN -> astype(int64) would yield garbage
+        # (INT64_MIN); count it as 0 cents, matching the SQL twin's
+        # COALESCE'd SUM (which skips NULL terms)
+        c = np.floor(v * 100 + 0.5)
+        cents_parts.append(np.where(np.isnan(c), 0, c).astype(np.int64))
     ts_us = np.concatenate(ts_parts)
     eid = np.concatenate(eid_parts)
     cents = np.concatenate(cents_parts)
@@ -193,7 +197,7 @@ def _session_rows(pdfs: Iterator[pd.DataFrame]) -> tuple[np.ndarray, np.ndarray]
     return ts_us[order], cents[order]
 
 
-def make_session_fn(gap_us: int, timer_log: list | None = None):
+def make_session_fn(gap_us: int):
     """Build the per-key GroupState transition for timer-driven
     event-time sessionization (gap = ``gap_us`` microseconds).
 
@@ -205,9 +209,9 @@ def make_session_fn(gap_us: int, timer_log: list | None = None):
     the state is removed (true TTL: idle keys leave the store, the
     property that bounds state size on a 100 TB stream). Sessions
     whose closing gap arrives WITHIN the row stream split inline, so
-    the timer only ever fires for each key's final open session.
-
-    ``timer_log`` (tests only) records each timeout-path invocation.
+    the timer only ever fires for each key's final open session (the
+    timer path is proven behaviorally in tests/test_timer_sessions.py:
+    a key with no later rows can only emit through it).
     """
 
     def _fn(
@@ -231,8 +235,6 @@ def make_session_fn(gap_us: int, timer_log: list | None = None):
             # watermark passed last_event + gap with no new rows: the
             # open session is final — flush it and drop the state
             start_us, last_us, n, cents = state.get
-            if timer_log is not None:
-                timer_log.append(key[0])
             state.remove()
             yield emit([start_us], [last_us], [n], [cents])
             return

@@ -484,6 +484,12 @@ def test_stream_replay_across_a_compact_purge_is_refused(spark, table):
     )
     with pytest.raises(ValueError, match="physical rewrite"):
         reader.partitions({"version": 0}, {"version": hi})
+    # crossing replay from just BEFORE the rewrite (the error message's
+    # own advice) emits the full rewritten snapshot plus later commits
+    full = reader.partitions({"version": v_compact - 1}, {"version": hi})
+    assert len(full) > len(
+        reader.partitions({"version": v_compact}, {"version": hi})
+    )
     # post-compact start: every file is logical-named, replay is exact
     parts = reader.partitions({"version": v_compact}, {"version": hi})
     assert parts
@@ -494,3 +500,36 @@ def test_stream_replay_across_a_compact_purge_is_refused(spark, table):
     assert sum(b.num_rows for b in batches) == 5
     got = pa.Table.from_batches(batches)
     assert got.column("value").null_count == 0
+
+
+def test_stream_reader_survives_expired_predecessors(spark, table):
+    """Regression (r10 review): the regime scan must never read
+    manifests outside the replay window unguarded — after
+    expire_snapshots removes the predecessors of a surviving
+    compact()/rewrite, constructing a reader and streaming from the
+    retained range must work, not crash with FileNotFoundError."""
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+    from ecommerce_dataengineering_project_spark.sources.txlog import expire_snapshots
+
+    table.rename_column("v", "value")  # v2
+    v_compact = compact(table, spark, target_files=1)  # v3 purges
+    hi = table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 100).alias("value")
+        )
+    )  # v4
+    expire_snapshots(table, keep_versions=2)  # drops v1, v2 manifests
+    reader = pyds_txlog.TxLogStreamReader(
+        {"path": table.root, "ignoreChanges": "true"}, None
+    )
+    # fresh stream over the retained range: the compact commit's
+    # predecessor manifest is gone; the scan treats it as mapped and
+    # floors AT the compact — nothing retained precedes it, so the
+    # whole retained history replays
+    parts = reader.partitions({"version": 0}, {"version": hi})
+    assert parts
+    assert sum(
+        b.num_rows for p in parts for b in reader.read(p)
+    ) == 105  # the full rewritten snapshot + the post-compact append
+    # resuming from the retained compact offset also works
+    assert reader.partitions({"version": v_compact}, {"version": hi})

@@ -28,7 +28,7 @@ def test_priority_covers_every_operator_family():
         # zero; every swapped-out name's SURVEY row keeps an in-cap
         # keeper or a prior-board green and stays registered + locally
         # oracle-checked.
-        "stream_": 4,
+        "stream_": 5,
         "dedup_": 1,
         "txlog_": 9,
         "multimodal_": 1,
@@ -43,7 +43,7 @@ def test_priority_covers_every_operator_family():
         "stream_inventory_restock", "stream_upsert_gold",
         "sdp_pipeline_daily",
         "dedup_incremental_minhash", "semantic_dedup", "ann_pq_topk",
-        "multimodal_decode", "binary_files_ingest",
+        "multimodal_decode",
         "txlog_zorder_2d_scan", "bloom_semi_reduce",
         "corpus_pipeline_full", "cdc_apply", "pagerank_copurchase",
         "pandas_udf_score",
@@ -62,6 +62,8 @@ def test_priority_covers_every_operator_family():
         "mmr_diversified_topk", "transpose_region_stats",
         "reservoir_per_language", "ts_pattern_match",
         "segment_overlap_sketch", "heavy_hitter_tokens", "bpe_merges",
+        # the round's new arm takes the 50th slot (X38 timers/TTL)
+        "stream_timer_sessions",
     ):
         assert name in PRIORITY
 
