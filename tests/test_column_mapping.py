@@ -533,3 +533,45 @@ def test_stream_reader_survives_expired_predecessors(spark, table):
     ) == 105  # the full rewritten snapshot + the post-compact append
     # resuming from the retained compact offset also works
     assert reader.partitions({"version": v_compact}, {"version": hi})
+
+
+def test_stream_rename_after_compact_purge_never_nullpads(spark, table):
+    """Adversarial corner: rename -> compact (purge) -> rename AGAIN.
+    The start-time mapping ({value: worth}) is expressed against the
+    post-compact physical regime, so pre-compact files (physical "v")
+    are unmappable and post-compact files map value->worth. Every
+    unsafe start must refuse LOUDLY (floor or era guard); the safe
+    ones must emit correctly-mapped bytes — never a null-padded
+    column."""
+    import pyarrow as pa
+
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+
+    table.rename_column("v", "value")  # v2
+    v_compact = compact(table, spark, target_files=1)  # v3: purge
+    v_rename2 = table.rename_column("value", "worth")  # v4: new era
+    hi = table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 100).alias("worth")
+        )
+    )  # v5
+    reader = pyds_txlog.TxLogStreamReader(
+        {"path": table.root, "ignoreChanges": "true"}, None
+    )
+    # fresh full replay: refused at the pre-compact commit (floor)
+    with pytest.raises(ValueError, match="physical rewrite"):
+        reader.partitions({"version": 0}, {"version": hi})
+    # any start inside the purged-but-pre-rename gap: refused by the
+    # era guard (a sink fed from there would hold "value"-named rows)
+    for lo in (v_compact - 1, v_compact):
+        with pytest.raises(ValueError, match="previous column mapping"):
+            reader.partitions({"version": lo}, {"version": hi})
+    # starts inside the current era emit bytes under the CURRENT name
+    parts = reader.partitions({"version": v_rename2}, {"version": hi})
+    batches = [b for p in parts for b in reader.read(p)]
+    got = pa.Table.from_batches(batches)
+    assert "worth" in got.schema.names and "value" not in got.schema.names
+    assert got.column("worth").null_count == 0
+    assert sorted(got.column("worth").to_pylist()) == [
+        i * 100 for i in range(100, 105)
+    ]
