@@ -531,6 +531,95 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as a CELL-PARTITIONED parquet table —
+    the serving-path form of :func:`ivf_topk`. Each corpus vector is
+    assigned its nearest-centroid cell (the exact codegen assigner)
+    and written under ``cell=<id>/``; its L2 norm is precomputed and
+    stored alongside (an index precomputes what every query would
+    otherwise recompute). At 100 TB the build is one assignment pass +
+    one partitioned write; queries then PRUNE TO PROBED CELL
+    DIRECTORIES at planning time — the scan never opens the other
+    ``n_cells - n_probe`` shards of the corpus, which is the entire
+    point of an inverted-file index on object storage.
+    """
+    (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cell", ivf_cell_exact("cv", centroids))
+        .withColumn("c_nrm", norm("cv"))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve ANN top-k from a persisted :func:`build_ivf_index` table.
+
+    The query set's probe cells are resolved FIRST (one bounded
+    driver-side collect — a serving query set is Q vectors by nature,
+    so the list is Q x n_probe ints; batch-analytics workloads where
+    Q is corpus-sized use :func:`ivf_topk`, whose probe resolution
+    stays distributed). The static ``cell IN (...)`` filter then
+    prunes the index scan to the probed directories at PLANNING time
+    (``PartitionFilters``, pinned in tests/test_layout.py) — none of
+    the other cells' files are opened, the property that makes a
+    persisted IVF index pay on a 100 TB corpus. Scoring reuses the
+    index's precomputed norms; results are bit-identical to
+    :func:`ivf_topk` with the same centroids (same fold arithmetic),
+    so the same SQL oracle checks both.
+    """
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("probe_cells", ivf_probes_exact("qv", centroids, n_probe))
+        .withColumn("q_nrm", norm("qv"))
+        .select("query_id", "qv", "q_nrm", F.explode("probe_cells").alias("cell"))
+        .localCheckpoint(eager=True)  # probe assignment runs ONCE, not
+        # once per consumer (the collect below + the serving join)
+    )
+    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    cand = spark.read.parquet(index_path).where(F.col("cell").isin(probed))
+    scored = cand.join(F.broadcast(q), on="cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(
+                dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")), 6
+            ).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _lsh_table_assigner(
     dim: int, n_tables: int, planes_per_table: int, multiprobe: bool = False
 ):

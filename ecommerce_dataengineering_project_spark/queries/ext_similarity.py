@@ -663,3 +663,49 @@ def _mmr_oracle() -> str:
 
 
 ORACLES["mmr_diversified_topk"] = _mmr_oracle()
+
+
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3, the SERVING path: the IVF index persisted ONCE as a
+    cell-partitioned parquet table (vectors + precomputed norms under
+    ``cell=<id>/`` directories — ``build_ivf_index``), then top-k
+    served by PRUNING the scan to the probed cell directories at
+    planning time (static ``cell IN`` partition filter, plan-pinned in
+    tests/test_layout.py). Same centroids, same fold arithmetic as
+    ``ann_ivf_topk``, so the results are bit-identical and the same
+    SQL oracle checks both — only the physical path differs: the
+    batch form derives assignments per run; this form reads a
+    prebuilt index and never opens the unprobed n_cells - n_probe
+    shards of the corpus, which is what an inverted file buys at
+    100 TB."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(TMP_ROOT, "ivf_index", sf_name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index(emb, _IVF_CENTROIDS[sf_dir], path)
+    return ivf_topk_indexed(
+        spark,
+        _queries_df(spark, sf_dir),
+        path,
+        _IVF_CENTROIDS[sf_dir],
+        k=TOP_K,
+        n_probe=N_PROBE,
+    )
+
+
+QUERIES["ann_ivf_indexed"] = q_ann_ivf_indexed
+
+# Bit-identical results to the batch form — the SAME oracle checks the
+# persisted-index serving path.
+ORACLES["ann_ivf_indexed"] = ORACLES["ann_ivf_topk"]

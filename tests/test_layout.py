@@ -200,3 +200,22 @@ def test_zorder_key_refuses_lane_overflow(spark):
         zorder_key(["a", "b", "c", "d"], bits=16)  # top bit 63 = sign
     zorder_key(["a", "b", "c", "d"], bits=15)  # top bit 59: fine
     zorder_key(["a", "b"], bits=31)  # top bit 61: fine
+
+
+def test_ivf_index_scan_prunes_to_probed_cells(spark, sf_dir):
+    """The persisted-IVF serving query's index scan must carry the
+    probed cells as a static PartitionFilter (cell IN ...) — the
+    unprobed cell directories are never opened — and its results must
+    equal the batch (per-run assignment) form bit-for-bit."""
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        q_ann_ivf_indexed,
+        q_ann_ivf_topk,
+    )
+
+    df = q_ann_ivf_indexed(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.index("PartitionFilters")
+    assert "cell" in plan[i : i + 260], plan[i : i + 400]
+    indexed = sorted(map(tuple, df.collect()))
+    batch = sorted(map(tuple, q_ann_ivf_topk(spark, sf_dir).collect()))
+    assert indexed == batch
