@@ -53,6 +53,7 @@ HEADLINE = [
     "pagerank_copurchase",
     "semantic_dedup",
     "ann_ivf_topk",
+    "ann_ivf_indexed",  # the persisted-index serving twin, side-by-side
     "corpus_pipeline_full",
     "fuzzy_name_matches",
     "bloom_semi_reduce",
