@@ -140,6 +140,17 @@ def main() -> None:
     _stage_dup(f"events_dup_{_sq._sf_key(sf_dir)}", 0)
     _stage_dup(f"events_dup_flush_{_sq._sf_key(sf_dir)}", 2)
 
+    # Pre-build the persisted IVF index for the same reason: the build
+    # is a one-time indexing pass (production's offline index job),
+    # and a cold .tmp + a budget-degraded single run would otherwise
+    # fold it into ann_ivf_indexed's only timed sample. One throwaway
+    # serve builds (or finds) the index under its fingerprinted path.
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        q_ann_ivf_indexed as _ivf_idx,
+    )
+
+    _ivf_idx(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Machine-noise calibration (VERDICT r5 item 7): a constant-cost
     # pure-codegen query whose round-over-round drift quantifies
     # co-tenant load, so suite inflation can be read against it instead

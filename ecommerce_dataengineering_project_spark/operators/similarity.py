@@ -485,10 +485,7 @@ def ivf_topk(
     # method blows the JIT huge-method limit and deoptimizes to
     # interpreted bytecode (~7x on this operator).
     if assigner == "exact":
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        ).withColumn("cell", ivf_cell_exact("cv", centroids))
+        c = _ivf_corpus_cells_exact(corpus, centroids, id_col, vec_col)
         q = queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
@@ -502,16 +499,45 @@ def ivf_topk(
             F.element_at(
                 assign_one(F.col(vec_col).cast("array<double>")), 1
             ).alias("cell"),
-        )
+        ).withColumn("c_nrm", norm("cv"))
         q = queries.select(
             F.col(id_col).alias("query_id"),
             as_double(F.col(vec_col)).alias("qv"),
             assign_probe(F.col(vec_col).cast("array<double>")).alias("probe_cells"),
         )
-    c = c.withColumn("c_nrm", norm("cv"))
     q = q.withColumn("q_nrm", norm("qv")).select(
         "query_id", "qv", "q_nrm", F.explode("probe_cells").alias("cell")
     )
+    return _ivf_score_and_rank(c, q, k)
+
+
+def _ivf_corpus_cells_exact(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The exact-assigner corpus relation ``(neighbor_id, cv, cell,
+    c_nrm)`` — ONE definition shared by the per-run batch path
+    (:func:`ivf_topk`) and the persisted index build
+    (:func:`build_ivf_index`), so the two cannot drift off the
+    bit-identity contract."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cell", ivf_cell_exact("cv", centroids))
+        .withColumn("c_nrm", norm("cv"))
+    )
+
+
+def _ivf_score_and_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Probe join + cosine + per-query top-k — the ONE scoring block
+    both IVF paths share (same rounding, same tie-break), for the same
+    no-drift reason as :func:`_ivf_corpus_cells_exact`. ``c`` carries
+    (neighbor_id, cv, cell, c_nrm); ``q`` carries one row per
+    (query, probe cell) with (query_id, qv, q_nrm, cell)."""
     scored = c.join(F.broadcast(q), on="cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -540,8 +566,9 @@ def build_ivf_index(
 ) -> None:
     """Persist the IVF index as a CELL-PARTITIONED parquet table —
     the serving-path form of :func:`ivf_topk`. Each corpus vector is
-    assigned its nearest-centroid cell (the exact codegen assigner)
-    and written under ``cell=<id>/``; its L2 norm is precomputed and
+    assigned its nearest-centroid cell (the exact codegen assigner,
+    the SAME relation definition the batch path scores from) and
+    written under ``cell=<id>/``; its L2 norm is precomputed and
     stored alongside (an index precomputes what every query would
     otherwise recompute). At 100 TB the build is one assignment pass +
     one partitioned write; queries then PRUNE TO PROBED CELL
@@ -550,12 +577,7 @@ def build_ivf_index(
     point of an inverted-file index on object storage.
     """
     (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("cell", ivf_cell_exact("cv", centroids))
-        .withColumn("c_nrm", norm("cv"))
+        _ivf_corpus_cells_exact(corpus, centroids, id_col, vec_col)
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -599,25 +621,9 @@ def ivf_topk_indexed(
         .localCheckpoint(eager=True)  # probe assignment runs ONCE, not
         # once per consumer (the collect below + the serving join)
     )
-    probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
     cand = spark.read.parquet(index_path).where(F.col("cell").isin(probed))
-    scored = cand.join(F.broadcast(q), on="cell").where(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select(
-            "query_id",
-            "neighbor_id",
-            round_half_up(
-                dot("qv", "cv") / (F.col("q_nrm") * F.col("c_nrm")), 6
-            ).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _ivf_score_and_rank(cand, q, k)
 
 
 def _lsh_table_assigner(

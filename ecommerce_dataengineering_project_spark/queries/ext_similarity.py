@@ -690,8 +690,19 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
+    # The index directory is keyed by a fingerprint of (corpus row
+    # count, centroids): .tmp persists across processes, so a bare
+    # per-sf path could silently serve an index built from OLD data
+    # or OLD constants against freshly-computed probe cells. Any
+    # change to the fixtures or to N_CELLS/the seed constants lands
+    # in a new directory and rebuilds.
+    import hashlib
+
+    fp = hashlib.sha256(
+        repr((emb.count(), _IVF_CENTROIDS[sf_dir])).encode()
+    ).hexdigest()[:12]
     sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join(TMP_ROOT, "ivf_index", sf_name)
+    path = os.path.join(TMP_ROOT, "ivf_index", f"{sf_name}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_ivf_index(emb, _IVF_CENTROIDS[sf_dir], path)
     return ivf_topk_indexed(
