@@ -26,95 +26,87 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r10 rotation (VERDICT r9 item 1, staged at the bottom of STATUS
-    # r9): ALL THIRTY-THREE remaining never-driver-checked queries swap
-    # in, burning the driver-evidence backlog to ZERO — from r11 on,
-    # rotation is pure re-confirmation. Every rotated-out name stays
-    # registered and locally oracle-checked (tests/test_oracle_parity
-    # .py); every SURVEY §2 family keeps an in-cap keeper or a
-    # prior-board green. 30 of the incoming queries carry full DuckDB
-    # oracles; 3 are rows-only by nature (mergeable-sketch state /
-    # seeded training loop: segment_overlap_sketch, heavy_hitter_tokens,
-    # bpe_merges), each pinned by its own regression/property tests.
-    # 16 keepers span the families: core medallion, streaming
-    # bronze->gold + stateful + MERGE upsert, declarative pipelines,
-    # dedup/SemDeDup, ANN, multimodal, txlog Z-order, corpus
-    # pipeline, CDC, graph, pandas-UDF, Bloom scale lever. The 50th
-    # slot is this round's NEW arm (X38 event-time timers/TTL), so
-    # the backlog stays zero: every registered query has either a
-    # driver row or an in-window slot this round (binary_files_ingest
-    # rotates out on its r9 green; multimodal_decode keeps X15's
-    # family covered).
+    # r11 rotation (VERDICT r10 item 1): driver-evidence debt hit zero
+    # on the r10 board, so from this round on the window is
+    # staleness-first RE-confirmation. Slot 1 is `ann_ivf_indexed` —
+    # the single post-staging r10 registration and the only query with
+    # no driver row yet. 15 flagship keepers stay for round-over-round
+    # continuity. `bpe_merges` re-enters because this round it gains a
+    # real DuckDB oracle (VERDICT item 4: the greedy merges unrolled
+    # into a CTE chain), upgrading its evidence from rows-only to
+    # hash-matched. The remaining 33 slots are the oldest-evidence
+    # greens: the full r1 era (12), the full r3 era (4), and 17 of the
+    # 20 r4-era rows (the three deferred to r12: approx_distinct_
+    # quantiles — rows-only, lowest re-check value — plus token_counts
+    # and training_corpus). The txlog/X24/storage families carry no
+    # slot this round on purpose: all their rows are r9/r10 green, the
+    # freshest evidence on any board; they rotate back by staleness
+    # around r13.
     #
+    # first evidence: the persisted-IVF serving path (X3)
+    "ann_ivf_indexed",
     # reference core: medallion projections + the flagship daily agg
     "daily_sales",
     "fct_purchases",
     # streaming keepers: bronze->silver ELT, stateful restock, MERGE
-    # upsert; first evidence: txlog table-as-stream source
+    # upsert
     "stream_bronze_silver",
     "stream_inventory_restock",
     "stream_upsert_gold",
-    "stream_txlog_source",
     # declarative-pipelines keeper
     "sdp_pipeline_daily",
-    # lakehouse/txlog, first evidence: bucketed co-located join, CDF,
-    # CDF-driven MV refresh, DELETE (rewrite + DV forms), UPDATE via
-    # DV, expectations quarantine, in-place parquet conversion,
-    # time-travel pruned read, column mapping; keeper Z-order pruning
+    # lakehouse keeper: bucketed co-located join
     "bucketed_join_revenue",
-    "txlog_change_feed",
-    "mv_cdf_refresh",
-    "txlog_delete_where",
-    "txlog_expect_quarantine",
-    "txlog_convert_in_place",
-    "txlog_time_pruned_read",
-    "txlog_delete_vectors",
-    "txlog_update_dv",
-    "txlog_rename_column",
-    "txlog_zorder_2d_scan",
-    # X24 second-wave modern-SQL surface, first evidence
-    "collated_source_stats",
-    "approx_topk_event_types",
-    "pipe_syntax_sales",
-    "stats_median_mode",
-    "ansi_try_math",
-    "parameterized_sql",
-    "xml_roundtrip",
-    "sql_scripting_compound",
-    "session_variables_sql",
-    # storage / vectorized-UDF arms, first evidence: native arrow_udf,
-    # Python DataSource filter pushdown, hive partition pruning,
-    # dynamic partition pruning
-    "arrow_udf_tokens",
-    "generator_pushdown_scan",
-    "partition_pruned_read",
-    "dpp_partitioned_join",
-    # text/classifier/similarity/sampling/TS, first evidence
-    "bpe_encode_tokens",
-    "quality_classifier_scores",
-    "mmr_diversified_topk",
-    "transpose_region_stats",
-    "reservoir_per_language",
-    "ts_pattern_match",
-    # rows-only sketch/training slots, first evidence (executed,
-    # rows+schema checked; pinned by exact-regime + property tests)
-    "segment_overlap_sketch",
-    "heavy_hitter_tokens",
-    "bpe_merges",
     # dedup / similarity keepers (incremental LSH is the 100 TB mode)
     "dedup_incremental_minhash",
     "semantic_dedup",
     "ann_pq_topk",
-    "bloom_semi_reduce",
-    # §2j keepers: scalar pandas UDF, multimodal decode; plus the
-    # round's new X38 timers/TTL arm (first evidence)
+    # §2j keepers: scalar pandas UDF, multimodal decode
     "pandas_udf_score",
     "multimodal_decode",
-    "stream_timer_sessions",
     # remaining keepers: end-to-end corpus reduction, CDC MERGE, graph
     "corpus_pipeline_full",
     "cdc_apply",
     "pagerank_copurchase",
+    # oracle upgrade this round: greedy BPE merges, now hash-checked
+    # via the unrolled CTE-chain oracle (was rows-only on the r10 board)
+    "bpe_merges",
+    # staleness re-confirmation — r1-era evidence (oldest first)
+    "ann_lsh_buckets",
+    "cube_revenue",
+    "dedup_clusters_star",
+    "dedup_ngram_capped",
+    "except_antijoin",
+    "exists_late_orders",
+    "intersect_segments",
+    "pivot_returnflag",
+    "region_revenue",
+    "segment_top_orders",
+    "string_predicates",
+    "window_topk",
+    # staleness re-confirmation — r3-era evidence
+    "lag_lead_events",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "running_inventory",
+    # staleness re-confirmation — r4-era evidence
+    "chunk_documents",
+    "conditional_pricing",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "grouped_pandas_stats",
+    "json_extract_events",
+    "language_id",
+    "multi_join_revenue",
+    "multimodal_features",
+    "rolling_fingerprint",
+    "sample_stratified",
+    "sessionize_events",
+    "stream_dedup_watermarked",
+    "stream_sliding_activity",
+    "stream_tumbling_revenue",
+    "tfidf_top_terms",
 )
 
 

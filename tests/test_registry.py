@@ -23,47 +23,31 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r10 (VERDICT r9 item 1): the final 33 never-driver-checked
-        # queries rotate in, burning the driver-evidence backlog to
-        # zero; every swapped-out name's SURVEY row keeps an in-cap
-        # keeper or a prior-board green and stays registered + locally
-        # oracle-checked.
+        # r11 (VERDICT r10 item 1): staleness-first re-confirmation.
+        # txlog_/X24/storage carry no slot this round BY DESIGN — all
+        # their rows are r9/r10 green (the freshest evidence on any
+        # board); they rotate back by staleness around r13. Every
+        # family below keeps at least one in-window representative.
         "stream_": 5,
-        "dedup_": 1,
-        "txlog_": 9,
-        "multimodal_": 1,
-        "ann_": 1,
+        "dedup_": 4,
+        "multimodal_": 3,
+        "ann_": 2,
     }
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
     for name in (
-        # 17 keepers spanning the families
+        # the one query with no prior driver evidence leads the window
+        "ann_ivf_indexed",
+        # 15 flagship keepers spanning the families
         "daily_sales", "fct_purchases", "stream_bronze_silver",
         "stream_inventory_restock", "stream_upsert_gold",
-        "sdp_pipeline_daily",
+        "sdp_pipeline_daily", "bucketed_join_revenue",
         "dedup_incremental_minhash", "semantic_dedup", "ann_pq_topk",
-        "multimodal_decode",
-        "txlog_zorder_2d_scan", "bloom_semi_reduce",
+        "pandas_udf_score", "multimodal_decode",
         "corpus_pipeline_full", "cdc_apply", "pagerank_copurchase",
-        "pandas_udf_score",
-        # r10 rotation: 33 first-evidence rows
-        "bucketed_join_revenue", "txlog_change_feed", "mv_cdf_refresh",
-        "txlog_delete_where", "txlog_expect_quarantine",
-        "txlog_convert_in_place", "txlog_time_pruned_read",
-        "txlog_delete_vectors", "txlog_update_dv", "txlog_rename_column",
-        "collated_source_stats", "approx_topk_event_types",
-        "pipe_syntax_sales", "stats_median_mode", "ansi_try_math",
-        "parameterized_sql", "xml_roundtrip", "sql_scripting_compound",
-        "session_variables_sql", "arrow_udf_tokens",
-        "generator_pushdown_scan", "partition_pruned_read",
-        "stream_txlog_source", "dpp_partitioned_join",
-        "bpe_encode_tokens", "quality_classifier_scores",
-        "mmr_diversified_topk", "transpose_region_stats",
-        "reservoir_per_language", "ts_pattern_match",
-        "segment_overlap_sketch", "heavy_hitter_tokens", "bpe_merges",
-        # the round's new arm takes the 50th slot (X38 timers/TTL)
-        "stream_timer_sessions",
+        # oracle upgrade: rows-only -> hash-matched this round
+        "bpe_merges",
     ):
         assert name in PRIORITY
 
