@@ -511,3 +511,59 @@ def test_embedding_near_dup_pairs_refuses_string_ids(spark):
     )
     with pytest.raises(TypeError, match="integer type"):
         embedding_near_dup_pairs(emb, dim=2)
+
+
+def test_ivf_index_fingerprint_sees_non_centroid_content(spark):
+    """The r10 verdict's staleness hole: a corpus whose NON-centroid
+    vectors change while the row count and the hash-selected centroid
+    rows stay identical must NOT reuse a persisted index built from
+    the old data. The content XOR term makes such a mutation rotate
+    the fingerprint (and therefore the index directory)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        _ivf_index_fingerprint,
+    )
+
+    base = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)]
+    emb1 = spark.createDataFrame(base, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    cents = seeded_centroids(emb1, 4)
+    centroid_vecs = {tuple(c) for c in cents}
+    # mutate one row that is NOT a centroid, keeping the row count
+    mutated = list(base)
+    for j, (i, v) in enumerate(mutated):
+        if tuple(v) not in centroid_vecs:
+            mutated[j] = (i, [v[0] + 0.25, v[1], v[2]])
+            break
+    emb2 = spark.createDataFrame(mutated, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    assert seeded_centroids(emb2, 4) == cents  # same count, same centroids
+    fp1 = _ivf_index_fingerprint(emb1, cents)
+    fp2 = _ivf_index_fingerprint(emb2, cents)
+    assert fp1 != fp2
+    # and the key is deterministic for identical content
+    assert fp1 == _ivf_index_fingerprint(emb1, cents)
+
+
+def test_ivf_indexed_serve_memoizes_the_fingerprint(spark, sf_dir):
+    """Repeat serves must not pay a corpus-wide scan to key the index
+    cache — the fingerprint is computed once per corpus per process
+    (same invalidation model as the centroid cache)."""
+    from ecommerce_dataengineering_project_spark.queries import ext_similarity as xs
+
+    xs._IVF_INDEX_FP.pop(sf_dir, None)
+    calls = {"n": 0}
+    real = xs._ivf_index_fingerprint
+
+    def counting(emb, cents):
+        calls["n"] += 1
+        return real(emb, cents)
+
+    orig = xs._ivf_index_fingerprint
+    xs._ivf_index_fingerprint = counting
+    try:
+        xs.q_ann_ivf_indexed(spark, sf_dir).collect()
+        xs.q_ann_ivf_indexed(spark, sf_dir).collect()
+    finally:
+        xs._ivf_index_fingerprint = orig
+    assert calls["n"] == 1
