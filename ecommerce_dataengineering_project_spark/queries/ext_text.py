@@ -1101,10 +1101,12 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29: the 5-iteration greedy BPE merge trainer — each step one
     pair-keyed shuffle over the vocabulary relation + a one-row argmax
     collect, merge applied via a codegen sequential fold (greedy
-    left-to-right on overlaps, the standard BPE contract). Rows-only
-    for the driver (the merge table emerges from an iterative fold no
-    single SQL statement expresses); equivalence to a pure-Python
-    reference trainer and partitioning-invariance are pinned in
+    left-to-right on overlaps, the standard BPE contract).
+    Hash-checked: the fixed merge count makes the trainer
+    SQL-expressible by UNROLLING the five greedy steps into a CTE
+    chain (the mmr_diversified_topk discipline) — see
+    _bpe_merges_oracle below. Equivalence to a pure-Python reference
+    trainer and partitioning-invariance stay pinned in
     tests/test_bpe.py."""
     from ecommerce_dataengineering_project_spark.operators.bpe import train_merges
 
@@ -1113,6 +1115,63 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["bpe_merges"] = q_bpe_merges
+
+
+def _bpe_merges_oracle(n_merges: int = 5) -> str:
+    """The trainer unrolled into SQL: each step re-derives weighted
+    adjacent-pair counts from the CURRENT segmentation, takes the
+    argmax with the (pair_count DESC, left, right) tie-break, and
+    applies the merge. Segmentations ride the guarded-symbol string
+    the ENCODER already proved equivalent (operators/bpe.py:
+    encode_token_count_expr): ``low`` -> ``<l><o><w>``, one merge is
+    one ``replace('<l><r>', '<lr>')``, and left-to-right
+    non-overlapping replace IS the greedy fold (``<a><a><a><a>`` ->
+    ``<aa><aa>``), with the guards making cross-symbol matches
+    impossible. Pair extraction zips the symbol list with its own
+    tail — the same shape as operators/bpe.py pair_counts."""
+    parts = [
+        """WITH words AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS word
+            FROM documents
+        ) WHERE length(word) >= 2 GROUP BY word
+    ),
+    seg1 AS (
+        SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seg, cnt FROM words
+    )"""
+    ]
+    for s in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    pc{s} AS (
+        SELECT p[1] AS lhs, p[2] AS rhs,
+               CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM (
+            SELECT UNNEST(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p, cnt
+            FROM (SELECT regexp_extract_all(seg, '<([^<>]+)>', 1) AS syms, cnt
+                  FROM seg{s})
+        )
+        GROUP BY 1, 2
+    ),
+    m{s} AS (
+        SELECT lhs, rhs, pair_count FROM pc{s}
+        ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+    ),
+    seg{s + 1} AS (
+        SELECT replace(seg, '<' || m.lhs || '><' || m.rhs || '>',
+                            '<' || m.lhs || m.rhs || '>') AS seg, cnt
+        FROM seg{s}, m{s} m
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f'SELECT CAST({s} AS INTEGER) AS step, lhs AS "left", rhs AS "right",'
+        f" lhs || rhs AS merged, pair_count FROM m{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+ORACLES["bpe_merges"] = _bpe_merges_oracle()
 
 
 # A fixed "released tokenizer" merge list (common English pairs, merges

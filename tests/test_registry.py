@@ -54,13 +54,9 @@ def test_priority_covers_every_operator_family():
 
 def test_oracle_density_in_priority_block():
     """Rows-only entries burn a verdict slot without a hash check; keep
-    them to the genuinely non-SQL-expressible few."""
+    them to the genuinely non-SQL-expressible few. This round: NONE —
+    bpe_merges gained the unrolled CTE-chain oracle, and the sketch
+    rows-only slots all hold r10 executed evidence."""
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
-    assert set(rows_only) <= {
-        # mergeable-sketch state / seeded training loop — rows-only by
-        # nature, pinned by exact-regime + property tests
-        "segment_overlap_sketch",
-        "heavy_hitter_tokens",
-        "bpe_merges",
-    }
+    assert rows_only == []
