@@ -119,7 +119,13 @@ def train_merges(
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     spark = docs.sparkSession
-    vocab = word_counts(docs, text_col)
+    # Materialize the word relation ONCE before the loop: without this
+    # eager checkpoint every per-merge argmax job re-executes the
+    # corpus scan + word groupBy from the lazy plan (n_merges corpus
+    # scans — the exact failure the "scanned once" design forbids; at
+    # 100 TB the corpus pass dominates everything downstream). After
+    # it, each iteration reads only the vocabulary-sized checkpoint.
+    vocab = word_counts(docs, text_col).localCheckpoint(eager=True)
     rows = []
     for step in range(1, n_merges + 1):
         top = (
