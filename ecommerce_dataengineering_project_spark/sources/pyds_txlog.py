@@ -55,6 +55,41 @@ def _manifest(root: str, v: int) -> dict:
         return json.load(fh)
 
 
+def _purges_mapping(root: str, v: int, man_v: dict, cache: dict) -> bool:
+    """Whether commit ``v`` purged a non-empty column mapping by full
+    rewrite (compact()/overwrite(); structurally: mapping went
+    non-empty -> empty with every file replaced, rollback excluded
+    since it restores files and mapping together). Files from commits
+    BEFORE such a rewrite speak a physical naming that post-rewrite
+    mappings cannot re-express — the regime-floor refusals in
+    partitions() both key on this predicate. An expired or absent
+    predecessor is treated as mapped: refusal is loud, null-padding is
+    silent. ``cache`` memoizes manifests across calls."""
+    if man_v.get("colmap") or man_v.get("dropped"):
+        return False  # mapping survives: not a purge
+    act = str(man_v.get("action", ""))
+    if act.startswith("rollback") or v == 1:
+        # rollback restores files+mapping together; v1 is table
+        # creation (no predecessor to protect)
+        return False
+    prev_man = cache.get(v - 1)
+    if prev_man is None and v - 1 > 0:
+        try:
+            prev_man = _manifest(root, v - 1)
+            cache[v - 1] = prev_man
+        except FileNotFoundError:
+            prev_man = None  # expired: assume it was mapped
+    prev_mapped = prev_man is None or bool(
+        prev_man.get("colmap") or prev_man.get("dropped")
+    )
+    if not prev_mapped:
+        return False
+    full_rewrite = prev_man is None or not (
+        set(man_v["files"]) & set(prev_man["files"])
+    )
+    return act == "overwrite" or act.startswith("optimize-compact") or full_rewrite
+
+
 class TxLogStreamDataSource(DataSource):
     """``spark.readStream.format("txlog_stream").option("path", root)``."""
 
@@ -106,6 +141,15 @@ class TxLogStreamReader(DataSourceStreamReader):
         # purged from the mapping — is refused per-commit in
         # partitions().
         self.cm_version = vs[-1] if vs else 0
+        # newest mapping-purging rewrite anywhere in the retained log,
+        # resolved lazily on the first partitions() call (NOT here —
+        # reader construction must stay manifest-IO-free and
+        # crash-proof). Guards the ADVICE r10 hole the window-scoped
+        # scan cannot see: a WAL-replayed window ENTIRELY BEFORE the
+        # purge contains no purge commit, so without this floor its
+        # pre-rewrite files would be emitted and silently null-padded
+        # under the post-rewrite start-time mapping.
+        self._log_regime_floor: int | None = None
 
     def initialOffset(self):
         return {"version": self.start_version}
@@ -161,46 +205,39 @@ class TxLogStreamReader(DataSourceStreamReader):
         window = [v for v in _versions(self.root) if lo < v <= hi]
         for v in window:
             mans[v] = _manifest(self.root, v)
-        # Physical-regime floor, scoped to THIS window: a commit that
-        # purged a non-empty column mapping by full rewrite
-        # (compact()/overwrite(); structurally: mapping went non-empty
-        # -> empty with every file replaced, rollback excluded since it
-        # restores files and mapping together) renamed the physical
-        # columns — files from EARLIER commits speak a naming the
-        # start-time mapping (expressed against the post-rewrite
-        # regime) cannot re-express. Commits at or after the floor are
-        # fine; only a replay window that CROSSES the floor is unsafe,
-        # so the scan never touches manifests outside the window (an
-        # expired or absent predecessor is treated as mapped — refusal
-        # is loud, null-padding is silent).
-        regime_floor = 0
+        # Physical-regime floor: the newest commit whose full rewrite
+        # purged a non-empty column mapping (_purges_mapping) — files
+        # from EARLIER commits speak a naming the start-time mapping
+        # (expressed against the post-rewrite regime) cannot
+        # re-express. Two scans compose: the window-scoped pass
+        # catches a purge the replay CROSSES, and a forward sweep of
+        # the versions AFTER the first window's end (memoized once per
+        # reader) catches the ADVICE r10 hole — a WAL-replayed window
+        # whose end offset PREDATES the purge, so the window itself
+        # contains no purge commit. Versions after hi are sufficient:
+        # a purge at or before lo only precedes post-rewrite files (no
+        # window commit can be below such a floor), a purge inside
+        # (lo, hi] is the window pass's case, and purges landing after
+        # the sweep arrive inside later windows, where the window pass
+        # sees them. A live stream's first window ends at the latest
+        # version, so its sweep is EMPTY — the guard costs nothing off
+        # the replay path.
+        if self._log_regime_floor is None:
+            floor = 0
+            for v in _versions(self.root):
+                if v <= hi:
+                    continue
+                if v not in mans:
+                    try:
+                        mans[v] = _manifest(self.root, v)
+                    except FileNotFoundError:
+                        continue  # expired mid-listing
+                if _purges_mapping(self.root, v, mans[v], mans):
+                    floor = v
+            self._log_regime_floor = floor
+        regime_floor = self._log_regime_floor
         for v in window:
-            man_v = mans[v]
-            if man_v.get("colmap") or man_v.get("dropped"):
-                continue  # mapping survives: not a purge
-            act = str(man_v.get("action", ""))
-            if act.startswith("rollback") or v == 1:
-                continue  # rollback restores files+mapping together;
-                # v1 is table creation (no predecessor to protect)
-            prev_man = mans.get(v - 1)
-            if prev_man is None and v - 1 > 0:
-                try:
-                    prev_man = _manifest(self.root, v - 1)
-                except FileNotFoundError:
-                    prev_man = None  # expired: assume it was mapped
-            prev_mapped = prev_man is None or bool(
-                prev_man.get("colmap") or prev_man.get("dropped")
-            )
-            if not prev_mapped:
-                continue
-            full_rewrite = prev_man is None or not (
-                set(man_v["files"]) & set(prev_man["files"])
-            )
-            if (
-                act == "overwrite"
-                or act.startswith("optimize-compact")
-                or full_rewrite
-            ):
+            if v > regime_floor and _purges_mapping(self.root, v, mans[v], mans):
                 regime_floor = v
         parts: list[InputPartition] = []
         for v in window:

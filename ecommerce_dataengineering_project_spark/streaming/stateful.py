@@ -284,6 +284,31 @@ def make_session_fn(gap_us: int):
     return _fn
 
 
+_INTERVAL_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _interval_us(interval: str) -> int:
+    """Microseconds for a Spark-style ``'<n> <unit>'`` duration. The
+    two duration params of the sessionizer must accept the same
+    grammar: the watermark string goes to Spark (which takes any
+    interval), so the gap parser normalizes the unit token (singular
+    or plural, any case) instead of keying on one plural spelling —
+    '1 hour', '90 seconds', and '2 days' all parse."""
+    try:
+        num, word = interval.split()
+        return int(num) * _INTERVAL_US[word.lower().rstrip("s")]
+    except (ValueError, KeyError):
+        units = ", ".join(_INTERVAL_US)
+        raise ValueError(
+            f"expected '<n> <unit>' with unit in {{{units}}}(s), got {interval!r}"
+        ) from None
+
+
 def timer_sessions_stream(
     events: DataFrame, gap: str = "6 hours", watermark: str = "1 hour"
 ) -> DataFrame:
@@ -297,9 +322,7 @@ def timer_sessions_stream(
     batch gap-sessionization SQL is an exact oracle — including the
     timer-emitted final sessions.
     """
-    unit = {"hours": 3_600_000_000, "minutes": 60_000_000}
-    num, word = gap.split()
-    gap_us = int(num) * unit[word]
+    gap_us = _interval_us(gap)
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

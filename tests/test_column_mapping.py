@@ -575,3 +575,51 @@ def test_stream_rename_after_compact_purge_never_nullpads(spark, table):
     assert sorted(got.column("worth").to_pylist()) == [
         i * 100 for i in range(100, 105)
     ]
+
+
+def test_stream_replay_window_entirely_before_a_purge_is_refused(spark, table):
+    """ADVICE r10: the regime-floor scan was scoped to the replay
+    window, so a checkpoint-WAL-replayed micro-batch whose recorded
+    end offset PREDATES the mapping-purging rewrite saw no purge
+    commit — its pre-rewrite files were emitted and silently
+    null-padded under the post-rewrite start-time mapping. The
+    forward sweep must refuse such a window too."""
+    from ecommerce_dataengineering_project_spark.sources import pyds_txlog
+
+    table.rename_column("v", "value")  # v2: colmap {v: value}
+    v_pre = table.append(
+        spark.range(100, 105).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 100).alias("value")
+        )
+    )  # v3: files under the MAPPED era (physical name "v")
+    v_compact = compact(table, spark, target_files=1)  # v4: purge
+    hi = table.append(
+        spark.range(200, 205).select(
+            F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 100).alias("value")
+        )
+    )  # v5
+    reader = pyds_txlog.TxLogStreamReader(
+        {"path": table.root, "ignoreChanges": "true"}, None
+    )
+    # the WAL-replay shape: a window that ENDS before the purge —
+    # no purge commit inside it, but its files are pre-rewrite
+    with pytest.raises(ValueError, match="physical rewrite"):
+        reader.partitions({"version": 0}, {"version": v_pre})
+    with pytest.raises(ValueError, match="physical rewrite"):
+        reader.partitions({"version": 2}, {"version": v_pre})
+    # the error's own advice: start AT the rewrite (exclusive offset
+    # v_compact - 1) for the full rewritten snapshot
+    full = reader.partitions({"version": v_compact - 1}, {"version": hi})
+    batches = [b for p in full for b in reader.read(p)]
+    # rewritten snapshot (105) + v5 append (5), never null-padded
+    assert sum(b.num_rows for b in batches) == 110
+    assert all(
+        b.column(b.schema.names.index("value")).null_count == 0 for b in batches
+    )
+    # a window entirely after the purge replays exactly, on a FRESH
+    # reader (first-window sweep also empty there: hi == latest)
+    reader2 = pyds_txlog.TxLogStreamReader(
+        {"path": table.root, "ignoreChanges": "true"}, None
+    )
+    parts = reader2.partitions({"version": v_compact}, {"version": hi})
+    assert sum(b.num_rows for p in parts for b in reader2.read(p)) == 5

@@ -177,3 +177,20 @@ def test_random_batch_splits_match_the_model(spark):
             for r in out.collect()
         )
         assert got == _model_sessions(rows, gap_us), f"seed {seed}"
+
+
+def test_gap_grammar_matches_watermark_grammar():
+    """The ADVICE r10 item: gap and watermark must accept the same
+    duration grammar — singular, plural, seconds, days — not only the
+    two plural words the first cut keyed on."""
+    from ecommerce_dataengineering_project_spark.streaming.stateful import _interval_us
+
+    assert _interval_us("1 hour") == 3_600_000_000
+    assert _interval_us("6 hours") == 6 * 3_600_000_000
+    assert _interval_us("90 seconds") == 90 * 1_000_000
+    assert _interval_us("2 days") == 2 * 86_400_000_000
+    assert _interval_us("30 Minutes") == 30 * 60_000_000
+    with pytest.raises(ValueError, match="expected"):
+        _interval_us("6 fortnights")
+    with pytest.raises(ValueError, match="expected"):
+        _interval_us("6hours")
