@@ -1299,3 +1299,74 @@ ORACLES["stream_timer_sessions"] = """
            CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS value_cents
     FROM s GROUP BY user_id, sess_id
 """
+
+
+def q_stream_idle_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7's PROCESSING-time timer mode (VERDICT r10 item 8 — the one
+    timer mode without a query): per-user running aggregates evicted
+    by INGEST silence. Each batch a key receives rows it folds them
+    into exact integer state and re-arms a 1 ms proc-time timeout; the
+    first micro-batch the key sits out fires the timer — the aggregate
+    flushes and the state is REMOVED (TTL by wall clock, the
+    cache-eviction shape; the event-time arm above is the
+    session-boundary shape).
+
+    Deterministic under the bounded replay: batch turnaround is orders
+    of magnitude above the 1 ms timeout, so a key's output rows are
+    exactly one per maximal run of CONSECUTIVE staged batches with
+    data — and the staged batch rule (three time-ordered ranges split
+    at Jan 11 / Jan 21) is re-derivable in SQL, making the oracle an
+    islands query over (user, batch). The flush batches give every
+    final run a subsequent batch to fire in; the flush key itself
+    (user -1) occupies both trailing batches consecutively and the
+    stream ends before it can fire, so it emits nothing.
+    """
+    from ecommerce_dataengineering_project_spark.streaming.stateful import idle_flush_stream
+
+    src = _events_source(spark, sf_dir, n_flush=2)
+    # noDataMicroBatches OFF: shouldRunAnotherBatch is unconditionally
+    # true under ProcessingTimeTimeout, so availableNow would schedule
+    # empty micro-batches forever. With it off, timers fire in the
+    # next DATA batch a key sits out — which is exactly the islands
+    # semantics the oracle re-derives (the flush batches give every
+    # final run its firing batch).
+    return run_bounded_stream(
+        spark,
+        "idle_timer_flush",
+        None,
+        idle_flush_stream,
+        state_partitions=16,
+        source=src,
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+    )
+
+
+QUERIES["stream_idle_timer_flush"] = q_stream_idle_timer_flush
+
+# Islands twin: one output row per maximal run of consecutive staged
+# micro-batches in which the user has events (the proc-time timer
+# fires in the first batch the key sits out). Batch ids mirror
+# _tagged_events' staging rule exactly.
+ORACLES["stream_idle_timer_flush"] = """
+    WITH e AS (
+        SELECT user_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+               CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+                    WHEN ts < TIMESTAMP '2024-01-21' THEN 1
+                    ELSE 2 END AS b
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, b,
+               b - DENSE_RANK() OVER (PARTITION BY user_id ORDER BY b)
+                   AS island
+        FROM (SELECT DISTINCT user_id, b FROM e)
+    )
+    SELECT e.user_id,
+           MIN(e.ts) AS first_seen,
+           MAX(e.ts) AS last_seen,
+           COUNT(*) AS n_events,
+           CAST(COALESCE(SUM(e.cents), 0) AS BIGINT) AS value_cents
+    FROM e JOIN runs ON e.user_id = runs.user_id AND e.b = runs.b
+    GROUP BY e.user_id, runs.island
+"""

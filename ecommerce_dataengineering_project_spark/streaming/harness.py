@@ -215,6 +215,7 @@ def run_bounded_stream(
     partition_by: list[str] | None = None,
     state_partitions: int = 4,
     source: tuple[str, object] | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> DataFrame:
     """Stage ``batches`` as an ordered file stream (or reuse a
     ``staged_source`` result passed as ``source``), run ``transform``
@@ -256,12 +257,25 @@ def run_bounded_stream(
     # parallelism gain. The partition count is captured in the
     # checkpoint at first start, so it is scoped here, not session-wide
     # — on a cluster, size it to executor count before first start.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # extra_confs: per-run session confs captured by the query at
+    # start (same scoping discipline as the partition count) — e.g.
+    # the proc-time timer arm must turn no-data micro-batches OFF:
+    # FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+    # unconditionally true under ProcessingTimeTimeout, so availableNow
+    # would schedule empty batches forever.
+    confs = {"spark.sql.shuffle.partitions": str(state_partitions)}
+    confs.update(extra_confs or {})
+    prevs = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     try:
         q = writer.start()
         q.awaitTermination()
         _capture_plan(name, q)
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, p in prevs.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
     return spark.read.schema(out.schema).parquet(sink_dir)

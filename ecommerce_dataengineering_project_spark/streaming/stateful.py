@@ -336,6 +336,89 @@ def timer_sessions_stream(
     )
 
 
+IDLE_FLUSH_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("first_seen", TimestampType()),
+        StructField("last_seen", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def make_idle_flush_fn(idle_ms: int):
+    """Per-key transition for PROCESSING-time idle eviction: every
+    batch a key receives rows, it folds them into one running
+    aggregate (exact epoch-µs bounds + integer cents, the session
+    state shape) and re-arms a ``idle_ms`` processing-time timeout;
+    the first later micro-batch in which the key received NO rows
+    invokes it with ``state.hasTimedOut`` — the aggregate flushes and
+    the state is removed (TTL). This is the cache-eviction shape of
+    the proc-time timer mode: flush on ingest silence, regardless of
+    event time.
+
+    Determinism contract (what makes the SQL twin exact): micro-batch
+    turnaround is always far above ``idle_ms`` (default 1 ms vs the
+    ≥100 ms a trigger takes), so a key fires in EXACTLY the first
+    batch it sits out — its output rows are one per maximal run of
+    consecutive micro-batches with data. The bounded replay harness
+    stages batches deterministically, so those runs are re-derivable
+    from the event table alone."""
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, last_us, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": np.array([key[0]], dtype=np.int64),
+                    "first_seen": pd.to_datetime([start_us], unit="us"),
+                    "last_seen": pd.to_datetime([last_us], unit="us"),
+                    "n_events": np.array([n], dtype=np.int64),
+                    "value_cents": np.array([cents], dtype=np.int64),
+                },
+                copy=False,
+            )
+            return
+        ts_us, cents_arr = _session_rows(pdfs)
+        first = int(ts_us[0])
+        last = int(ts_us[-1])
+        n = int(len(ts_us))
+        cents = int(cents_arr.sum())
+        if state.exists:
+            o_first, o_last, o_n, o_cents = state.get
+            first = min(first, o_first)
+            last = max(last, o_last)
+            n += o_n
+            cents += o_cents
+        state.update((first, last, n, cents))
+        state.setTimeoutDuration(idle_ms)
+
+    return _fn
+
+
+def idle_flush_stream(events: DataFrame, idle_ms: int = 1) -> DataFrame:
+    """T7's PROCESSING-time timer mode (the one timer mode the
+    event-time sessionizer doesn't exercise): per-key running
+    aggregates flushed by ingest silence — ``GroupStateTimeout.
+    ProcessingTimeTimeout`` with the timer re-armed on every batch
+    that brings the key data. No watermark: proc-time timeouts are
+    wall-clock against the batch timestamp, not event-time."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            make_idle_flush_fn(idle_ms),
+            outputStructType=IDLE_FLUSH_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def inventory_restock_tws(events: DataFrame) -> DataFrame:
     """The same operator on the Spark 4 ``transformWithStateInPandas``
     API (StatefulProcessor + typed ValueState): richer state model

@@ -101,6 +101,7 @@ def test_plan_hygiene(spark, sf_dir, name):
 _STREAM_PYTHON_OK = {
     "stream_inventory_restock",  # applyInPandasWithState (T7)
     "stream_timer_sessions",  # applyInPandasWithState + event-time timers
+    "stream_idle_timer_flush",  # applyInPandasWithState + proc-time timers
 }
 
 

@@ -48,6 +48,8 @@ def test_priority_covers_every_operator_family():
         "corpus_pipeline_full", "cdc_apply", "pagerank_copurchase",
         # oracle upgrade: rows-only -> hash-matched this round
         "bpe_merges",
+        # the round's new arm: T7 proc-time timers (first evidence)
+        "stream_idle_timer_flush",
     ):
         assert name in PRIORITY
 

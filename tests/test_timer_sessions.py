@@ -194,3 +194,81 @@ def test_gap_grammar_matches_watermark_grammar():
         _interval_us("6 fortnights")
     with pytest.raises(ValueError, match="expected"):
         _interval_us("6hours")
+
+
+# ---- T7 proc-time timer twin: idle-key TTL flush ---------------------
+
+_IDLE_SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+_IDLE_CONFS = {"spark.sql.streaming.noDataMicroBatches.enabled": "false"}
+
+
+def _idle_batch(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, h), u, v) for i, (h, u, v) in enumerate(rows)],
+        _IDLE_SCHEMA,
+    )
+
+
+def _run_idle(spark, name, batches):
+    from ecommerce_dataengineering_project_spark.streaming.harness import run_bounded_stream
+    from ecommerce_dataengineering_project_spark.streaming.stateful import idle_flush_stream
+
+    out = run_bounded_stream(
+        spark, name, batches, idle_flush_stream,
+        state_partitions=4, extra_confs=_IDLE_CONFS,
+    )
+    return sorted(map(tuple, out.collect()))
+
+
+def test_idle_flush_fires_on_first_batch_sat_out(spark):
+    """A key's rows fold across consecutive batches; the first DATA
+    batch it sits out fires the proc-time timer, emitting the
+    aggregate and removing the state (TTL). A key active through the
+    final batch has no later batch to fire in and emits nothing."""
+    batches = [
+        _idle_batch(spark, [(1, 10, 1.0), (2, 20, 2.0)]),
+        _idle_batch(spark, [(3, 10, 3.0)]),   # 20 sits out -> fires
+        _idle_batch(spark, [(4, 30, 4.0)]),   # 10 sits out -> fires
+    ]
+    got = _run_idle(spark, "idle_flush_basic", batches)
+    assert got == [
+        (10, dt.datetime(2024, 1, 1, 1), dt.datetime(2024, 1, 1, 3), 2, 400),
+        (20, dt.datetime(2024, 1, 1, 2), dt.datetime(2024, 1, 1, 2), 1, 200),
+    ]  # 30 never fires: stream ends while it is active
+
+
+def test_idle_flush_reappearing_key_starts_a_new_run(spark):
+    """TTL means a fired key re-entering is a FRESH aggregate: one
+    output row per maximal run of consecutive batches with data."""
+    batches = [
+        _idle_batch(spark, [(1, 10, 1.0)]),
+        _idle_batch(spark, [(2, 99, 0.0)]),   # 10 sits out -> fires
+        _idle_batch(spark, [(3, 10, 5.0)]),   # 10 returns: new state
+        _idle_batch(spark, [(4, 99, 0.0)]),   # 10 fires again
+    ]
+    got = [r for r in _run_idle(spark, "idle_flush_rerun", batches) if r[0] == 10]
+    assert got == [
+        (10, dt.datetime(2024, 1, 1, 1), dt.datetime(2024, 1, 1, 1), 1, 100),
+        (10, dt.datetime(2024, 1, 1, 3), dt.datetime(2024, 1, 1, 3), 1, 500),
+    ]
+
+
+def test_idle_flush_null_value_counts_zero_cents(spark):
+    """NULL value rows count toward n_events with 0 cents — matching
+    the SQL twin's COALESCE'd SUM (the event-time arm's rule)."""
+    batches = [
+        _idle_batch(spark, [(1, 10, None), (2, 10, 2.5)]),
+        _idle_batch(spark, [(3, 99, 0.0)]),
+    ]
+    got = [r for r in _run_idle(spark, "idle_flush_null", batches) if r[0] == 10]
+    assert got == [(10, dt.datetime(2024, 1, 1, 1), dt.datetime(2024, 1, 1, 2), 2, 250)]
+
+
+def test_idle_flush_restores_no_data_batch_conf(spark):
+    """The per-run conf override must not leak into the session (a
+    leaked 'false' would silently change every later watermark-driven
+    stream in the process)."""
+    before = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    _run_idle(spark, "idle_flush_conf", [_idle_batch(spark, [(1, 10, 1.0)])])
+    after = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    assert after == before
