@@ -34,12 +34,13 @@ PRIORITY: tuple[str, ...] = (
     # continuity. `bpe_merges` re-enters because this round it gains a
     # real DuckDB oracle (VERDICT item 4: the greedy merges unrolled
     # into a CTE chain), upgrading its evidence from rows-only to
-    # hash-matched. 32 slots are the oldest-evidence greens: the full
-    # r1 era (12), the full r3 era (4), and 16 of the 20 r4-era rows
+    # hash-matched. 31 slots are the oldest-evidence greens: the full
+    # r1 era (12), the full r3 era (4), and 15 of the 20 r4-era rows
     # (deferred to r12: approx_distinct_quantiles — rows-only, lowest
     # re-check value — plus tfidf_top_terms, token_counts,
-    # training_corpus). The 50th slot is this round's NEW arm
-    # (stream_idle_timer_flush, proc-time timers), keeping
+    # training_corpus, stream_tumbling_revenue). The last two slots
+    # are this round's NEW arms (stream_idle_timer_flush proc-time
+    # timers; mv_route_best multi-MV cost routing), keeping
     # driver-evidence debt at zero. The txlog/X24/storage families
     # carry no slot this round on purpose: all their rows are r9/r10
     # green, the freshest evidence on any board; they rotate back by
@@ -107,12 +108,14 @@ PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "stream_dedup_watermarked",
     "stream_sliding_activity",
-    "stream_tumbling_revenue",
-    # the round's NEW arm (first evidence): T7 proc-time timers — the
-    # one timer mode the r10 event-time arm didn't exercise. Takes the
-    # slot tfidf_top_terms (an r4-era re-confirmation, deferred to
-    # r12) held when the window was first staged this round.
+    # the round's NEW arms (first evidence): T7 proc-time timers (the
+    # one timer mode the r10 event-time arm didn't exercise) and the
+    # X25 multi-MV cost route (route_best, previously test-only). They
+    # take the slots tfidf_top_terms and stream_tumbling_revenue
+    # (r4-era re-confirmations, deferred to r12) held when the window
+    # was first staged this round.
     "stream_idle_timer_flush",
+    "mv_route_best",
 )
 
 

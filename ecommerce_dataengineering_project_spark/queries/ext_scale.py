@@ -727,6 +727,78 @@ ORACLES["mv_routed_daily_sales"] = """
 """
 
 
+def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25's COST path (`plans/mv_router.route_best`, VERDICT r10 item
+    8): when several registered MVs can answer a request, pick the
+    cheapest by grain cardinality — the multi-MV optimizer decision
+    `mv_routed_daily_sales` (single MV) doesn't exercise. Three MVs
+    register: a FINE grain (day x flag x linestatus), a COARSE grain
+    (day x flag — strictly fewer rows), and a non-qualifying one (flag
+    only: coarser than the request, correctly refused). The (day,
+    flag) request qualifies on both fine and coarse; route_best must
+    choose the coarse MV (asserted) and, because the request grain
+    EQUALS the MV grain, serve it on the scan+project fast path —
+    zero exchanges, pinned in tests/test_mv_router.py. Values are
+    per-row integer cents (two-level-sum policy), so every candidate
+    MV is bit-identical to the base-table oracle."""
+    from ecommerce_dataengineering_project_spark.plans.mv_router import build_mv, route_best
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax") * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    base = li.select(
+        F.col("l_shipdate").cast("date").alias("purchase_date"),
+        "l_returnflag",
+        "l_linestatus",
+        cents.alias("amount_cents"),
+    )
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    mvs = [
+        build_mv(
+            spark,
+            base,
+            name=name,
+            dims=dims,
+            measures={"sales": ("sum+count", F.col("amount_cents"))},
+            path=os.path.join(TMP_ROOT, "mv", f"{name}_{sf_name}"),
+        )
+        for name, dims in (
+            ("sales_fine", ("purchase_date", "l_returnflag", "l_linestatus")),
+            ("sales_coarse", ("purchase_date", "l_returnflag")),
+            ("sales_flag_only", ("l_returnflag",)),
+        )
+    ]
+    picked = route_best(
+        spark,
+        mvs,
+        dims=("purchase_date", "l_returnflag"),
+        measures={
+            "flag_total_cents": ("sum", "sales"),
+            "flag_count": ("count", "sales"),
+        },
+    )
+    assert picked is not None
+    plan, chosen = picked
+    # the cost decision IS the operator: both grains qualify, the
+    # coarser one is cheaper (fewer rows) and must win
+    assert chosen.name == "sales_coarse", chosen.name
+    return plan.select("purchase_date", "l_returnflag", "flag_total_cents", "flag_count")
+
+
+QUERIES["mv_route_best"] = q_mv_route_best
+
+ORACLES["mv_route_best"] = """
+    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+           l_returnflag,
+           CAST(SUM(CAST(FLOOR((l_extendedprice*l_quantity*(1-l_discount)+l_tax) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS flag_total_cents,
+           COUNT(l_orderkey) AS flag_count
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
 def q_athena_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12: the Delta->Athena leg — expose a txlog table to engines
     with no log reader via a symlink-format manifest

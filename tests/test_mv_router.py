@@ -110,3 +110,17 @@ def test_route_best_picks_the_cheapest_qualifying_mv(spark, mv):
     assert chosen2.name == "t"
     # un-routable request: no candidate
     assert route_best(spark, [fine, coarse], ("other",), {"n": ("count", "amt")}) is None
+
+
+def test_mv_route_best_query_serves_grain_fast_path(spark, sf_dir):
+    """The registered mv_route_best query must pick the coarse MV (the
+    in-query assert) AND serve it grain-at-grain: scan+project with
+    ZERO exchanges and no re-aggregation — the whole point of keeping
+    an MV at the request's grain."""
+    from ecommerce_dataengineering_project_spark.queries.ext_scale import q_mv_route_best
+
+    df = q_mv_route_best(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+    assert df.count() > 0

@@ -48,8 +48,10 @@ def test_priority_covers_every_operator_family():
         "corpus_pipeline_full", "cdc_apply", "pagerank_copurchase",
         # oracle upgrade: rows-only -> hash-matched this round
         "bpe_merges",
-        # the round's new arm: T7 proc-time timers (first evidence)
+        # the round's new arms (first evidence): T7 proc-time timers,
+        # X25 multi-MV cost routing
         "stream_idle_timer_flush",
+        "mv_route_best",
     ):
         assert name in PRIORITY
 
