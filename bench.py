@@ -39,10 +39,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # stdout tail, so additions displace long-stable entries (which remain
 # timed in the full payload line).
 HEADLINE = [
-    # flagships + the standing perf watchlist; triangle_count /
-    # dedup_clusters / pagerank_copurchase carry this round's two
-    # un-regressions (basket materialize opt-out, observe()-folded
-    # convergence probe) — their raw best is the proof
+    # flagships + the standing perf watchlist; bpe_merges carries this
+    # round's un-regression (the word relation is materialized once —
+    # merge argmax jobs no longer re-scan the corpus 5x), and
+    # corpus_pipeline_full closes its r10 watch (0.83 s best,
+    # calib-matched)
     "daily_sales",
     "fct_purchases",
     "stream_bronze_silver",
@@ -57,22 +58,17 @@ HEADLINE = [
     "corpus_pipeline_full",
     "fuzzy_name_matches",
     "bloom_semi_reduce",
-    # r10 rotation watchlist: first driver evidence this round — the
-    # heaviest of the incoming window (streaming txlog source, native
-    # arrow UDF, XML, DV update/delete, column mapping, CDF-driven MV
-    # refresh, bucketed join, DPP, MMR, classifier, BPE trainer)
-    "stream_txlog_source",
-    "arrow_udf_tokens",
-    "xml_roundtrip",
-    "txlog_update_dv",
-    "txlog_delete_vectors",
-    "txlog_rename_column",
-    "mv_cdf_refresh",
     "bucketed_join_revenue",
-    "dpp_partitioned_join",
     "mmr_diversified_topk",
     "quality_classifier_scores",
     "bpe_merges",
+    "dedup_incremental_minhash",
+    "cdc_apply",
+    # the r11 arms: proc-time timer flush (a stateful-floor payer like
+    # the event-time sessionizer beside it) and the multi-MV cost route
+    "stream_timer_sessions",
+    "stream_idle_timer_flush",
+    "mv_route_best",
 ]
 
 
