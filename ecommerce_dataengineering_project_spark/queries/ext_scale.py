@@ -754,7 +754,6 @@ def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         cents.alias("amount_cents"),
     )
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     mvs = [
         build_mv(
             spark,
@@ -762,7 +761,7 @@ def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             name=name,
             dims=dims,
             measures={"sales": ("sum+count", F.col("amount_cents"))},
-            path=os.path.join(TMP_ROOT, "mv", f"{name}_{sf_name}"),
+            path=os.path.join(TMP_ROOT, "mv", f"{name}_{_sf_name(sf_dir)}"),
         )
         for name, dims in (
             ("sales_fine", ("purchase_date", "l_returnflag", "l_linestatus")),

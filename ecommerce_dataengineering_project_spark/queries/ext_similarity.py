@@ -729,11 +729,12 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so only the FIRST serve pays the one fingerprint scan — repeat
     # serves never touch the unprobed corpus, which is the point of
     # the index.
+    from ecommerce_dataengineering_project_spark.queries.ext_scale import _sf_name
+
     if sf_dir not in _IVF_INDEX_FP:
         _IVF_INDEX_FP[sf_dir] = _ivf_index_fingerprint(emb, _IVF_CENTROIDS[sf_dir])
     fp = _IVF_INDEX_FP[sf_dir]
-    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = os.path.join(TMP_ROOT, "ivf_index", f"{sf_name}_{fp}")
+    path = os.path.join(TMP_ROOT, "ivf_index", f"{_sf_name(sf_dir)}_{fp}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_ivf_index(emb, _IVF_CENTROIDS[sf_dir], path)
     return ivf_topk_indexed(

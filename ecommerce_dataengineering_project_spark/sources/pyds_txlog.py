@@ -231,7 +231,17 @@ class TxLogStreamReader(DataSourceStreamReader):
                     try:
                         mans[v] = _manifest(self.root, v)
                     except FileNotFoundError:
-                        continue  # expired mid-listing
+                        # expired between the listing and the read: we
+                        # can no longer prove it was NOT a purge, and
+                        # this floor is memoized for the reader's
+                        # lifetime — take the module's bias (loud
+                        # refusal beats silent null-padding) and floor
+                        # here. Rare race: retention keeps a version
+                        # suffix, so an expired v > hi implies the
+                        # expiry swept past the replay window between
+                        # our two reads.
+                        floor = v
+                        continue
                 if _purges_mapping(self.root, v, mans[v], mans):
                     floor = v
             self._log_regime_floor = floor

@@ -285,10 +285,13 @@ def make_session_fn(gap_us: int):
 
 
 _INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
     "second": 1_000_000,
     "minute": 60_000_000,
     "hour": 3_600_000_000,
     "day": 86_400_000_000,
+    "week": 604_800_000_000,
 }
 
 
@@ -297,8 +300,12 @@ def _interval_us(interval: str) -> int:
     two duration params of the sessionizer must accept the same
     grammar: the watermark string goes to Spark (which takes any
     interval), so the gap parser normalizes the unit token (singular
-    or plural, any case) instead of keying on one plural spelling —
-    '1 hour', '90 seconds', and '2 days' all parse."""
+    or plural, any case) across every FIXED-length Spark interval
+    unit, microseconds through weeks — '1 hour', '90 seconds',
+    '500 milliseconds', and '2 weeks' all parse. Months/years are
+    excluded on purpose: they are variable-length, so a µs gap for
+    them is not well-defined (and a watermark delay of months is a
+    config smell, not a session gap)."""
     try:
         num, word = interval.split()
         return int(num) * _INTERVAL_US[word.lower().rstrip("s")]

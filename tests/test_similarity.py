@@ -559,11 +559,10 @@ def test_ivf_indexed_serve_memoizes_the_fingerprint(spark, sf_dir):
         calls["n"] += 1
         return real(emb, cents)
 
-    orig = xs._ivf_index_fingerprint
     xs._ivf_index_fingerprint = counting
     try:
         xs.q_ann_ivf_indexed(spark, sf_dir).collect()
         xs.q_ann_ivf_indexed(spark, sf_dir).collect()
     finally:
-        xs._ivf_index_fingerprint = orig
+        xs._ivf_index_fingerprint = real
     assert calls["n"] == 1

@@ -190,8 +190,15 @@ def test_gap_grammar_matches_watermark_grammar():
     assert _interval_us("90 seconds") == 90 * 1_000_000
     assert _interval_us("2 days") == 2 * 86_400_000_000
     assert _interval_us("30 Minutes") == 30 * 60_000_000
+    # every FIXED-length Spark interval unit parses (review r11: the
+    # first cut still rejected sub-second and week units)
+    assert _interval_us("500 milliseconds") == 500_000
+    assert _interval_us("250 microseconds") == 250
+    assert _interval_us("2 weeks") == 2 * 604_800_000_000
     with pytest.raises(ValueError, match="expected"):
         _interval_us("6 fortnights")
+    with pytest.raises(ValueError, match="expected"):
+        _interval_us("2 months")  # variable-length: not a µs gap
     with pytest.raises(ValueError, match="expected"):
         _interval_us("6hours")
 
