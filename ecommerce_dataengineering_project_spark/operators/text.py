@@ -604,6 +604,62 @@ def vocab_coverage(
     )
 
 
+def mixture_divergence(
+    df: DataFrame, slice_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-slice unigram-distribution divergence against the whole
+    corpus — the training-mixture drift monitor: when a source's token
+    distribution drifts away from the blended corpus (scraper change,
+    contamination, genre shift), its KL/JS against the mixture spikes
+    before any downstream eval does.
+
+    For each slice ``s``: ``P_s(t) = (c_s(t)+1) / (tot_s+V)`` and the
+    corpus ``Q(t) = (c(t)+1) / (tot+V)`` (add-one smoothing over the
+    shared corpus vocabulary, so both are proper distributions on the
+    same support and every log is finite). Emits ``KL(P_s || Q)`` and
+    the symmetric, bounded ``JS(P_s, Q)``.
+
+    Scale shape: the only corpus-sized exchange is the (slice, token)
+    groupBy; the corpus distribution, slice totals, and the (V, tot)
+    scalars all re-aggregate FROM that vocabulary-bounded relation.
+    The slice x vocab grid (needed because absent tokens still carry
+    smoothed mass) is a few-row broadcast attach onto the vocabulary —
+    n_slices is mixture-component-sized (tens), never data-sized.
+    Float policy: p/q inputs are exact integer ratios (IEEE-identical
+    on any engine); the summed ln terms are rounded half-up at 1e-6
+    after aggregation (doc_perplexity's portability policy).
+    """
+    st = (
+        df.select(F.col(slice_col), F.explode(tokens(text_col)).alias("token"))
+        .groupBy(slice_col, "token")
+        .agg(F.count(F.lit(1)).alias("cnt_st"))
+    )
+    tok = st.groupBy("token").agg(F.sum("cnt_st").alias("cnt_t"))
+    tot_s = st.groupBy(slice_col).agg(F.sum("cnt_st").alias("tot_s"))
+    scal = tok.agg(
+        F.sum("cnt_t").alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    grid = (
+        tok.crossJoin(F.broadcast(tot_s))
+        .join(st, [slice_col, "token"], "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("cnt_st", F.coalesce(F.col("cnt_st"), F.lit(0)))
+    )
+    p = (F.col("cnt_st") + F.lit(1)).cast("double") / (F.col("tot_s") + F.col("v"))
+    q = (F.col("cnt_t") + F.lit(1)).cast("double") / (F.col("tot") + F.col("v"))
+    m = (p + q) / F.lit(2.0)
+    kl_term = p * F.log(p / q)
+    js_term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    return grid.groupBy(slice_col).agg(
+        F.max("tot_s").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt_st") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_present_vocab"),
+        round_half_up(F.sum(kl_term), 6).alias("kl_vs_corpus"),
+        round_half_up(F.sum(js_term), 6).alias("js_vs_corpus"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

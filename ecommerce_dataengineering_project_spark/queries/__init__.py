@@ -94,11 +94,9 @@ PRIORITY: tuple[str, ...] = (
     "running_inventory",
     # staleness re-confirmation — r4-era evidence
     "chunk_documents",
-    "conditional_pricing",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "grouped_pandas_stats",
     "json_extract_events",
     "language_id",
     "multi_join_revenue",
@@ -116,6 +114,14 @@ PRIORITY: tuple[str, ...] = (
     # was first staged this round.
     "stream_idle_timer_flush",
     "mv_route_best",
+    # late r11 arms, boarded at registration so no query ever repeats
+    # the ann_ivf_indexed evidence gap: the FULL OUTER stream-stream
+    # join (completes the streaming join-type matrix) and the
+    # per-source mixture-divergence drift monitor (X4). They take the
+    # conditional_pricing and grouped_pandas_stats slots (r4-era
+    # re-confirmations, joining the r12 deferral list).
+    "stream_stream_full_outer",
+    "mixture_divergence",
 )
 
 

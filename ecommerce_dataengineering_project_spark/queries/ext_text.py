@@ -1301,3 +1301,74 @@ ORACLES["reservoir_per_language"] = f"""
         FROM documents
     ) WHERE rk <= {RESERVOIR_K}
 """
+
+
+def q_mixture_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture drift monitor (operators/text.py
+    mixture_divergence): per-source KL and JS divergence of the
+    add-one-smoothed unigram token distribution against the blended
+    corpus. The mixture-health dashboard row every large-scale
+    pretraining pipeline watches: a drifting source spikes here long
+    before a downstream eval moves."""
+    from ecommerce_dataengineering_project_spark.operators.text import (
+        mixture_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return mixture_divergence(docs, slice_col="source", text_col="text")
+
+
+QUERIES["mixture_divergence"] = q_mixture_divergence
+
+# Mirrors the operator stage-for-stage: (slice, token) counts -> corpus
+# token counts -> slice totals -> (V, tot) scalars -> slice x vocab
+# grid with smoothed p/q -> summed ln terms rounded half-up at 1e-6
+# (the doc_perplexity float policy: ln inputs are exact integer
+# ratios; the rounded sum absorbs sum-order ulp noise).
+ORACLES["mixture_divergence"] = """
+    WITH tok AS (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+        FROM documents
+    ),
+    st AS (
+        SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt_st
+        FROM tok GROUP BY 1, 2
+    ),
+    tokc AS (
+        SELECT token, CAST(SUM(cnt_st) AS BIGINT) AS cnt_t
+        FROM st GROUP BY 1
+    ),
+    tots AS (
+        SELECT source, CAST(SUM(cnt_st) AS BIGINT) AS tot_s
+        FROM st GROUP BY 1
+    ),
+    scal AS (
+        SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM tokc
+    ),
+    grid AS (
+        SELECT tots.source, tots.tot_s, tokc.cnt_t,
+               COALESCE(st.cnt_st, 0) AS cnt_st
+        FROM tokc CROSS JOIN tots
+        LEFT JOIN st ON st.source = tots.source AND st.token = tokc.token
+    ),
+    terms AS (
+        SELECT source, tot_s, cnt_st,
+               CAST(cnt_st + 1 AS DOUBLE) / (tot_s + v) AS p,
+               CAST(cnt_t + 1 AS DOUBLE) / (tot + v) AS q
+        FROM grid CROSS JOIN scal
+    )
+    SELECT source,
+           MAX(tot_s) AS n_tokens,
+           CAST(SUM(CASE WHEN cnt_st > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_present_vocab,
+           FLOOR(SUM(p * LN(p / q)) * 1000000.0 + 0.5) / 1000000.0
+               AS kl_vs_corpus,
+           FLOOR(SUM(0.5 * (p * LN(p / ((p + q) / 2))
+                            + q * LN(q / ((p + q) / 2)))) * 1000000.0
+                 + 0.5) / 1000000.0
+               AS js_vs_corpus
+    FROM terms
+    GROUP BY source
+"""

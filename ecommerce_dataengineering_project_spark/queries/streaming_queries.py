@@ -1173,6 +1173,72 @@ ORACLES["stream_stream_left_join"] = """
 """
 
 
+def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the
+    streaming join-type matrix (inner r6, left outer r9): a purchase
+    with no click in its preceding hour emits (click_id NULL), AND a
+    click with no purchase in its following hour emits (purchase_id
+    NULL) — each only once the watermark proves no match can arrive
+    (purchase side releases at wm >= purchase_ts; click side at
+    wm >= click_ts + 1h, the interval's far edge).
+
+    Flush rows ride the click branch (same single-watermark/branch
+    structure as the left-outer arm — a row matching neither branch
+    filter would stall the watermark below the branch-pushed filters).
+    Under FULL outer they could themselves emit as unmatched clicks
+    once the watermark passes flush_ts + 1h, so the post-join filter
+    drops click-side flush emissions by their negative event_id — a
+    stateless filter, invisible to the join's state bounds."""
+    src = _events_source(spark, sf_dir, n_flush=2)
+
+    def transform(stream: DataFrame) -> DataFrame:
+        wm = stream.withWatermark("ts", "1 hour")
+        clicks = wm.where(F.col("event_type").isin("click", "__flush")).select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = wm.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+            "fullOuter",
+        )
+        return joined.where(
+            F.col("click_id").isNull() | (F.col("click_id") >= 0)
+        ).select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        )
+
+    return run_bounded_stream(
+        spark, "stream_stream_full_outer", None, transform, source=src
+    )
+
+
+QUERIES["stream_stream_full_outer"] = q_stream_stream_full_outer
+
+ORACLES["stream_stream_full_outer"] = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM p FULL JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+"""
+
+
 def q_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHAINED stateful operators in one streaming query (Spark 4's
     multi-stateful support): exactly-once dedup of a double-replayed

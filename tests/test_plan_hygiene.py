@@ -43,6 +43,7 @@ _BNLJ_OK = {
     "revenue_histogram",  # 1-row (lo, width) bounds scalar attach
     "inverted_index",  # 1-row n_docs scalar attach for the df band
     "doc_perplexity",  # 1-row vocabulary-size scalar attach
+    "mixture_divergence",  # n_slices-row totals + 1-row (V, tot) attaches
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):
