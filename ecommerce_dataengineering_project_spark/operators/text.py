@@ -629,11 +629,18 @@ def mixture_divergence(
     on any engine); the summed ln terms are rounded half-up at 1e-6
     after aggregation (doc_perplexity's portability policy).
     """
+    # Eager localCheckpoint, not reliance on exchange reuse: st feeds
+    # FOUR consumers (tok / tot_s / scal / the grid's left join) and
+    # the optimizer only reuses some of the duplicated subplans (the
+    # r11 plan audit measured 6 corpus scans in the final adaptive
+    # plan without it). The checkpoint pins exactly ONE corpus
+    # scan+explode; the materialized relation is vocabulary x
+    # n_slices-bounded, orders smaller than the corpus.
     st = (
         df.select(F.col(slice_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(slice_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt_st"))
-    )
+    ).localCheckpoint(eager=True)
     tok = st.groupBy("token").agg(F.sum("cnt_st").alias("cnt_t"))
     tot_s = st.groupBy(slice_col).agg(F.sum("cnt_st").alias("tot_s"))
     scal = tok.agg(

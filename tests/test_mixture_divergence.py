@@ -50,6 +50,20 @@ def test_disjoint_slices_diverge_and_js_bounded(spark):
     assert out2["c"].kl_vs_corpus > out2["a"].kl_vs_corpus
 
 
+def test_corpus_scanned_exactly_once(spark, sf_dir):
+    # st feeds four consumers; the eager localCheckpoint guarantees
+    # the corpus scan+explode runs ONCE — downstream plans must read
+    # the checkpointed relation, never the parquet source again
+    from ecommerce_dataengineering_project_spark.queries.ext_text import (
+        q_mixture_divergence,
+    )
+
+    df = q_mixture_divergence(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed st relation
+
+
 def test_absent_vocab_counted_via_smoothing(spark):
     # slice b never emits 'z' but the corpus has it: the smoothed mass
     # 1/(tot_b+V) must still contribute (n_present < V while the KL
