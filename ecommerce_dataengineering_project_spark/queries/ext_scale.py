@@ -31,6 +31,40 @@ from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
 N_RANGE_COMMITS = 4
 
 
+def _cents_base(li: DataFrame, *extra_dims: str) -> DataFrame:
+    """(purchase_date, l_returnflag[, extra dims], amount_cents)
+    projection shared by the MV-routing arms. Integer-cent measure:
+    FLOOR(amount*100+0.5) per ROW, summed as BIGINT — exact under ANY
+    grouping, so an MV's two-level sum (partials at the MV grain,
+    rolled up to the request grain) is bit-identical to the oracle's
+    one-level sum. A raw double measure is NOT: its partial sums round
+    differently at half-cent boundaries (caught by the sf0.001 parity
+    sweep — two dates flipped a cent). The amount formula itself is
+    core.py's _AMOUNT_SQL — ONE definition per module boundary, not
+    one per query."""
+    from ecommerce_dataengineering_project_spark.queries.core import _AMOUNT_SQL
+
+    cents = F.floor(F.expr(_AMOUNT_SQL) * 100 + F.lit(0.5)).cast("bigint")
+    return li.select(
+        F.col("l_shipdate").cast("date").alias("purchase_date"),
+        "l_returnflag",
+        *extra_dims,
+        cents.alias("amount_cents"),
+    )
+
+
+def _cents_oracle_sql(dims_sql: str, total_alias: str, count_alias: str) -> str:
+    from ecommerce_dataengineering_project_spark.queries.core import _AMOUNT_SQL
+
+    return f"""
+    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
+           {dims_sql}CAST(SUM(CAST(FLOOR(({_AMOUNT_SQL}) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS {total_alias},
+           COUNT(l_orderkey) AS {count_alias}
+    FROM lineitem GROUP BY {"1, 2" if dims_sql else "1"}
+"""
+
+
 def _sf_name(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("/", 1)[-1]
 
@@ -675,22 +709,7 @@ def q_mv_routed_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ecommerce_dataengineering_project_spark.plans.mv_router import build_mv, route
 
-    li = load_table(spark, sf_dir, "lineitem")
-    # integer-cent measure: FLOOR(amount*100+0.5) per ROW, summed as
-    # BIGINT — exact under ANY grouping, so the MV's two-level sum
-    # (partials at (day, flag), rolled up to day) is bit-identical to
-    # the oracle's one-level sum. A raw double measure is NOT: its
-    # partial sums round differently at half-cent boundaries (caught by
-    # the sf0.001 parity sweep — two dates flipped a cent).
-    cents = F.floor(
-        F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax") * 100
-        + F.lit(0.5)
-    ).cast("bigint")
-    base = li.select(
-        F.col("l_shipdate").cast("date").alias("purchase_date"),
-        "l_returnflag",
-        cents.alias("amount_cents"),
-    )
+    base = _cents_base(load_table(spark, sf_dir, "lineitem"))
     mv = build_mv(
         spark,
         base,
@@ -718,13 +737,9 @@ def q_mv_routed_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mv_routed_daily_sales"] = q_mv_routed_daily_sales
 
-ORACLES["mv_routed_daily_sales"] = """
-    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
-           CAST(SUM(CAST(FLOOR((l_extendedprice*l_quantity*(1-l_discount)+l_tax) * 100 + 0.5)
-                    AS BIGINT)) AS BIGINT) AS daily_total_cents,
-           COUNT(l_orderkey) AS daily_transaction_count
-    FROM lineitem GROUP BY 1
-"""
+ORACLES["mv_routed_daily_sales"] = _cents_oracle_sql(
+    "", "daily_total_cents", "daily_transaction_count"
+)
 
 
 def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,17 +758,11 @@ def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     MV is bit-identical to the base-table oracle."""
     from ecommerce_dataengineering_project_spark.plans.mv_router import build_mv, route_best
 
-    li = load_table(spark, sf_dir, "lineitem")
-    cents = F.floor(
-        F.expr("l_extendedprice*l_quantity*(1-l_discount)+l_tax") * 100
-        + F.lit(0.5)
-    ).cast("bigint")
-    base = li.select(
-        F.col("l_shipdate").cast("date").alias("purchase_date"),
-        "l_returnflag",
-        "l_linestatus",
-        cents.alias("amount_cents"),
-    )
+    # each MV-routing arm builds its own candidate set (build_mv always
+    # overwrites): sharing mv_routed_daily_sales' day-x-flag MV would
+    # couple query correctness to registry execution ORDER, and the
+    # build cost is part of what this arm measures
+    base = _cents_base(load_table(spark, sf_dir, "lineitem"), "l_linestatus")
     mvs = [
         build_mv(
             spark,
@@ -788,14 +797,9 @@ def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mv_route_best"] = q_mv_route_best
 
-ORACLES["mv_route_best"] = """
-    SELECT CAST(l_shipdate AS DATE) AS purchase_date,
-           l_returnflag,
-           CAST(SUM(CAST(FLOOR((l_extendedprice*l_quantity*(1-l_discount)+l_tax) * 100 + 0.5)
-                    AS BIGINT)) AS BIGINT) AS flag_total_cents,
-           COUNT(l_orderkey) AS flag_count
-    FROM lineitem GROUP BY 1, 2
-"""
+ORACLES["mv_route_best"] = _cents_oracle_sql(
+    "l_returnflag,\n           ", "flag_total_cents", "flag_count"
+)
 
 
 def q_athena_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:

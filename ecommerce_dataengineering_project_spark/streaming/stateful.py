@@ -308,12 +308,18 @@ def _interval_us(interval: str) -> int:
     config smell, not a session gap)."""
     try:
         num, word = interval.split()
-        return int(num) * _INTERVAL_US[word.lower().rstrip("s")]
+        us = int(num) * _INTERVAL_US[word.lower().rstrip("s")]
     except (ValueError, KeyError):
         units = ", ".join(_INTERVAL_US)
         raise ValueError(
             f"expected '<n> <unit>' with unit in {{{units}}}(s), got {interval!r}"
         ) from None
+    if us <= 0:
+        # a zero/negative gap would arm timers at-or-before the
+        # watermark — Spark rejects that executor-side with an opaque
+        # StateStore error; fail loudly at the API boundary instead
+        raise ValueError(f"duration must be positive, got {interval!r}")
+    return us
 
 
 def timer_sessions_stream(

@@ -201,6 +201,12 @@ def test_gap_grammar_matches_watermark_grammar():
         _interval_us("2 months")  # variable-length: not a µs gap
     with pytest.raises(ValueError, match="expected"):
         _interval_us("6hours")
+    # magnitude, not just grammar (review r11 pass 2): a zero/negative
+    # gap would arm timers at-or-before the watermark — fail upfront
+    with pytest.raises(ValueError, match="positive"):
+        _interval_us("0 hours")
+    with pytest.raises(ValueError, match="positive"):
+        _interval_us("-1 hour")
 
 
 # ---- T7 proc-time timer twin: idle-key TTL flush ---------------------

@@ -60,11 +60,15 @@ def _copy(con, table: str, out: str) -> None:
     con.sql(f"COPY (SELECT * FROM '{SRC}/{table}.parquet') TO '{out}' (FORMAT PARQUET)")
 
 
-def _tile_sql(table: str, select: str) -> str:
+def _tile_sql(table: str, select: str, key: str) -> str:
+    # ORDER BY (t, source key): without the key, intra-tile order comes
+    # from DuckDB's parallel scan of the cross join and varies with
+    # thread count/run — breaking the regenerate-deterministically
+    # contract (row order shifts row-group boundaries and file stats).
     return f"""
         SELECT {select}
         FROM '{SRC}/{table}.parquet', (SELECT UNNEST(range({TILES})) AS t)
-        ORDER BY t
+        ORDER BY t, {key}
     """
 
 
@@ -93,6 +97,7 @@ def gen_relational(con, out_dir: str) -> None:
             f"c_custkey + t*{c} AS c_custkey, "
             f"printf('Customer#%09d', c_custkey + t*{c}) AS c_name, "
             "c_nationkey, c_acctbal, c_mktsegment",
+            "c_custkey",
         ),
         f"{out_dir}/customer.parquet",
     )
@@ -104,6 +109,7 @@ def gen_relational(con, out_dir: str) -> None:
             f"s_suppkey + t*{s} AS s_suppkey, "
             f"printf('Supplier#%09d', s_suppkey + t*{s}) AS s_name, "
             "s_nationkey, s_acctbal",
+            "s_suppkey",
         ),
         f"{out_dir}/supplier.parquet",
     )
@@ -114,6 +120,7 @@ def gen_relational(con, out_dir: str) -> None:
             "part",
             f"p_partkey + t*{p} AS p_partkey, "
             "p_name, p_brand, p_type, p_size, p_retailprice",
+            "p_partkey",
         ),
         f"{out_dir}/part.parquet",
     )
@@ -124,6 +131,7 @@ def gen_relational(con, out_dir: str) -> None:
             "orders",
             f"o_orderkey + t*{o} AS o_orderkey, o_custkey + t*{c} AS o_custkey, "
             "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority",
+            "o_orderkey",
         ),
         f"{out_dir}/orders.parquet",
     )
@@ -136,6 +144,7 @@ def gen_relational(con, out_dir: str) -> None:
             f"l_suppkey + t*{s} AS l_suppkey, l_linenumber, l_quantity, "
             "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, "
             "l_shipdate",
+            "l_orderkey, l_linenumber",
         ),
         f"{out_dir}/lineitem.parquet",
     )
@@ -147,6 +156,7 @@ def gen_relational(con, out_dir: str) -> None:
             f"event_id + t*{e} AS event_id, ts, "
             f"user_id + t*{STRIDE['customer'] // 10} AS user_id, "
             "event_type, value, props",
+            "event_id",
         ),
         f"{out_dir}/events.parquet",
     )
