@@ -6,6 +6,10 @@ hand-built corpora."""
 from __future__ import annotations
 
 import math
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from ecommerce_dataengineering_project_spark.operators.text import mixture_divergence
 
@@ -72,3 +76,63 @@ def test_absent_vocab_counted_via_smoothing(spark):
     assert out["b"].n_present_vocab == 2  # x, y — not z
     assert out["b"].kl_vs_corpus > 0.0
     assert math.isfinite(out["b"].kl_vs_corpus)
+
+
+# ---- hypothesis: random corpora vs a pure-Python reference ----------
+
+_WORD = st.sampled_from(["x", "y", "z", "qq", "w0"])
+_DOC = st.lists(_WORD, min_size=1, max_size=12).map(" ".join)
+_SLICE = st.sampled_from(["a", "b", "c"])
+
+
+def _py_divergence(rows):
+    """Independent reference: smoothed unigram KL/JS per slice, the
+    same round-half-up(6) the operator applies."""
+    st_counts: Counter = Counter()
+    for s, text in rows:
+        for tok in text.split(" "):
+            st_counts[(s, tok)] += 1
+    tok_counts: Counter = Counter()
+    tot_s: Counter = Counter()
+    for (s, tok), c in st_counts.items():
+        tok_counts[tok] += c
+        tot_s[s] += c
+    v = len(tok_counts)
+    tot = sum(tok_counts.values())
+    out = {}
+    for s in tot_s:
+        kl = js = 0.0
+        present = 0
+        for tok, ct in tok_counts.items():
+            cs = st_counts.get((s, tok), 0)
+            present += cs > 0
+            p = (cs + 1) / (tot_s[s] + v)
+            q = (ct + 1) / (tot + v)
+            m = (p + q) / 2.0
+            kl += p * math.log(p / q)
+            js += 0.5 * (p * math.log(p / m) + q * math.log(q / m))
+        r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        out[s] = (tot_s[s], present, r6(kl), r6(js))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_SLICE, _DOC), min_size=1, max_size=30))
+def test_matches_python_reference_on_random_corpora(spark, rows):
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_tokens, r.n_present_vocab, r.kl_vs_corpus, r.js_vs_corpus)
+        for r in mixture_divergence(df, "source", "text").collect()
+    }
+    want = _py_divergence(rows)
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert got[s][1] == want[s][1]
+        # per-row double math is IEEE-identical; the ln/sum path is
+        # pinned to 1e-9 relative (the rounding then snaps both)
+        assert math.isclose(got[s][2], want[s][2], rel_tol=1e-9, abs_tol=1e-9)
+        assert math.isclose(got[s][3], want[s][3], rel_tol=1e-9, abs_tol=1e-9)
+        # information-theory invariants hold on every random corpus
+        assert got[s][2] >= 0.0
+        assert 0.0 <= got[s][3] <= math.log(2.0) + 1e-9
