@@ -46,34 +46,48 @@ def fuzzy_nearest(
     (0 = exact duplicate — the exact-dedup operator's job, excluded
     here), and return each key's single best match.
     """
-    p = df.select(
-        F.col(key_col).alias("key"),
-        F.col(name_col).alias("name"),
-        block_fn(name_col).alias("blk"),
+    p = df.select(F.col(key_col).alias("key"), F.col(name_col).alias("name"))
+    # Collapse exact-duplicate names BEFORE pair generation — result-
+    # identical, asymptotically cheaper. Same-name pairs are dist 0 and
+    # always excluded, so edit distances are a property of the DISTINCT
+    # name pair; and the per-key tie-break (dist ASC, key_b ASC) over
+    # all keys at min dist equals min-over-names of each name's min
+    # key. Within-block pair cost is therefore quadratic in DISTINCT
+    # names per block, not rows — on a catalog where entities repeat
+    # (the common case, and the sf1 decade fixture's failure mode:
+    # 2.96 s -> 249 s with tiled repeated names before this collapse),
+    # the quadratic stage no longer grows with duplication at all.
+    reps = (
+        p.groupBy("name")
+        .agg(F.min("key").alias("min_key"))
+        .withColumn("blk", block_fn("name"))
     )
     # The join's CPU lives in its OUTPUT (millions of edit-distance
-    # calls), while its shuffle INPUT (the entity table) is tiny — so a
-    # shuffle join gets AQE-coalesced to a couple of partitions and
-    # runs the pair generation nearly serially (measured: 38 s at
-    # sf0.1). Shape that parallelizes: explicitly repartition the
-    # probe side (a fixed count survives AQE) and BROADCAST the build
-    # side — every probe partition generates and prunes its block's
-    # pairs map-side, no shuffle keys to starve. Broadcast is right for
-    # catalog-sized entity tables; for a billion-entity table swap the
-    # build side to the salted-shuffle recipe in operators/skew.py.
-    # The fan-out tracks the session (2x defaultParallelism: pair
-    # generation is CPU-bound with uneven block sizes, so a little
-    # over-decomposition load-balances) instead of a constant that
-    # would cap a 1000-executor cluster at 64 tasks (VERDICT r5 #1).
+    # calls), while its shuffle INPUT (the distinct-name relation) is
+    # tiny — so a shuffle join gets AQE-coalesced to a couple of
+    # partitions and runs the pair generation nearly serially
+    # (measured: 38 s at sf0.1). Shape that parallelizes: explicitly
+    # repartition the probe side (a fixed count survives AQE) and
+    # BROADCAST the build side — every probe partition generates and
+    # prunes its block's pairs map-side, no shuffle keys to starve.
+    # Broadcast is right for catalog-sized entity tables; for a
+    # billion-entity table swap the build side to the salted-shuffle
+    # recipe in operators/skew.py. The fan-out tracks the session
+    # (2x defaultParallelism: pair generation is CPU-bound with uneven
+    # block sizes, so a little over-decomposition load-balances)
+    # instead of a constant that would cap a 1000-executor cluster at
+    # 64 tasks (VERDICT r5 #1).
     if n_tasks is None:
         n_tasks = df.sparkSession.sparkContext.defaultParallelism * 2
-    a = p.select(
-        F.col("key").alias("key_a"), F.col("name").alias("name_a"), "blk"
+    a = reps.select(
+        F.col("name").alias("name_a"), F.col("min_key").alias("mk_a"), "blk"
     ).repartition(n_tasks)
-    b = p.select(F.col("key").alias("key_b"), F.col("name").alias("name_b"), "blk")
+    b = reps.select(
+        F.col("name").alias("name_b"), F.col("min_key").alias("mk_b"), "blk"
+    )
     pairs = (
         a.join(F.broadcast(b), "blk")
-        .where(F.col("key_a") < F.col("key_b"))
+        .where(F.col("name_a") < F.col("name_b"))
         # exact pre-prune: |len diff| > d implies dist > d — drops a
         # large share of pairs before any edit-distance work
         .where(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
@@ -84,26 +98,33 @@ def fuzzy_nearest(
             "dist", F.levenshtein("name_a", "name_b", max_dist).cast("int")
         )
         .where((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
-        .select("key_a", "key_b", "name_a", "name_b", "dist")
+        .select("name_a", "name_b", "mk_a", "mk_b", "dist")
     )
     sym = pairs.unionAll(
         pairs.select(
-            F.col("key_b").alias("key_a"),
-            F.col("key_a").alias("key_b"),
             F.col("name_b").alias("name_a"),
             F.col("name_a").alias("name_b"),
+            F.col("mk_b").alias("mk_a"),
+            F.col("mk_a").alias("mk_b"),
             "dist",
         )
     )
-    w = Window.partitionBy("key_a").orderBy(F.col("dist").asc(), F.col("key_b").asc())
-    return (
+    # per NAME: best neighbor name by (dist ASC, its min key ASC) —
+    # exactly the per-key (dist ASC, key_b ASC) winner, since every
+    # key of name_a sees the same candidate key set {keys of B != A}
+    w = Window.partitionBy("name_a").orderBy(F.col("dist").asc(), F.col("mk_b").asc())
+    best = (
         sym.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(
-            F.col("key_a").alias("key"),
-            F.col("name_a").alias("name"),
-            F.col("key_b").alias("nearest_key"),
+            "name_a",
+            F.col("mk_b").alias("nearest_key"),
             F.col("name_b").alias("nearest_name"),
             "dist",
         )
+    )
+    # fan the distinct-name verdicts back out to every key (broadcast:
+    # best is distinct-name-bounded)
+    return p.join(F.broadcast(best), p["name"] == best["name_a"]).select(
+        "key", "name", "nearest_key", "nearest_name", "dist"
     )
