@@ -605,7 +605,10 @@ def vocab_coverage(
 
 
 def mixture_divergence(
-    df: DataFrame, slice_col: str = "source", text_col: str = "text"
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Per-slice unigram-distribution divergence against the whole
     corpus — the training-mixture drift monitor: when a source's token
@@ -636,11 +639,22 @@ def mixture_divergence(
     # plan without it). The checkpoint pins exactly ONE corpus
     # scan+explode; the materialized relation is vocabulary x
     # n_slices-bounded, orders smaller than the corpus.
+    #
+    # Two caveats of the eager form (ADVICE r11): it runs a Spark job
+    # at OPERATOR-CALL time (the call is no longer lazy — acceptable
+    # here because every caller consumes the result immediately), and
+    # localCheckpoint truncates lineage WITHOUT fault tolerance — on a
+    # real cluster, losing an executor loses its checkpointed blocks
+    # unrecoverably mid-query. For cluster deployments pass
+    # ``reliable_checkpoint=True`` to use a reliable ``checkpoint()``
+    # into ``spark.sparkContext.setCheckpointDir`` storage (HDFS/S3)
+    # instead: same single-scan plan, recomputable after executor loss.
     st = (
         df.select(F.col(slice_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(slice_col, "token")
         .agg(F.count(F.lit(1)).alias("cnt_st"))
-    ).localCheckpoint(eager=True)
+    )
+    st = st.checkpoint(eager=True) if reliable_checkpoint else st.localCheckpoint(eager=True)
     tok = st.groupBy("token").agg(F.sum("cnt_st").alias("cnt_t"))
     tot_s = st.groupBy(slice_col).agg(F.sum("cnt_st").alias("tot_s"))
     scal = tok.agg(

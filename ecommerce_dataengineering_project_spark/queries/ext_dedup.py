@@ -602,6 +602,62 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["fuzzy_name_matches"] = q_fuzzy_name_matches
 
+
+def q_fuzzy_multiblock_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage, recall side (operators/linkage.py
+    fuzzy_nearest_multiblock): nearest edit-distance neighbor under
+    UNIONED blocking (last token OR first token OR first-char/length-
+    band) at max_dist=3 — recovering pairs a single last-token block
+    misses (e.g. "red ring" ~ "red rod": the typo is IN the last
+    token, so last-token blocking never compares them; the shared
+    first token does)."""
+    from ecommerce_dataengineering_project_spark.operators.linkage import (
+        fuzzy_nearest_multiblock,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_nearest_multiblock(part, "p_partkey", "p_name", max_dist=3)
+
+
+QUERIES["fuzzy_multiblock_matches"] = q_fuzzy_multiblock_matches
+
+# Key-level all-candidate oracle (no collapse, no pair dedup): a pair
+# is compared iff ANY of the three block keys agrees — the same
+# semantics the unioned-block operator implements via the exploded
+# block-key array + pair dedup.
+ORACLES["fuzzy_multiblock_matches"] = """
+    WITH p AS (
+        SELECT p_partkey AS key, p_name AS name,
+               STRING_SPLIT(p_name, ' ')[-1] AS lt,
+               STRING_SPLIT(p_name, ' ')[1] AS ft,
+               SUBSTR(p_name, 1, 1) AS fc,
+               LENGTH(p_name) // 4 AS lb
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.key AS key_a, b.key AS key_b,
+               a.name AS name_a, b.name AS name_b,
+               CAST(LEVENSHTEIN(a.name, b.name) AS INTEGER) AS dist
+        FROM p a JOIN p b
+          ON a.key < b.key
+         AND (a.lt = b.lt OR a.ft = b.ft OR (a.fc = b.fc AND a.lb = b.lb))
+        WHERE LEVENSHTEIN(a.name, b.name) BETWEEN 1 AND 3
+    ),
+    sym AS (
+        SELECT key_a, key_b, name_a, name_b, dist FROM pairs
+        UNION ALL
+        SELECT key_b, key_a, name_b, name_a, dist FROM pairs
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY key_a ORDER BY dist ASC, key_b ASC) AS rn
+        FROM sym
+    )
+    SELECT key_a AS key, name_a AS name, key_b AS nearest_key,
+           name_b AS nearest_name, dist
+    FROM ranked WHERE rn = 1
+"""
+
 ORACLES["fuzzy_name_matches"] = """
     WITH p AS (
         SELECT p_partkey AS key, p_name AS name,

@@ -53,15 +53,23 @@ def _cents_base(li: DataFrame, *extra_dims: str) -> DataFrame:
     )
 
 
-def _cents_oracle_sql(dims_sql: str, total_alias: str, count_alias: str) -> str:
+def _cents_oracle_sql(
+    dims: tuple[str, ...], total_alias: str, count_alias: str
+) -> str:
+    """Base-table oracle at grain (purchase_date, *dims): GROUP BY is
+    derived from the dim LIST, not a pre-baked SQL fragment — a
+    two-dim caller used to silently group by only the first two
+    ordinals (ADVICE r11)."""
     from ecommerce_dataengineering_project_spark.queries.core import _AMOUNT_SQL
 
+    dims_sql = "".join(f"{d},\n           " for d in dims)
+    group_by = ", ".join(str(i + 1) for i in range(len(dims) + 1))
     return f"""
     SELECT CAST(l_shipdate AS DATE) AS purchase_date,
            {dims_sql}CAST(SUM(CAST(FLOOR(({_AMOUNT_SQL}) * 100 + 0.5)
                     AS BIGINT)) AS BIGINT) AS {total_alias},
            COUNT(l_orderkey) AS {count_alias}
-    FROM lineitem GROUP BY {"1, 2" if dims_sql else "1"}
+    FROM lineitem GROUP BY {group_by}
 """
 
 
@@ -738,7 +746,7 @@ def q_mv_routed_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["mv_routed_daily_sales"] = q_mv_routed_daily_sales
 
 ORACLES["mv_routed_daily_sales"] = _cents_oracle_sql(
-    "", "daily_total_cents", "daily_transaction_count"
+    (), "daily_total_cents", "daily_transaction_count"
 )
 
 
@@ -798,7 +806,7 @@ def q_mv_route_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["mv_route_best"] = q_mv_route_best
 
 ORACLES["mv_route_best"] = _cents_oracle_sql(
-    "l_returnflag,\n           ", "flag_total_cents", "flag_count"
+    ("l_returnflag",), "flag_total_cents", "flag_count"
 )
 
 

@@ -1,0 +1,111 @@
+"""fuzzy_nearest_multiblock: unioned multi-key blocking must (a) match
+the naive key-level any-block-agrees formulation exactly — through
+duplicated names, (b) recover pairs last-token blocking provably
+misses, and (c) never do worse than the single-key operator at the
+same max_dist (candidate superset => per-key dist can only shrink)."""
+
+from __future__ import annotations
+
+from ecommerce_dataengineering_project_spark.operators.linkage import (
+    fuzzy_nearest,
+    fuzzy_nearest_multiblock,
+)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _blocks(n):
+    return {
+        ("lt", n.split(" ")[-1]),
+        ("ft", n.split(" ")[0]),
+        ("cb", (n[:1], len(n) // 4)),
+    }
+
+
+def _naive(rows, max_dist=3):
+    out = {}
+    for k, n in rows:
+        cands = [
+            (_lev(n, n2), k2, n2)
+            for k2, n2 in rows
+            if k2 != k
+            and _blocks(n) & _blocks(n2)
+            and 1 <= _lev(n, n2) <= max_dist
+        ]
+        if cands:
+            d, k2, n2 = min(cands)
+            out[k] = (n, k2, n2, d)
+    return out
+
+
+def _run(spark, rows, max_dist=3):
+    df = spark.createDataFrame(rows, "key long, name string")
+    got = {
+        r.key: (r.name, r.nearest_key, r.nearest_name, r.dist)
+        for r in fuzzy_nearest_multiblock(
+            df, "key", "name", max_dist=max_dist
+        ).collect()
+    }
+    assert got == _naive(rows, max_dist)
+    return got
+
+
+def test_recovers_last_token_typo(spark):
+    # "red ring" ~ "red rod" is dist 3 with DIFFERENT last tokens:
+    # invisible to last-token blocking, recovered via the first token
+    rows = [(1, "red ring"), (2, "red rod"), (3, "blue cap")]
+    df = spark.createDataFrame(rows, "key long, name string")
+    single = fuzzy_nearest(df, "key", "name", max_dist=3).collect()
+    assert single == []  # last-token blocking finds nothing here
+    got = _run(spark, rows)
+    assert got[1] == ("red ring", 2, "red rod", 3)
+    assert got[2] == ("red rod", 1, "red ring", 3)
+    assert 3 not in got
+
+
+def test_pair_found_by_two_blocks_emitted_once(spark):
+    # "cold bolt" ~ "cold colt": same first token AND same length band
+    # + first char — the pair rides two block keys; dedup must keep one
+    got = _run(spark, [(1, "cold bolt"), (2, "cold colt")])
+    assert got[1] == ("cold bolt", 2, "cold colt", 1)
+    assert got[2] == ("cold colt", 1, "cold bolt", 1)
+
+
+def test_duplicated_names_collapse_through_multiblock(spark):
+    # duplicates never match each other; verdicts fan out to all keys;
+    # the (dist, key) tie-break holds through duplication
+    got = _run(spark, [(5, "ab x"), (9, "ab x"), (7, "ac x"), (3, "zz q")])
+    assert got[5] == ("ab x", 7, "ac x", 1)
+    assert got[9] == ("ab x", 7, "ac x", 1)
+    assert got[7] == ("ac x", 5, "ab x", 1)
+    assert 3 not in got
+
+
+def test_never_worse_than_single_block(spark, sf_dir):
+    # candidate superset: every key surfaced by last-token blocking is
+    # surfaced by multiblock, at an equal-or-smaller distance
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    part = load_table(spark, sf_dir, "part")
+    single = {
+        r.key: r.dist
+        for r in fuzzy_nearest(part, "p_partkey", "p_name", max_dist=3).collect()
+    }
+    multi = {
+        r.key: r.dist
+        for r in fuzzy_nearest_multiblock(
+            part, "p_partkey", "p_name", max_dist=3
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    assert all(multi[k] <= d for k, d in single.items())
