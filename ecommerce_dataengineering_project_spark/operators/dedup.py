@@ -894,6 +894,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     max_codegen_doubles: int | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped embedding dedup (Abbas et al.
     2023, arXiv:2303.09540): assign every vector to its nearest
@@ -921,6 +922,20 @@ def semantic_dedup(
     nearest-cell scorer runs as the Arrow-batched numpy matmul instead
     of the codegen fold, keeping plan size O(1) in the cell count. The
     pairing and keep stages are identical either way.
+
+    ``shard_col`` is the 100 TB configuration (the production SemDeDup
+    shape): pair only within (shard, cell), where the shard is a
+    natural corpus partition (language, source, label, a hash bucket).
+    SemDeDup's own envelope is n^1.5 with sqrt(n) cells (measured
+    10.8x for 10x data across the sf0.1->sf1 decade, SCALE.md); with S
+    shards of n/S rows each the total cost is S * (n/S)^1.5 =
+    n^1.5 / sqrt(S) — and when shards GROW with the corpus (per-
+    language-and-date buckets do), n-per-invocation is bounded and
+    the whole operator is linear in corpus size. The recall trade is
+    explicit and usually free: near-dups almost never straddle
+    languages/sources, which is exactly why production pipelines shard
+    there. The output gains the shard column; keep decisions are
+    per-shard (a cross-shard near-dup pair keeps both members).
     """
     from ecommerce_dataengineering_project_spark.operators.similarity import (
         MAX_CODEGEN_CENTROID_DOUBLES,
@@ -931,8 +946,9 @@ def semantic_dedup(
     )
     from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
 
+    shard_cols = [F.col(shard_col).alias("shard")] if shard_col else []
     v = emb.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"), *shard_cols
     )
     # The fold assigner costs n * n_cells * dim interpreted ops; a
     # small single-file corpus otherwise scores it in ONE task (and the
@@ -967,6 +983,7 @@ def semantic_dedup(
         F.col("cell").alias("cell_b"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+        *([F.col("shard").alias("shard_b")] if shard_col else []),
     )
     cond = (
         (F.col("cell") == F.col("cell_b"))
@@ -976,11 +993,20 @@ def semantic_dedup(
             >= threshold
         )
     )
+    if shard_col:
+        # the shard equality rides the join key alongside the cell —
+        # at lake scale the exchange is on (shard, cell), so each
+        # SemDeDup "invocation" is one key group, n bounded per shard
+        cond = cond & (F.col("shard") == F.col("shard_b"))
+    group_cols = ["vid", "cell"] + (["shard"] if shard_col else [])
+    out_cols = [F.col("vid").alias(id_col)] + (
+        [F.col("shard").alias(shard_col)] if shard_col else []
+    )
     return (
         assigned.join(partners, cond, "left_outer")
-        .groupBy("vid", "cell")
+        .groupBy(*group_cols)
         .agg(F.every(F.col("id_b").isNull()).alias("keep"))
-        .select(F.col("vid").alias(id_col), "cell", "keep")
+        .select(*out_cols, "cell", "keep")
     )
 
 

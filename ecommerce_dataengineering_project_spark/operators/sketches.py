@@ -19,10 +19,13 @@ Exactness notes pinned by tests/test_sketches.py:
   its exact (coupon list/set) phase, so small-partition estimates are
   exact counts — relevant when validating against small fixtures.
 
-No oracle SQL: DuckDB's approx_count_distinct is a different sketch
-family (its estimates differ by design), so the driver records a
-rows-only check; the mergeability and accuracy contracts are pinned
-locally instead.
+Oracle posture: DuckDB's approx_count_distinct is a different sketch
+family (its estimates differ by design), so estimate-producing queries
+are rows-only for the driver — EXCEPT where the coupon-phase exactness
+property applies: segment_overlap at an lgk whose coupon phase covers
+the corpus is bit-equal to exact inclusion-exclusion SQL and is
+oracle-checked (queries/ext_stats.py segment_overlap_sketch). The
+mergeability and accuracy contracts are pinned locally either way.
 """
 
 from __future__ import annotations

@@ -217,6 +217,34 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's 100 TB configuration (VERDICT r11 item 3): shard the
+    corpus on a natural partition key (here `label` — the per-language
+    / per-source shape) and pair only within (shard, cell). S shards
+    cut the n^1.5 envelope to n^1.5/sqrt(S); with shards that grow
+    with the corpus, n per invocation is bounded and the operator is
+    linear. Same seeded centroids, fold assignment, and keep rule as
+    `semantic_dedup` — the recall delta is exactly the cross-shard
+    pairs, which the oracle excludes identically."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+        suggest_n_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _SEM_CENTROIDS:
+        lo, hi = SEM_CELL_CLAMP
+        n_cells = suggest_n_cells(emb.count(), min_cells=lo, max_cells=hi)
+        _SEM_CENTROIDS[sf_dir] = seeded_centroids(emb, n_cells)
+    return semantic_dedup(
+        emb,
+        _SEM_CENTROIDS[sf_dir],
+        threshold=COSINE_THRESHOLD,
+        shard_col="label",
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -230,6 +258,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_sharded": q_semantic_dedup_sharded,
 }
 
 
@@ -440,8 +469,7 @@ from ecommerce_dataengineering_project_spark.operators.similarity import (  # no
     SEED_MULT,
 )
 
-ORACLES["semantic_dedup"] = f"""
-    WITH {_COS},
+_SEM_ASSIGN = f"""
     cents AS (
         SELECT cell, cv, halfsq FROM (
             SELECT v AS cv,
@@ -468,21 +496,49 @@ ORACLES["semantic_dedup"] = f"""
                                       ORDER BY s DESC, cell ASC) AS rn
             FROM cell_scores
         ) WHERE rn = 1
-    ),
+    )"""
+
+_SEM_COSINE = _r6(
+    "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(na.v, nb.v), x -> x[1] * x[2]),"
+    " (x, y) -> x + y) / (na.nrm * nb.nrm)"
+)
+
+ORACLES["semantic_dedup"] = f"""
+    WITH {_COS},
+    {_SEM_ASSIGN},
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assign a
         JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
         JOIN n na ON na.vec_id = a.vec_id
         JOIN n nb ON nb.vec_id = b.vec_id
-        WHERE {_r6(
-            "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(na.v, nb.v), x -> x[1] * x[2]),"
-            " (x, y) -> x + y) / (na.nrm * nb.nrm)"
-        )} >= {COSINE_THRESHOLD}
+        WHERE {_SEM_COSINE} >= {COSINE_THRESHOLD}
     )
     SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
            d.id_b IS NULL AS keep
     FROM assign a
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON d.id_b = a.vec_id
+"""
+
+# Identical assignment and keep rule; pairs additionally require label
+# equality (the shard), and the shard rides the output.
+ORACLES["semantic_dedup_sharded"] = f"""
+    WITH {_COS},
+    {_SEM_ASSIGN},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+        WHERE {_SEM_COSINE} >= {COSINE_THRESHOLD}
+    )
+    SELECT a.vec_id, e.label, CAST(a.cell AS INTEGER) AS cell,
+           d.id_b IS NULL AS keep
+    FROM assign a
+    JOIN embeddings e ON e.vec_id = a.vec_id
     LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON d.id_b = a.vec_id
 """
 

@@ -275,6 +275,66 @@ def test_semantic_dedup_arrow_assigner_past_clamp(spark):
     assert all(got[i] == (i < 17) for i in range(40))
 
 
+def test_semantic_dedup_sharded_scopes_pairs_to_shard(spark):
+    """shard_col semantics: a same-cell near-dup pair SPLIT across
+    shards keeps both members (the explicit recall trade), same-shard
+    pairs dedup exactly as the unsharded operator, and per-shard output
+    equals running semantic_dedup on that shard alone (the bounded-
+    invocation equivalence the 100 TB config relies on)."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, c0, "en"),
+        (1, [0.99, 0.01, 0.0, 0.0], "en"),   # near-dup of 0, same shard
+        (2, [0.98, 0.02, 0.0, 0.0], "fr"),   # near-dup of 0, OTHER shard
+        (3, c1, "en"),
+        (4, [0.01, 0.99, 0.0, 0.0], "fr"),   # near-dup of 3, other shard
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, lang string"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, [c0, c1], threshold=0.9, shard_col="lang"
+        ).collect()
+    }
+    assert out[0]["keep"] and out[0]["lang"] == "en"
+    assert not out[1]["keep"]          # same shard, same cell, id 0 wins
+    assert out[2]["keep"]              # near-dup ACROSS shards survives
+    assert out[3]["keep"] and out[4]["keep"]
+    # drop set is a subset of the unsharded operator's
+    unsharded = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb.drop("lang"), [c0, c1], threshold=0.9
+        ).collect()
+    }
+    dropped_sharded = {k for k, r in out.items() if not r["keep"]}
+    dropped_global = {k for k, keep in unsharded.items() if not keep}
+    assert dropped_sharded <= dropped_global
+    # per-shard slice == semantic_dedup run on that shard alone
+    from pyspark.sql import functions as F
+
+    for shard in ("en", "fr"):
+        alone = {
+            r["vec_id"]: (r["cell"], r["keep"])
+            for r in semantic_dedup(
+                emb.where(F.col("lang") == shard).drop("lang"),
+                [c0, c1],
+                threshold=0.9,
+            ).collect()
+        }
+        sliced = {
+            k: (r["cell"], r["keep"])
+            for k, r in out.items()
+            if r["lang"] == shard
+        }
+        assert sliced == alone
+
+
 def test_projection_matches_numpy_reference(spark, sf_dir):
     """project_embeddings == numpy matmul against the same sha-derived
     rows (up to the declared 1e-6 half-up rounding)."""
