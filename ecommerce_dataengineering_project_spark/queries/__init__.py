@@ -26,102 +26,82 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r11 rotation (VERDICT r10 item 1): driver-evidence debt hit zero
-    # on the r10 board, so from this round on the window is
-    # staleness-first RE-confirmation. Slot 1 is `ann_ivf_indexed` —
-    # the single post-staging r10 registration and the only query with
-    # no driver row yet. 15 flagship keepers stay for round-over-round
-    # continuity. `bpe_merges` re-enters because this round it gains a
-    # real DuckDB oracle (VERDICT item 4: the greedy merges unrolled
-    # into a CTE chain), upgrading its evidence from rows-only to
-    # hash-matched. 31 slots are the oldest-evidence greens: the full
-    # r1 era (12), the full r3 era (4), and 15 of the 20 r4-era rows
-    # (deferred to r12: approx_distinct_quantiles — rows-only, lowest
-    # re-check value — plus tfidf_top_terms, token_counts,
-    # training_corpus, stream_tumbling_revenue). The last two slots
-    # are this round's NEW arms (stream_idle_timer_flush proc-time
-    # timers; mv_route_best multi-MV cost routing), keeping
-    # driver-evidence debt at zero. The txlog/X24/storage families
-    # carry no slot this round on purpose: all their rows are r9/r10
-    # green, the freshest evidence on any board; they rotate back by
-    # staleness around r13.
+    # r12 rotation (VERDICT r11 items 1-2): staleness-first
+    # re-confirmation continues. Slot 1 is `fuzzy_name_matches` — its
+    # only driver row (r8) PRE-dates the duplicate-name collapse
+    # rewrite (operators/linkage.py, commit 3940a1d), the same
+    # evidence-gap class as r10's ann_ivf_indexed; the "board rewrites
+    # of boarded queries" rule now matches the "board late arms at
+    # registration" rule. Three slots are this round's NEW/upgraded
+    # arms, boarded at registration: fuzzy_multiblock_matches (X20's
+    # recall side — unioned multi-key blocking), semantic_dedup_sharded
+    # (the 100 TB SemDeDup configuration, VERDICT item 3), and
+    # segment_overlap_sketch (graduated from rows-only to a hash-
+    # matched oracle via HLL coupon-phase exactness — the bpe_merges
+    # move). 12 flagship keepers stay for continuity. The remaining 34
+    # slots drain the oldest evidence: ALL 7 r4-era deferrals, the
+    # full r5 era (15), and 12 of the 16 r6-era rows (deferred to r13:
+    # anomaly_isolation_forest — rows-only, lowest re-check value —
+    # plus union_segments, basket_pairs, gapfill_daily_revenue, whose
+    # family siblings all carry r8+ evidence). After this board no
+    # query's latest driver evidence is older than r6.
     #
-    # first evidence: the persisted-IVF serving path (X3)
-    "ann_ivf_indexed",
-    # reference core: medallion projections + the flagship daily agg
+    # rewrite re-confirmation: post-collapse record linkage (X20)
+    "fuzzy_name_matches",
+    # new arms, boarded at registration
+    "fuzzy_multiblock_matches",
+    "semantic_dedup_sharded",
+    "segment_overlap_sketch",
+    # flagship keepers
     "daily_sales",
     "fct_purchases",
-    # streaming keepers: bronze->silver ELT, stateful restock, MERGE
-    # upsert
     "stream_bronze_silver",
     "stream_inventory_restock",
     "stream_upsert_gold",
-    # declarative-pipelines keeper
     "sdp_pipeline_daily",
-    # lakehouse keeper: bucketed co-located join
     "bucketed_join_revenue",
-    # dedup / similarity keepers (incremental LSH is the 100 TB mode)
     "dedup_incremental_minhash",
     "semantic_dedup",
-    "ann_pq_topk",
-    # §2j keepers: scalar pandas UDF, multimodal decode
-    "pandas_udf_score",
-    "multimodal_decode",
-    # remaining keepers: end-to-end corpus reduction, CDC MERGE, graph
     "corpus_pipeline_full",
     "cdc_apply",
     "pagerank_copurchase",
-    # oracle upgrade this round: greedy BPE merges, now hash-checked
-    # via the unrolled CTE-chain oracle (was rows-only on the r10 board)
-    "bpe_merges",
-    # staleness re-confirmation — r1-era evidence (oldest first)
-    "ann_lsh_buckets",
-    "cube_revenue",
-    "dedup_clusters_star",
-    "dedup_ngram_capped",
-    "except_antijoin",
-    "exists_late_orders",
-    "intersect_segments",
-    "pivot_returnflag",
-    "region_revenue",
-    "segment_top_orders",
-    "string_predicates",
-    "window_topk",
-    # staleness re-confirmation — r3-era evidence
-    "lag_lead_events",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "running_inventory",
-    # staleness re-confirmation — r4-era evidence
-    "chunk_documents",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "json_extract_events",
-    "language_id",
-    "multi_join_revenue",
-    "multimodal_features",
-    "rolling_fingerprint",
-    "sample_stratified",
-    "sessionize_events",
-    "stream_dedup_watermarked",
-    "stream_sliding_activity",
-    # the round's NEW arms (first evidence): T7 proc-time timers (the
-    # one timer mode the r10 event-time arm didn't exercise) and the
-    # X25 multi-MV cost route (route_best, previously test-only). They
-    # take the slots tfidf_top_terms and stream_tumbling_revenue
-    # (r4-era re-confirmations, deferred to r12) held when the window
-    # was first staged this round.
-    "stream_idle_timer_flush",
-    "mv_route_best",
-    # late r11 arms, boarded at registration so no query ever repeats
-    # the ann_ivf_indexed evidence gap: the FULL OUTER stream-stream
-    # join (completes the streaming join-type matrix) and the
-    # per-source mixture-divergence drift monitor (X4). They take the
-    # conditional_pricing and grouped_pandas_stats slots (r4-era
-    # re-confirmations, joining the r12 deferral list).
-    "stream_stream_full_outer",
-    "mixture_divergence",
+    # staleness re-confirmation — the 7 r4-era deferrals from r11
+    "approx_distinct_quantiles",
+    "conditional_pricing",
+    "grouped_pandas_stats",
+    "stream_tumbling_revenue",
+    "tfidf_top_terms",
+    "token_counts",
+    "training_corpus",
+    # staleness re-confirmation — the full r5 era (15)
+    "ann_lsh_topk",
+    "anomaly_zscore",
+    "asof_join_events",
+    "bm25_search",
+    "broadcast_enrich",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "exact_distinct_quantiles",
+    "order_limit_topk",
+    "quantize_embeddings",
+    "rollup_revenue",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "text_stats",
+    "window_analytics",
+    # staleness re-confirmation — r6 era (12 of 16)
+    "canonical_docs",
+    "chunk_documents_udtf",
+    "decontaminate",
+    "doc_repetition",
+    "dq_checks",
+    "funnel_conversion",
+    "incremental_watermark",
+    "rfm_segments",
+    "skew_salted_agg",
+    "stream_stream_join",
+    "time_travel_read",
+    "total_purchase_producer",
 )
 
 
