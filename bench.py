@@ -57,6 +57,8 @@ HEADLINE = [
     "ann_ivf_indexed",  # the persisted-index serving twin, side-by-side
     "corpus_pipeline_full",
     "fuzzy_name_matches",
+    "fuzzy_multiblock_matches",  # r12 recall arm beside its single-key sibling
+    "semantic_dedup_sharded",  # the 100 TB SemDeDup config beside the unsharded
     "bloom_semi_reduce",
     "bucketed_join_revenue",
     "mmr_diversified_topk",

@@ -137,6 +137,56 @@ def brute_force_topk(
     )
 
 
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of the verbatim n-gram check (operators/text.py decontaminate):
+    flag corpus vectors whose max cosine against ANY benchmark/eval
+    vector clears ``threshold``. Paraphrased eval answers share no
+    n-grams but sit next to the eval set in embedding space; training
+    pipelines run BOTH gates before a corpus ships.
+
+    Scale shape: eval sets are benchmark-sized (a constant m — MBs of
+    embeddings) against a TB corpus, so the benchmark side BROADCASTS
+    and scoring is a map-side BroadcastNestedLoopJoin — the corpus is
+    never shuffled; the per-doc max/argmax runs map-side as partial
+    aggregation before one corpus-id exchange. Cost is n*m cosines
+    with m constant: linear in the corpus. For eval suites large
+    enough that n*m stings, assign BOTH sides IVF cells (cell_assign)
+    and score within probed cells only — the same crossover
+    dedup_embedding_cosine documents.
+
+    Determinism: cosines round half-up at 1e-6 (the repo's portable
+    float policy); the nearest eval id breaks cosine ties by SMALLEST
+    id via max(struct(cos, -id)) — identical to the oracle's
+    (cos DESC, id ASC) row_number pick.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+    b = benchmark.select(F.col(id_col).alias("bid"), F.col(vec_col).alias("bv"))
+    scored = c.crossJoin(F.broadcast(b)).select(
+        "cid",
+        "bid",
+        round_half_up(cosine("cv", "bv", dim), 6).alias("cos"),
+    )
+    best = scored.groupBy("cid").agg(
+        F.max(
+            F.struct(F.col("cos").alias("c"), (-F.col("bid")).alias("nb"))
+        ).alias("m")
+    )
+    return best.select(
+        F.col("cid").alias(id_col),
+        F.col("m.c").alias("max_eval_cosine"),
+        (-F.col("m.nb")).cast("bigint").alias("nearest_eval_id"),
+        (F.col("m.c") >= F.lit(threshold)).alias("is_contaminated"),
+    )
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

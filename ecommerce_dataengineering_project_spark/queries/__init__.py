@@ -32,25 +32,28 @@ PRIORITY: tuple[str, ...] = (
     # rewrite (operators/linkage.py, commit 3940a1d), the same
     # evidence-gap class as r10's ann_ivf_indexed; the "board rewrites
     # of boarded queries" rule now matches the "board late arms at
-    # registration" rule. Three slots are this round's NEW/upgraded
+    # registration" rule. Four slots are this round's NEW/upgraded
     # arms, boarded at registration: fuzzy_multiblock_matches (X20's
     # recall side — unioned multi-key blocking), semantic_dedup_sharded
-    # (the 100 TB SemDeDup configuration, VERDICT item 3), and
+    # (the 100 TB SemDeDup configuration, VERDICT item 3),
+    # semantic_decontaminate (embedding-space eval-leak gate — the
+    # semantic sibling of the n-gram decontaminate row), and
     # segment_overlap_sketch (graduated from rows-only to a hash-
     # matched oracle via HLL coupon-phase exactness — the bpe_merges
-    # move). 12 flagship keepers stay for continuity. The remaining 34
+    # move). 12 flagship keepers stay for continuity. The remaining 33
     # slots drain the oldest evidence: ALL 7 r4-era deferrals, the
-    # full r5 era (15), and 12 of the 16 r6-era rows (deferred to r13:
+    # full r5 era (15), and 11 of the 16 r6-era rows (deferred to r13:
     # anomaly_isolation_forest — rows-only, lowest re-check value —
-    # plus union_segments, basket_pairs, gapfill_daily_revenue, whose
-    # family siblings all carry r8+ evidence). After this board no
-    # query's latest driver evidence is older than r6.
+    # plus union_segments, basket_pairs, gapfill_daily_revenue, and
+    # dq_checks, whose family siblings all carry r8+ evidence). After
+    # this board no query's latest driver evidence is older than r6.
     #
     # rewrite re-confirmation: post-collapse record linkage (X20)
     "fuzzy_name_matches",
     # new arms, boarded at registration
     "fuzzy_multiblock_matches",
     "semantic_dedup_sharded",
+    "semantic_decontaminate",
     "segment_overlap_sketch",
     # flagship keepers
     "daily_sales",
@@ -94,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "chunk_documents_udtf",
     "decontaminate",
     "doc_repetition",
-    "dq_checks",
     "funnel_conversion",
     "incremental_watermark",
     "rfm_segments",

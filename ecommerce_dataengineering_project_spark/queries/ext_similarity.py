@@ -221,6 +221,30 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAM_THRESHOLD = 0.4
+CONTAM_EVAL_MOD = 10
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/
+    similarity.py benchmark_contamination): max cosine of every corpus
+    vector against the held-out eval slice (vec_id % 10 == 0 — the
+    corpus-pipeline BENCH_MOD convention), flagged at the same 0.4
+    cosine the embedding near-dup gate uses. The semantic sibling of
+    the n-gram `decontaminate` row: paraphrased eval leakage has no
+    shared n-grams but lives next to the eval set in embedding space."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        benchmark_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % CONTAM_EVAL_MOD != 0)
+    bench = emb.where(F.col("vec_id") % CONTAM_EVAL_MOD == 0)
+    return benchmark_contamination(
+        corpus, bench, threshold=CONTAM_THRESHOLD, dim=EMBEDDING_DIM
+    )
+
+
 QUERIES = {
     "array_functions": q_array_functions,
     "mapinarrow_norms": q_mapinarrow_norms,
@@ -232,6 +256,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "pq_codes": q_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
+    "semantic_decontaminate": q_semantic_decontaminate,
 }
 
 # --- ann_lsh_topk oracle -------------------------------------------------
@@ -425,6 +450,28 @@ ORACLES = {
                                          ORDER BY cosine DESC, neighbor_id ASC) AS rank
             FROM scored
         ) WHERE rank <= {TOP_K}
+    """,
+    # max cosine per corpus vector vs the eval slice; ties on the
+    # rounded cosine resolve to the SMALLEST eval id — identical to the
+    # operator's max(struct(cos, -bid)) pick.
+    "semantic_decontaminate": f"""
+        WITH {_COS_CTE},
+        scored AS (
+            SELECT c.vec_id, b.vec_id AS bid,
+                   FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(c.v, b.v), x -> x[1] * x[2]),
+                                      (x, y) -> x + y) / (c.nrm * b.nrm))
+                         * 1000000.0 + 0.5) / 1000000.0 AS cos
+            FROM n c JOIN n b
+              ON c.vec_id % {CONTAM_EVAL_MOD} <> 0
+             AND b.vec_id % {CONTAM_EVAL_MOD} = 0
+        )
+        SELECT vec_id, cos AS max_eval_cosine, bid AS nearest_eval_id,
+               cos >= {CONTAM_THRESHOLD} AS is_contaminated
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, bid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
     """,
 }
 

@@ -44,6 +44,7 @@ _BNLJ_OK = {
     "inverted_index",  # 1-row n_docs scalar attach for the df band
     "doc_perplexity",  # 1-row vocabulary-size scalar attach
     "mixture_divergence",  # n_slices-row totals + 1-row (V, tot) attaches
+    "semantic_decontaminate",  # benchmark-sized broadcast eval side (constant m)
 }
 
 # Arrow-batched Python nodes (pandas UDF / mapInPandas / grouped map):

@@ -335,6 +335,33 @@ def test_semantic_dedup_sharded_scopes_pairs_to_shard(spark):
         assert sliced == alone
 
 
+def test_benchmark_contamination_semantics(spark):
+    """Flag iff max eval cosine clears the threshold; cosine ties on
+    the rounded value resolve to the smallest eval id; eval membership
+    is the caller's split (no implicit exclusion)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        benchmark_contamination,
+    )
+
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(1, [0.99, 0.01, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # two IDENTICAL eval vectors -> cosine tie -> smallest id wins
+    bench = spark.createDataFrame(
+        [(20, e0), (10, e0)], "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        r.vec_id: r
+        for r in benchmark_contamination(corpus, bench, threshold=0.9).collect()
+    }
+    assert out[1].is_contaminated and out[1].nearest_eval_id == 10
+    assert out[1].max_eval_cosine > 0.99
+    assert not out[2].is_contaminated and out[2].nearest_eval_id == 10
+    assert abs(out[2].max_eval_cosine) < 1e-9
+
+
 def test_projection_matches_numpy_reference(spark, sf_dir):
     """project_embeddings == numpy matmul against the same sha-derived
     rows (up to the declared 1e-6 half-up rounding)."""
