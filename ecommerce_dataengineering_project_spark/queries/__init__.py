@@ -32,21 +32,24 @@ PRIORITY: tuple[str, ...] = (
     # rewrite (operators/linkage.py, commit 3940a1d), the same
     # evidence-gap class as r10's ann_ivf_indexed; the "board rewrites
     # of boarded queries" rule now matches the "board late arms at
-    # registration" rule. Four slots are this round's NEW/upgraded
+    # registration" rule. Five slots are this round's NEW/upgraded
     # arms, boarded at registration: fuzzy_multiblock_matches (X20's
     # recall side — unioned multi-key blocking), semantic_dedup_sharded
     # (the 100 TB SemDeDup configuration, VERDICT item 3),
     # semantic_decontaminate (embedding-space eval-leak gate — the
-    # semantic sibling of the n-gram decontaminate row), and
-    # segment_overlap_sketch (graduated from rows-only to a hash-
-    # matched oracle via HLL coupon-phase exactness — the bpe_merges
-    # move). 12 flagship keepers stay for continuity. The remaining 33
-    # slots drain the oldest evidence: ALL 7 r4-era deferrals, the
-    # full r5 era (15), and 11 of the 16 r6-era rows (deferred to r13:
-    # anomaly_isolation_forest — rows-only, lowest re-check value —
-    # plus union_segments, basket_pairs, gapfill_daily_revenue, and
-    # dq_checks, whose family siblings all carry r8+ evidence). After
-    # this board no query's latest driver evidence is older than r6.
+    # semantic sibling of the n-gram decontaminate row), and the two
+    # rows-only graduations via each sketch family's own exactness
+    # window (the bpe_merges move): segment_overlap_sketch (HLL coupon
+    # phase, lgk=16) and heavy_hitter_tokens (Misra-Gries at k >=
+    # vocabulary — a query rewrite, so the board-rewrites rule applies
+    # to it too). 12 flagship keepers stay for continuity. The
+    # remaining 32 slots drain the oldest evidence: ALL 7 r4-era
+    # deferrals, the full r5 era (15), and 10 of the 16 r6-era rows
+    # (deferred to r13: anomaly_isolation_forest — rows-only, lowest
+    # re-check value — plus union_segments, basket_pairs,
+    # gapfill_daily_revenue, dq_checks, and rfm_segments, whose family
+    # siblings all carry r8+ evidence). After this board no query's
+    # latest driver evidence is older than r6.
     #
     # rewrite re-confirmation: post-collapse record linkage (X20)
     "fuzzy_name_matches",
@@ -55,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "semantic_dedup_sharded",
     "semantic_decontaminate",
     "segment_overlap_sketch",
+    "heavy_hitter_tokens",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -99,7 +103,6 @@ PRIORITY: tuple[str, ...] = (
     "doc_repetition",
     "funnel_conversion",
     "incremental_watermark",
-    "rfm_segments",
     "skew_salted_agg",
     "stream_stream_join",
     "time_travel_read",

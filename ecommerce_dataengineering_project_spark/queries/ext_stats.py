@@ -64,18 +64,22 @@ def q_sketch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_sketches(daily_sketches(ev, "ts", "user_id", "value"))
 
 
-HH_K = 16
+HH_K = 64
 HH_TOP = 10
 
 
 def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 frequent-items: approximate top document tokens via
     mergeable per-partition Misra-Gries summaries (see
-    operators/sketches.py mg_summaries). Rows-only for the driver —
-    MG weights legitimately depend on the partition layout (they are
-    lower bounds, not counts) — the fixed repartition makes the run
-    reproducible, and the guarantee/bounds contracts against the exact
-    token histogram are pinned in tests/test_sketches.py."""
+    operators/sketches.py mg_summaries). Graduated from rows-only to a
+    hash-matched oracle (r12, the segment_overlap_sketch move) via
+    MG's own exactness property: with k at or above the distinct-key
+    count a summary NEVER decrements, so per-partition weights are
+    exact counts, every err row is 0, and the merged
+    (weight_lb, count_ub) collapse to the true counts — the corpus
+    vocabulary is 31 tokens at every fixture decade, k=64 covers it.
+    Below-k approximation bounds (weights layout-dependent lower
+    bounds) stay pinned in tests/test_sketches.py with k < vocab."""
     from ecommerce_dataengineering_project_spark.operators.sketches import heavy_hitters
     from ecommerce_dataengineering_project_spark.operators.text import tokens
 
@@ -329,7 +333,7 @@ QUERIES = {
     "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
     "sketch_incremental_rollup": q_sketch_incremental_rollup,  # rows-only: sketches
     "segment_overlap_sketch": q_segment_overlap_sketch,  # oracle: exact in coupon phase
-    "heavy_hitter_tokens": q_heavy_hitter_tokens,  # rows-only: sketches
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,  # oracle: exact at k >= vocab
     "segment_overlap_exact": q_segment_overlap_exact,
     "exact_distinct_quantiles": q_exact_distinct_quantiles,
     "pandas_udf_score": q_pandas_udf_score,
@@ -419,6 +423,19 @@ ORACLES = {
         FROM counts ca JOIN counts cb ON ca.event_type < cb.event_type
         LEFT JOIN common c
           ON c.seg_a = ca.event_type AND c.seg_b = cb.event_type
+    """,
+    # Valid while k >= the corpus vocabulary (31 tokens at every
+    # fixture decade; see the query docstring): MG never decrements,
+    # weights are exact counts, every err row is 0, so both bounds
+    # equal the true count and the top-10 pick is the exact order.
+    "heavy_hitter_tokens": """
+        WITH c AS (
+            SELECT w AS key, CAST(COUNT(*) AS BIGINT) AS weight_lb
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+            GROUP BY 1
+        )
+        SELECT key, weight_lb, weight_lb AS count_ub
+        FROM c ORDER BY weight_lb DESC, key ASC LIMIT 10
     """,
     "funnel_conversion": """
         WITH u AS (
