@@ -346,3 +346,27 @@ def test_fuzzy_match_broadcast_parallel(spark, sf_dir):
     # that caps a 1000-executor cluster at local-mode widths
     want = spark.sparkContext.defaultParallelism * 2
     assert f"RoundRobinPartitioning({want}" in plan, plan
+
+
+def test_fuzzy_multiblock_same_join_shape(spark, sf_dir):
+    """The unioned multi-key variant must keep the single-key arm's
+    plan shape — ONE broadcast candidate join off the repartitioned
+    probe side (the block keys ride an exploded array, not one join
+    per key) plus the pair-dedup exchange, never a sort-merge join."""
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import (
+        q_fuzzy_multiblock_matches,
+    )
+
+    plan = _plan(q_fuzzy_multiblock_matches(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    want = spark.sparkContext.defaultParallelism * 2
+    assert f"RoundRobinPartitioning({want}" in plan, plan
+    # the block keys ride exploded arrays (probe + broadcast build per
+    # union branch), not one join per key: every Generate in the plan
+    # is the 3-key array explode, and there are no extra join operators
+    assert plan.count("Generate explode") >= 2, plan
+    n_joins = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
+    # pairs subtree appears once per symmetrize branch + the verdict
+    # fan-out join — NOT 3x (one per block key)
+    assert n_joins <= 3, plan
