@@ -43,13 +43,15 @@ PRIORITY: tuple[str, ...] = (
     # phase, lgk=16) and heavy_hitter_tokens (Misra-Gries at k >=
     # vocabulary — a query rewrite, so the board-rewrites rule applies
     # to it too). 12 flagship keepers stay for continuity. The
-    # remaining 32 slots drain the oldest evidence: ALL 7 r4-era
-    # deferrals, the full r5 era (15), and 10 of the 16 r6-era rows
+    # remaining 31 slots drain the oldest evidence: ALL 7 r4-era
+    # deferrals, the full r5 era (15), and 9 of the 16 r6-era rows
     # (deferred to r13: anomaly_isolation_forest — rows-only, lowest
     # re-check value — plus union_segments, basket_pairs,
-    # gapfill_daily_revenue, dq_checks, and rfm_segments, whose family
-    # siblings all carry r8+ evidence). After this board no query's
-    # latest driver evidence is older than r6.
+    # gapfill_daily_revenue, dq_checks, rfm_segments, and
+    # funnel_conversion, whose family siblings all carry r8+
+    # evidence). A sixth rewrite slot re-boards ansi_try_math (its
+    # try_add arm changed after the r12 bench audit). After this board
+    # no query's latest driver evidence is older than r6.
     #
     # rewrite re-confirmation: post-collapse record linkage (X20)
     "fuzzy_name_matches",
@@ -59,6 +61,10 @@ PRIORITY: tuple[str, ...] = (
     "semantic_decontaminate",
     "segment_overlap_sketch",
     "heavy_hitter_tokens",
+    # rewrite re-confirmation: the try_add arm now overflows on the
+    # realistic 1% (the r12 bench audit found the always-overflow form
+    # paying ~17 µs/row in caught exceptions — 10.3 s -> 0.34 s)
+    "ansi_try_math",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -101,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "chunk_documents_udtf",
     "decontaminate",
     "doc_repetition",
-    "funnel_conversion",
     "incremental_watermark",
     "skew_salted_agg",
     "stream_stream_join",

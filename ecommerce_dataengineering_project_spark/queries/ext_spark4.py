@@ -522,6 +522,16 @@ def q_ansi_try_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     must not kill a 6-hour run — the quarantine pattern, applied to
     arithmetic). The oracle spells the same totality with guards
     (NULLIF / CASE), proving try_* == guarded-expression semantics.
+
+    Scale note (measured r12): try_* catches a JVM exception PER
+    FAILING ROW — ~17 µs each. With the overflow arm failing on EVERY
+    row this query ran 10.3 s at sf0.1; failing on the mod-99 1% it
+    runs 0.34 s (a ~30x cliff; a never-failing arm measures 0.12 s,
+    so the remaining gap IS the 1% exception cost). try_* is priced
+    for RARE poison; an expression that fails on a data-sized fraction
+    of rows needs a guard expression, not a try. Both NULL and
+    non-NULL paths stay exercised at every fixture sf (63 mod-99 rows
+    at sf0.001).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
@@ -530,7 +540,11 @@ def q_ansi_try_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_divide(l_extendedprice, l_quantity - 30.0)").alias(
             "price_per_extra_unit"
         ),
-        F.expr("try_add(9223372036854775800L, l_orderkey)").alias("near_overflow"),
+        # 9223372036854775709 + 98 == Long.MAX; only the mod-99 rows
+        # (1%) overflow to NULL
+        F.expr("try_add(9223372036854775709L, l_orderkey % 100)").alias(
+            "near_overflow"
+        ),
     )
 
 
@@ -540,8 +554,9 @@ ORACLES["ansi_try_math"] = """
     SELECT l_orderkey,
            l_linenumber,
            l_extendedprice / NULLIF(l_quantity - 30.0, 0.0) AS price_per_extra_unit,
-           CASE WHEN l_orderkey > 7 THEN NULL
-                ELSE 9223372036854775800 + l_orderkey END AS near_overflow
+           CASE WHEN l_orderkey % 100 = 99 THEN NULL
+                ELSE CAST(9223372036854775709 + (l_orderkey % 100) AS BIGINT)
+           END AS near_overflow
     FROM lineitem
 """
 
