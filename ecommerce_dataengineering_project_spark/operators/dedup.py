@@ -935,7 +935,10 @@ def semantic_dedup(
     explicit and usually free: near-dups almost never straddle
     languages/sources, which is exactly why production pipelines shard
     there. The output gains the shard column; keep decisions are
-    per-shard (a cross-shard near-dup pair keeps both members).
+    per-shard (a cross-shard near-dup pair keeps both members). A NULL
+    shard never equals anything (SQL semantics), so NULL-shard rows
+    are each their own singleton shard and are always kept — map NULLs
+    to a sentinel shard upstream if they should dedup together.
     """
     from ecommerce_dataengineering_project_spark.operators.similarity import (
         MAX_CODEGEN_CENTROID_DOUBLES,

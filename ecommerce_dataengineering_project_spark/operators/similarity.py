@@ -166,6 +166,11 @@ def benchmark_contamination(
     float policy); the nearest eval id breaks cosine ties by SMALLEST
     id via max(struct(cos, -id)) — identical to the oracle's
     (cos DESC, id ASC) row_number pick.
+
+    Edge semantics: every output row carries a real nearest neighbor,
+    so an EMPTY benchmark yields an EMPTY relation (there is no max
+    cosine to report), not an all-false flag column — callers gating a
+    corpus on the flag should treat "no eval set" upstream.
     """
     # Norms are per-VECTOR, so compute them once per side before the
     # pair join — inside the cosine they would be re-evaluated per
