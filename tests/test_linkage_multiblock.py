@@ -109,3 +109,8 @@ def test_never_worse_than_single_block(spark, sf_dir):
     }
     assert set(single) <= set(multi)
     assert all(multi[k] <= d for k, d in single.items())
+    # and strictly better on the fixture: the corpus contains dist<=3
+    # pairs whose last tokens differ but whose first tokens match
+    # (16 such distinct-name pairs at sf0.001) — the recall gain is
+    # real data, not just the synthetic demo above
+    assert len(multi) > len(single)
