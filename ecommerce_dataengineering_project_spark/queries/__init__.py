@@ -44,14 +44,16 @@ PRIORITY: tuple[str, ...] = (
     # vocabulary — a query rewrite, so the board-rewrites rule applies
     # to it too). 12 flagship keepers stay for continuity. The
     # remaining 31 slots drain the oldest evidence: ALL 7 r4-era
-    # deferrals, the full r5 era (15), and 9 of the 16 r6-era rows
+    # deferrals, the full r5 era (15), and 8 of the 16 r6-era rows
     # (deferred to r13: anomaly_isolation_forest — rows-only, lowest
     # re-check value — plus union_segments, basket_pairs,
-    # gapfill_daily_revenue, dq_checks, rfm_segments, and
-    # funnel_conversion, whose family siblings all carry r8+
-    # evidence). A sixth rewrite slot re-boards ansi_try_math (its
-    # try_add arm changed after the r12 bench audit). After this board
-    # no query's latest driver evidence is older than r6.
+    # gapfill_daily_revenue, dq_checks, rfm_segments,
+    # funnel_conversion, and time_travel_read, whose family siblings
+    # all carry r8+ evidence). A sixth rewrite slot re-boards
+    # ansi_try_math (its try_add arm changed after the r12 bench
+    # audit), and a seventh new-arm slot boards stream_drift_monitor
+    # at registration. After this board no query's latest driver
+    # evidence is older than r6.
     #
     # rewrite re-confirmation: post-collapse record linkage (X20)
     "fuzzy_name_matches",
@@ -65,6 +67,11 @@ PRIORITY: tuple[str, ...] = (
     # realistic 1% (the r12 bench audit found the always-overflow form
     # paying ~17 µs/row in caught exceptions — 10.3 s -> 0.34 s)
     "ansi_try_math",
+    # late r12 arm, boarded at registration: X40's streaming side —
+    # per-window per-source KL drift vs a plan-literal baseline fit
+    # (takes the time_travel_read slot; the txlog family holds nine
+    # r10-green rows)
+    "stream_drift_monitor",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -110,7 +117,6 @@ PRIORITY: tuple[str, ...] = (
     "incremental_watermark",
     "skew_salted_agg",
     "stream_stream_join",
-    "time_travel_read",
     "total_purchase_producer",
 )
 

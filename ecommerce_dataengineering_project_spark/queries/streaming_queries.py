@@ -23,7 +23,10 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ecommerce_dataengineering_project_spark.functions.scalars import sql_round_half_up
+from ecommerce_dataengineering_project_spark.functions.scalars import (
+    round_half_up,
+    sql_round_half_up,
+)
 from ecommerce_dataengineering_project_spark.sources.readers import load_table
 from ecommerce_dataengineering_project_spark.streaming.bronze_silver import parse_with_drift
 from ecommerce_dataengineering_project_spark.streaming.event_windows import (
@@ -524,8 +527,87 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_bounded_stream(spark, "quarantine", None, transform, source=src)
 
 
+DRIFT_BUCKETS = 8
+DRIFT_WIDTH = 64.0
+_DRIFT_BASELINE: dict[str, list[float]] = {}
+
+
+def _drift_bucket(col: str) -> F.Column:
+    return F.least(
+        F.lit(DRIFT_BUCKETS - 1), F.floor(F.col(col) / F.lit(DRIFT_WIDTH))
+    ).cast("int")
+
+
+def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40's STREAMING side: per-window, per-source drift of the value
+    distribution against a FIXED baseline — the monitor a training-data
+    ingest runs continuously (the batch `mixture_divergence` answers
+    "has this source drifted over the whole corpus"; this answers "is
+    it drifting RIGHT NOW"). Per (1-day window, event_type): add-one
+    smoothed KL of the bucketed value histogram against the corpus
+    baseline distribution, fitted once batch-side (8+1 scalars riding
+    the plan as literals — the centroid pattern).
+
+    Scale shape: ONE streaming aggregation (the window/key groupBy
+    with 8 conditional counts — bucket counts as columns, not rows,
+    because append-mode streams allow a single aggregation), then the
+    KL is a stateless post-agg projection. State per key is 9 longs;
+    the baseline is plan-literal, no join. Float policy: integer-ratio
+    double divisions, left-associated term sum, 1e-6 half-up rounding
+    after — the mixture_divergence contract, bit-exact vs DuckDB.
+    """
+    src = _events_source(spark, sf_dir, n_flush=2)
+    if sf_dir not in _DRIFT_BASELINE:
+        ev = load_table(spark, sf_dir, "events")
+        rows = (
+            ev.groupBy(_drift_bucket("value").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        counts = {r["b"]: r["c"] for r in rows}
+        n_total = sum(counts.values())
+        _DRIFT_BASELINE[sf_dir] = [
+            (counts.get(i, 0) + 1) / (n_total + DRIFT_BUCKETS)
+            for i in range(DRIFT_BUCKETS)
+        ]
+    q = _DRIFT_BASELINE[sf_dir]
+
+    def transform(stream: DataFrame) -> DataFrame:
+        b = _drift_bucket("value")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window(F.col("ts"), "1 day"), "event_type")
+            .agg(
+                *[
+                    F.count(F.when(b == i, 1)).alias(f"c{i}")
+                    for i in range(DRIFT_BUCKETS)
+                ],
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        kl = None
+        for i in range(DRIFT_BUCKETS):
+            p = (F.col(f"c{i}") + F.lit(1)).cast("double") / (
+                F.col("n_rows") + F.lit(DRIFT_BUCKETS)
+            )
+            term = p * F.log(p / F.lit(q[i]))
+            kl = term if kl is None else kl + term
+        return agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_rows",
+            round_half_up(kl, 6).alias("kl"),
+        )
+
+    return run_bounded_stream(
+        spark, "drift_monitor", None, transform, source=src
+    ).where(F.col("event_type") != "__flush")
+
+
 QUERIES = {
     "stream_bronze_silver": q_stream_bronze_silver,
+    "stream_drift_monitor": q_stream_drift_monitor,
     "stream_tumbling_revenue": q_stream_tumbling_revenue,
     "stream_sliding_activity": q_stream_sliding_activity,
     "stream_session_windows": q_stream_session_windows,
@@ -540,6 +622,44 @@ QUERIES = {
 }
 
 _REV = sql_round_half_up("SUM(value)", 2)
+
+
+def _drift_oracle_sql() -> str:
+    bucket = (
+        f"LEAST({DRIFT_BUCKETS - 1}, "
+        f"CAST(FLOOR(value / {DRIFT_WIDTH!r}) AS INTEGER))"
+    )
+
+    def q_i(i: int) -> str:
+        return (
+            f"(((SELECT COUNT(*) FILTER ({bucket} = {i}) FROM events) + 1)"
+            f" / ((SELECT COUNT(*) FROM events) + {DRIFT_BUCKETS}))"
+        )
+
+    c_cols = ",\n               ".join(
+        f"COUNT(*) FILTER ({bucket} = {i}) AS c{i}"
+        for i in range(DRIFT_BUCKETS)
+    )
+    terms = " + ".join(
+        f"((c{i} + 1) / (n_rows + {DRIFT_BUCKETS}))"
+        f" * LN(((c{i} + 1) / (n_rows + {DRIFT_BUCKETS})) / {q_i(i)})"
+        for i in range(DRIFT_BUCKETS)
+    )
+    return f"""
+        WITH cnt AS (
+            SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS window_start,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+               event_type,
+               {c_cols},
+               COUNT(*) AS n_rows
+            FROM events
+            GROUP BY 1, 2, 3
+        )
+        SELECT window_start, window_end, event_type, n_rows,
+               {sql_round_half_up(terms, 6)} AS kl
+        FROM cnt
+    """
+
 
 ORACLES = {
     # Stateless parse: clean rows round-trip unchanged (µs format),
@@ -584,6 +704,10 @@ ORACLES = {
         FROM events
         GROUP BY 1, 2, 3
     """,
+    # Same fit + same float op order as the streaming side: baseline
+    # q_i as double divisions of exact counts, per-window p_i likewise,
+    # KL as the left-associated 8-term sum, 1e-6 half-up at the end.
+    "stream_drift_monitor": _drift_oracle_sql(),
     # Every event lands in exactly two 24h/12h windows: the one starting
     # at its 12 h bucket and the one 12 h earlier.
     "stream_sliding_activity": f"""
