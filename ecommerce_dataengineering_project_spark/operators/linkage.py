@@ -216,13 +216,19 @@ def fuzzy_nearest_multiblock(
     the all-pairs join this operator exists to avoid).
     """
     p, reps = _collapse_names(df, key_col, name_col)
+    # F.concat (not concat_ws) so a NULL block key stays NULL instead
+    # of collapsing to the bare index prefix — concat_ws skips NULLs,
+    # which would silently block ALL null-key names together per
+    # function, diverging from the any-key-AGREES contract and the
+    # oracle's NULL-never-equal semantics (ADVICE r12). NULL keys are
+    # dropped before the join (explode emits them as rows).
     blks = F.array(
         *[
-            F.concat_ws("#", F.lit(str(i)), fn("name").cast("string"))
+            F.concat(F.lit(f"{i}#"), fn("name").cast("string"))
             for i, fn in enumerate(block_fns)
         ]
     )
-    reps = reps.withColumn("blk", F.explode(blks))
+    reps = reps.withColumn("blk", F.explode(blks)).where(F.col("blk").isNotNull())
     if n_tasks is None:
         n_tasks = df.sparkSession.sparkContext.defaultParallelism * 2
     a = reps.select(

@@ -165,13 +165,29 @@ def benchmark_contamination(
     Determinism: cosines round half-up at 1e-6 (the repo's portable
     float policy); the nearest eval id breaks cosine ties by SMALLEST
     id via max(struct(cos, -id)) — identical to the oracle's
-    (cos DESC, id ASC) row_number pick.
+    (cos DESC, id ASC) row_number pick. That negate-and-max tie-break
+    (and the bigint output column) REQUIRES an integral ``id_col``;
+    string/UUID benchmark ids fail fast below with a targeted error —
+    re-key such ids upstream (e.g. ``xxhash64``/``monotonically_
+    increasing_id``), or swap the pick for a row_number window over
+    (cos DESC, id ASC), which orders any type but adds a per-corpus-id
+    sort this map-side agg avoids (ADVICE r12).
 
     Edge semantics: every output row carries a real nearest neighbor,
     so an EMPTY benchmark yields an EMPTY relation (there is no max
     cosine to report), not an all-false flag column — callers gating a
     corpus on the flag should treat "no eval set" upstream.
     """
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    for side, frame in (("corpus", corpus), ("benchmark", benchmark)):
+        id_type = dict(frame.dtypes).get(id_col)
+        if id_type not in _INTEGRAL:
+            raise TypeError(
+                f"benchmark_contamination requires an integral id_col for the "
+                f"max(struct(cos, -id)) tie-break; {side}.{id_col} is "
+                f"{id_type!r} — re-key to a long (xxhash64 / "
+                f"monotonically_increasing_id) upstream"
+            )
     # Norms are per-VECTOR, so compute them once per side before the
     # pair join — inside the cosine they would be re-evaluated per
     # PAIR, tripling the flops of the n*m scoring loop (measured

@@ -649,6 +649,16 @@ def mixture_divergence(
     # ``reliable_checkpoint=True`` to use a reliable ``checkpoint()``
     # into ``spark.sparkContext.setCheckpointDir`` storage (HDFS/S3)
     # instead: same single-scan plan, recomputable after executor loss.
+    if reliable_checkpoint and df.sparkSession.sparkContext.getCheckpointDir() is None:
+        # Fail fast with a targeted message: checkpoint(eager=True)
+        # on a session without a checkpoint dir otherwise surfaces as
+        # a generic SparkException at call time (ADVICE r12).
+        raise ValueError(
+            "mixture_divergence(reliable_checkpoint=True) requires a "
+            "checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir('<hdfs/s3 path>') first, "
+            "or use the default localCheckpoint path"
+        )
     st = (
         df.select(F.col(slice_col), F.explode(tokens(text_col)).alias("token"))
         .groupBy(slice_col, "token")

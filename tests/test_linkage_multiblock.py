@@ -114,3 +114,35 @@ def test_never_worse_than_single_block(spark, sf_dir):
     # (16 such distinct-name pairs at sf0.001) — the recall gain is
     # real data, not just the synthetic demo above
     assert len(multi) > len(single)
+
+
+def test_null_block_key_drops_out(spark):
+    # ADVICE r12: a block_fn returning NULL must contribute NO key for
+    # that name — never a shared bare-prefix key that silently blocks
+    # all null-key names together. Here the only function NULLs out
+    # everything but one name: no pair may survive, even though
+    # "aa pin" ~ "ab pin" are dist 1.
+    from pyspark.sql import functions as F
+
+    rows = [(1, "aa pin"), (2, "ab pin"), (3, "zz cap")]
+    df = spark.createDataFrame(rows, "key long, name string")
+    only_zz = (
+        lambda c: F.when(F.col(c).startswith("zz"), F.col(c)),
+    )
+    got = fuzzy_nearest_multiblock(
+        df, "key", "name", max_dist=3, block_fns=only_zz
+    ).collect()
+    assert got == []
+    # and a NULL-keyed name still pairs through its OTHER functions:
+    # last-token blocking recovers the pair the null function skipped
+    mixed = (
+        lambda c: F.when(F.col(c).startswith("zz"), F.col(c)),
+        lambda c: F.element_at(F.split(F.col(c), " "), -1),
+    )
+    got2 = {
+        r.key: (r.nearest_key, r.dist)
+        for r in fuzzy_nearest_multiblock(
+            df, "key", "name", max_dist=3, block_fns=mixed
+        ).collect()
+    }
+    assert got2 == {1: (2, 1), 2: (1, 1)}

@@ -136,3 +136,35 @@ def test_matches_python_reference_on_random_corpora(spark, rows):
         # information-theory invariants hold on every random corpus
         assert got[s][2] >= 0.0
         assert 0.0 <= got[s][3] <= math.log(2.0) + 1e-9
+
+
+def test_reliable_checkpoint_fails_fast_without_dir(spark):
+    # ADVICE r12: reliable_checkpoint=True on a session without a
+    # checkpoint dir must raise a targeted ValueError at call time,
+    # not a generic SparkException from inside checkpoint()
+    import pytest
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("session already has a checkpoint dir")
+    df = spark.createDataFrame([("a", "x y"), ("b", "x z")], "source string, text string")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        mixture_divergence(df, "source", "text", reliable_checkpoint=True)
+
+
+def test_reliable_checkpoint_matches_local(spark, tmp_path):
+    # runs AFTER the fail-fast test (file order): setting the dir here
+    # is a one-way switch on the shared session, which is harmless —
+    # nothing else calls checkpoint()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    df = spark.createDataFrame(
+        [("a", "x y y"), ("b", "x z"), ("b", "z z q")],
+        "source string, text string",
+    )
+    local = {tuple(r) for r in mixture_divergence(df, "source", "text").collect()}
+    reliable = {
+        tuple(r)
+        for r in mixture_divergence(
+            df, "source", "text", reliable_checkpoint=True
+        ).collect()
+    }
+    assert local == reliable

@@ -653,3 +653,23 @@ def test_ivf_indexed_serve_memoizes_the_fingerprint(spark, sf_dir):
     finally:
         xs._ivf_index_fingerprint = real
     assert calls["n"] == 1
+
+
+def test_benchmark_contamination_refuses_string_ids(spark):
+    # ADVICE r12: the max(struct(cos, -id)) tie-break and the bigint
+    # nearest_eval_id column need an integral id — string/UUID ids
+    # must fail fast with a targeted error, not at analysis time
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        benchmark_contamination,
+    )
+
+    num = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    str_ids = spark.createDataFrame(
+        [("u-1", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral id_col"):
+        benchmark_contamination(str_ids, num)
+    with pytest.raises(TypeError, match="integral id_col"):
+        benchmark_contamination(num, str_ids)
