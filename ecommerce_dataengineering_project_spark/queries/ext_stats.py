@@ -35,16 +35,53 @@ def q_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fulfilled.intersect(open_)
 
 
+# GK accuracy for the registered sketch row, sized so relativeError*n
+# <= 1 at every fixture decade (largest per-flag group: ~2M rows at
+# sf1) — see q_approx_distinct_quantiles for why that makes the
+# sketch answer EXACT. Production rolls back to the default 10000.
+GK_ACC_EXACT = 10_000_000
+
+
 def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 sketches per return flag: HLL++ distinct orders and GK
+    """X5 sketches per return flag: HLL distinct suppliers and GK
     quantiles of quantity. At 100 TB these are THE way to compute
     distincts/quantiles — fixed-size sketch state, map-side combined,
-    no sort, no exact-distinct shuffle explosion."""
+    no sort, no exact-distinct shuffle explosion.
+
+    Graduated from rows-only to a hash-matched oracle (r13 — the
+    segment_overlap_sketch / heavy_hitter_tokens move, third time)
+    via each family's OWN exactness window:
+
+    - HLL (DataSketches ``hll_sketch_agg``, lgk=16): exact in the
+      coupon phase (distincts < ~3/8 * 2^16 ≈ 24.5k). Per-flag
+      distinct suppliers are 10/100/1k/10k across sf0.001→sf1 — every
+      fixture decade is inside the phase. (Distinct ORDERS — 1.1k→1.1M
+      — leave the phase at sf0.1, which is why the distinct arm rides
+      l_suppkey; the exact twin keeps n_orders for the tradeoff.)
+    - GK (``percentile_approx``, accuracy=GK_ACC_EXACT): Spark's
+      QuantileSummaries merges adjacent samples only when
+      g_i + g_{i+1} + delta < 2*relativeError*n; with accuracy >= n
+      that threshold is < 2 while every g >= 1, so NO compression ever
+      fires, all samples are retained exactly (g=1, delta=0 — merge
+      order immaterial: partials concatenate sorted), and query(q)
+      returns the element at rank ceil(q*n) — expressible as exact
+      rank-pick SQL. Largest fixture group ~2M rows at sf1 < 10M.
+
+    Below-window approximation quality (default accuracy / lgk=12 /
+    cardinalities past the phase) stays pinned in tests/test_stats.py;
+    the window preconditions fail loudly in
+    tests/test_exactness_windows.py (ADVICE r12)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
-        F.percentile_approx("l_quantity", 0.95).alias("approx_p95_qty"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_suppkey", F.lit(16))).alias(
+            "approx_suppliers"
+        ),
+        F.percentile_approx("l_quantity", 0.5, F.lit(GK_ACC_EXACT)).alias(
+            "approx_median_qty"
+        ),
+        F.percentile_approx("l_quantity", 0.95, F.lit(GK_ACC_EXACT)).alias(
+            "approx_p95_qty"
+        ),
     )
 
 
@@ -53,8 +90,21 @@ def q_sketch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     users, KLL value quantiles) rolled up to one global row by sketch
     UNION — no rescan of raw rows. The pattern that replaces
     recompute-the-world at 100 TB; mergeability/accuracy contracts are
-    pinned in tests/test_sketches.py (rows-only for the driver: DuckDB
-    runs a different sketch family)."""
+    pinned in tests/test_sketches.py.
+
+    Rows-only BY NATURE — the exactness-window graduation that covered
+    the other three sketch rows (VERDICT r12 item 2) is impossible
+    here, specifically for the KLL arm: KLL is exact only while every
+    item is retained (n <= k), Spark caps k at DataSketches' 65535,
+    and the GLOBAL rollup merges every event row (100k at sf0.1, ~1M
+    at sf1) through one sketch — past the cap, compaction fires and
+    KLL compaction is RANDOMIZED (coin-flip odd/even survivor pick),
+    so past-window values aren't even deterministic, let alone
+    SQL-expressible. The HLL arm alone WOULD graduate (15k distinct
+    users at sf1 < the lgk=16 coupon boundary), but a one-column
+    graduation would drop the quantile surface this row exists to
+    cover; the exact twins live in exact_distinct_quantiles /
+    grouped_pandas_stats."""
     from ecommerce_dataengineering_project_spark.operators.sketches import (
         daily_sketches,
         rollup_sketches,
@@ -330,7 +380,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "cohort_retention": q_cohort_retention,
     "intersect_segments": q_intersect_segments,
-    "approx_distinct_quantiles": q_approx_distinct_quantiles,  # rows-only: sketches
+    "approx_distinct_quantiles": q_approx_distinct_quantiles,  # oracle: exactness windows
     "sketch_incremental_rollup": q_sketch_incremental_rollup,  # rows-only: sketches
     "segment_overlap_sketch": q_segment_overlap_sketch,  # oracle: exact in coupon phase
     "heavy_hitter_tokens": q_heavy_hitter_tokens,  # oracle: exact at k >= vocab
@@ -473,6 +523,34 @@ ORACLES = {
                COUNT(DISTINCT l_orderkey) AS n_orders,
                MEDIAN(l_quantity) AS median_qty
         FROM lineitem GROUP BY 1
+    """,
+    # Valid inside BOTH exactness windows (see the query docstring):
+    # lgk=16 HLL in the coupon phase (per-flag distinct suppliers
+    # 10..10k across every fixture decade, boundary ~24.5k) estimates
+    # the exact distinct count, and GK at accuracy >= n never
+    # compresses, so percentile_approx(q) IS the element at rank
+    # ceil(q*n) — picked here explicitly.
+    "approx_distinct_quantiles": """
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity) AS rn,
+                   COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        ds AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS approx_suppliers
+            FROM lineitem GROUP BY 1
+        )
+        SELECT r.l_returnflag,
+               MAX(ds.approx_suppliers) AS approx_suppliers,
+               MAX(CASE WHEN rn = CEIL(0.5 * n) THEN l_quantity END)
+                   AS approx_median_qty,
+               MAX(CASE WHEN rn = CEIL(0.95 * n) THEN l_quantity END)
+                   AS approx_p95_qty
+        FROM ranked r JOIN ds USING (l_returnflag)
+        GROUP BY 1
     """,
     "pandas_udf_score": """
         SELECT doc_id,

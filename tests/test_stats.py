@@ -21,8 +21,52 @@ from ecommerce_dataengineering_project_spark.sources.readers import read_csv
 from ecommerce_dataengineering_project_spark.sources.writers import write_csv
 
 
-def test_sketches_within_tolerance(spark, sf_dir):
+def test_sketches_exact_inside_windows(spark, sf_dir):
+    # the registered query runs inside BOTH exactness windows (coupon
+    # phase on suppliers, GK accuracy >= n — see the query docstring),
+    # so its values EQUAL the exact statistics; preconditions are
+    # guarded per-decade in tests/test_exactness_windows.py
+    from pyspark.sql import functions as F
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
     approx = {r.l_returnflag: r for r in q_approx_distinct_quantiles(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a.approx_suppliers == e.n_suppliers, flag
+        # GK's rank-pick ceil(0.5*n) equals the lower-median element;
+        # F.median interpolates on even n — the two agree within one
+        # quantity step and exactly on odd n
+        assert abs(a.approx_median_qty - e.median_qty) <= 1, flag
+
+
+def test_sketches_below_window_still_bounded(spark, sf_dir):
+    # the PRODUCTION parameters (default GK accuracy 10k, default HLL++
+    # rsd) sit below the exactness windows at scale — pin their
+    # approximation quality so the window isn't hiding a broken sketch
+    from pyspark.sql import functions as F
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        )
+        .collect()
+    }
     exact = {r.l_returnflag: r for r in q_exact_distinct_quantiles(spark, sf_dir).collect()}
     assert approx.keys() == exact.keys()
     for flag, e in exact.items():
