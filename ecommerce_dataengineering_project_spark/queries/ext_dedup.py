@@ -245,6 +245,43 @@ def q_semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEM_OCCUPANCY = 100  # target vectors per cell in the prod configuration
+_SEM_PROD_CENTROIDS: dict[str, list] = {}
+
+
+def q_semantic_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured 100 TB SemDeDup configuration, registered whole
+    (VERDICT r12 item 3): shard on the natural corpus partition
+    (`label`) AND constant-occupancy cells (n/SEM_OCCUPANCY, so
+    intra-cell pair work is n·occupancy = linear) AND the Arrow-batched
+    BLAS matmul assigner (`max_codegen_doubles=1` forces the same path
+    `cell_assign` auto-takes past the literal budget at real cell
+    counts). This is the `prod100tb` arm of
+    tools/profile_semdedup_scale.py — 1.9× across the sf0.1→sf1 decade
+    vs the registry shape's 10.5× (SCALE.md) — now carrying its own
+    oracle: the DuckDB fold-argmax assignment must equal the BLAS
+    matmul argmax bit-for-bit (scores are the same dot−½‖c‖² values;
+    proven on every fixture decade, and pinned against the codegen
+    anchor in tests/test_similarity.py), so the keep-set hash-checks
+    exactly like the registry anchor."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _SEM_PROD_CENTROIDS:
+        n_cells = max(SEM_CELL_CLAMP[0], emb.count() // SEM_OCCUPANCY)
+        _SEM_PROD_CENTROIDS[sf_dir] = seeded_centroids(emb, n_cells)
+    return semantic_dedup(
+        emb,
+        _SEM_PROD_CENTROIDS[sf_dir],
+        threshold=COSINE_THRESHOLD,
+        max_codegen_doubles=1,
+        shard_col="label",
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -259,6 +296,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_sharded": q_semantic_dedup_sharded,
+    "semantic_dedup_prod": q_semantic_dedup_prod,
 }
 
 
@@ -469,7 +507,11 @@ from ecommerce_dataengineering_project_spark.operators.similarity import (  # no
     SEED_MULT,
 )
 
-_SEM_ASSIGN = f"""
+def _sem_assign(n_cells_sql: str) -> str:
+    """The seeded-centroid fold-argmax assignment CTEs, parameterized
+    by the cell-count subquery (sqrt(n) for the registry anchor,
+    n/occupancy for the prod configuration)."""
+    return f"""
     cents AS (
         SELECT cell, cv, halfsq FROM (
             SELECT v AS cv,
@@ -478,10 +520,7 @@ _SEM_ASSIGN = f"""
                    LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
                        / 2.0 AS halfsq
             FROM n
-        ) WHERE cell < (SELECT GREATEST({SEM_CELL_CLAMP[0]},
-                            LEAST({SEM_CELL_CLAMP[1]},
-                                  CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER)))
-                        FROM embeddings)
+        ) WHERE cell < ({n_cells_sql})
     ),
     cell_scores AS (
         SELECT e.vec_id, c.cell,
@@ -497,6 +536,22 @@ _SEM_ASSIGN = f"""
             FROM cell_scores
         ) WHERE rn = 1
     )"""
+
+
+_SEM_ASSIGN = _sem_assign(
+    f"""SELECT GREATEST({SEM_CELL_CLAMP[0]},
+                            LEAST({SEM_CELL_CLAMP[1]},
+                                  CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER)))
+                        FROM embeddings"""
+)
+
+# The prod configuration's cell count: constant ~SEM_OCCUPANCY-vector
+# occupancy (integer floor division, clamp only at the low end).
+_SEM_ASSIGN_PROD = _sem_assign(
+    f"""SELECT GREATEST({SEM_CELL_CLAMP[0]},
+                            CAST(COUNT(*) // {SEM_OCCUPANCY} AS INTEGER))
+                        FROM embeddings"""
+)
 
 _SEM_COSINE = _r6(
     "LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(na.v, nb.v), x -> x[1] * x[2]),"
@@ -525,6 +580,32 @@ ORACLES["semantic_dedup"] = f"""
 ORACLES["semantic_dedup_sharded"] = f"""
     WITH {_COS},
     {_SEM_ASSIGN},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a
+        JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id AND eb.label = ea.label
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = b.vec_id
+        WHERE {_SEM_COSINE} >= {COSINE_THRESHOLD}
+    )
+    SELECT a.vec_id, e.label, CAST(a.cell AS INTEGER) AS cell,
+           d.id_b IS NULL AS keep
+    FROM assign a
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON d.id_b = a.vec_id
+"""
+
+# The 100 TB composition (shard + constant-occupancy cells + Arrow
+# assigner): same shard-scoped pair/keep SQL as the sharded anchor —
+# only the cell count changes — because the BLAS matmul assignment
+# equals this fold-argmax bit-for-bit (same dot − ½‖c‖² scores; the
+# equivalence is pinned against the codegen anchor in
+# tests/test_similarity.py and held on every fixture decade).
+ORACLES["semantic_dedup_prod"] = f"""
+    WITH {_COS},
+    {_SEM_ASSIGN_PROD},
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assign a

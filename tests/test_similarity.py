@@ -673,3 +673,36 @@ def test_benchmark_contamination_refuses_string_ids(spark):
         benchmark_contamination(str_ids, num)
     with pytest.raises(TypeError, match="integral id_col"):
         benchmark_contamination(num, str_ids)
+
+
+def test_prod_semdedup_keepset_equals_codegen_anchor(spark, sf_dir):
+    """VERDICT r12 item 3: the measured 100 TB SemDeDup composition
+    (constant-occupancy cells + Arrow BLAS assigner + shard) must keep
+    EXACTLY the rows the oracle-checked codegen fold assigner keeps,
+    given the same centroid family — assignment is argmax over
+    identical dot − ½‖c‖² scores, so the keep-set is bit-equal, on
+    fixture data, not just constructed rows."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import (
+        COSINE_THRESHOLD,
+        SEM_CELL_CLAMP,
+        SEM_OCCUPANCY,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(
+        emb, max(SEM_CELL_CLAMP[0], emb.count() // SEM_OCCUPANCY)
+    )
+    kw = dict(threshold=COSINE_THRESHOLD, shard_col="label")
+    codegen = semantic_dedup(emb, cents, **kw)
+    arrow = semantic_dedup(emb, cents, max_codegen_doubles=1, **kw)
+    a = sorted(map(tuple, codegen.collect()))
+    b = sorted(map(tuple, arrow.collect()))
+    assert a == b  # ids, shard, CELL ASSIGNMENT, and keep all bit-equal
+    # and the arrow arm really took the Arrow path
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
