@@ -76,6 +76,10 @@ def rollup_sketches(
         # try_element_at: an EMPTY daily table (0 sketch rows) must
         # roll up to a null-sketch row, not raise INVALID_ARRAY_INDEX
         # under ANSI mode; the quantile getters then yield nulls.
+        # Poison density (the authoring rule): this try_* evaluates
+        # ONCE per rollup (a one-row relation), and the caught path
+        # fires only on an empty input — zero per-row exception cost
+        # by construction, unlike a row-wise try_* arm.
         F.expr(
             "reduce(slice(klls, 2, greatest(size(klls) - 1, 0)), "
             "try_element_at(klls, 1), (acc, x) -> kll_sketch_merge_double(acc, x))"
