@@ -26,52 +26,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r12 rotation (VERDICT r11 items 1-2): staleness-first
-    # re-confirmation continues. Slot 1 is `fuzzy_name_matches` — its
-    # only driver row (r8) PRE-dates the duplicate-name collapse
-    # rewrite (operators/linkage.py, commit 3940a1d), the same
-    # evidence-gap class as r10's ann_ivf_indexed; the "board rewrites
-    # of boarded queries" rule now matches the "board late arms at
-    # registration" rule. Five slots are this round's NEW/upgraded
-    # arms, boarded at registration: fuzzy_multiblock_matches (X20's
-    # recall side — unioned multi-key blocking), semantic_dedup_sharded
-    # (the 100 TB SemDeDup configuration, VERDICT item 3),
-    # semantic_decontaminate (embedding-space eval-leak gate — the
-    # semantic sibling of the n-gram decontaminate row), and the two
-    # rows-only graduations via each sketch family's own exactness
-    # window (the bpe_merges move): segment_overlap_sketch (HLL coupon
-    # phase, lgk=16) and heavy_hitter_tokens (Misra-Gries at k >=
-    # vocabulary — a query rewrite, so the board-rewrites rule applies
-    # to it too). 12 flagship keepers stay for continuity. The
-    # remaining 31 slots drain the oldest evidence: ALL 7 r4-era
-    # deferrals, the full r5 era (15), and 8 of the 16 r6-era rows
-    # (deferred to r13: anomaly_isolation_forest — rows-only, lowest
-    # re-check value — plus union_segments, basket_pairs,
-    # gapfill_daily_revenue, dq_checks, rfm_segments,
-    # funnel_conversion, and time_travel_read, whose family siblings
-    # all carry r8+ evidence). A sixth rewrite slot re-boards
-    # ansi_try_math (its try_add arm changed after the r12 bench
-    # audit), and a seventh new-arm slot boards stream_drift_monitor
-    # at registration. After this board no query's latest driver
-    # evidence is older than r6.
+    # r13 rotation (VERDICT r12 items 1-3): staleness-first
+    # re-confirmation continues exactly as planned in the r12 STATUS.
+    # Slot 1 is `approx_distinct_quantiles` — REWRITTEN this round
+    # (graduated from rows-only to a hash-matched oracle via its
+    # sketch families' own exactness windows: HLL coupon phase on
+    # per-flag suppliers at lgk=16, GK at accuracy >= n returning the
+    # exact rank-ceil(q*n) element — the third application of the
+    # segment_overlap_sketch / heavy_hitter_tokens move), so the
+    # board-rewrites rule applies. One slot is this round's NEW arm,
+    # boarded at registration: semantic_dedup_prod — the measured
+    # 100 TB SemDeDup composition (shard + constant-occupancy cells +
+    # Arrow BLAS assigner, the prod100tb profiler arm) registered with
+    # its own fold-argmax oracle, closing VERDICT r12 item 3 with
+    # driver evidence rather than only a timing. 12 flagship keepers
+    # stay for continuity. The remaining 36 slots drain the oldest
+    # evidence: ALL 8 r6-era rows (the 6 r12 deferrals plus
+    # funnel_conversion and time_travel_read — includes the two
+    # rows-only-by-nature rows anomaly_isolation_forest and, from r7,
+    # anomaly_scores_distributed, whose staleness re-checks are due),
+    # the FULL r7 era (17), and 11 of the 33 r8-era rows chosen
+    # one-per-family (the rest of r8 rotates in r14 by the same
+    # staleness order). After this board no query's latest driver
+    # evidence is older than r8 except the r8 residue itself.
     #
-    # rewrite re-confirmation: post-collapse record linkage (X20)
-    "fuzzy_name_matches",
-    # new arms, boarded at registration
-    "fuzzy_multiblock_matches",
-    "semantic_dedup_sharded",
-    "semantic_decontaminate",
-    "segment_overlap_sketch",
-    "heavy_hitter_tokens",
-    # rewrite re-confirmation: the try_add arm now overflows on the
-    # realistic 1% (the r12 bench audit found the always-overflow form
-    # paying ~17 µs/row in caught exceptions — 10.3 s -> 0.34 s)
-    "ansi_try_math",
-    # late r12 arm, boarded at registration: X40's streaming side —
-    # per-window per-source KL drift vs a plan-literal baseline fit
-    # (takes the time_travel_read slot; the txlog family holds nine
-    # r10-green rows)
-    "stream_drift_monitor",
+    # rewrite re-confirmation: the exactness-window graduation
+    "approx_distinct_quantiles",
+    # new arm, boarded at registration: the 100 TB SemDeDup config
+    "semantic_dedup_prod",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -85,39 +67,47 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_full",
     "cdc_apply",
     "pagerank_copurchase",
-    # staleness re-confirmation — the 7 r4-era deferrals from r11
-    "approx_distinct_quantiles",
-    "conditional_pricing",
-    "grouped_pandas_stats",
-    "stream_tumbling_revenue",
-    "tfidf_top_terms",
-    "token_counts",
-    "training_corpus",
-    # staleness re-confirmation — the full r5 era (15)
-    "ann_lsh_topk",
-    "anomaly_zscore",
-    "asof_join_events",
-    "bm25_search",
-    "broadcast_enrich",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "exact_distinct_quantiles",
-    "order_limit_topk",
-    "quantize_embeddings",
-    "rollup_revenue",
-    "stream_session_windows",
-    "stream_static_enrich",
-    "text_stats",
-    "window_analytics",
-    # staleness re-confirmation — r6 era (12 of 16)
-    "canonical_docs",
-    "chunk_documents_udtf",
-    "decontaminate",
-    "doc_repetition",
-    "incremental_watermark",
-    "skew_salted_agg",
-    "stream_stream_join",
-    "total_purchase_producer",
+    # staleness re-confirmation — the full r6 era (8: the 6 r12
+    # deferrals + funnel_conversion + time_travel_read)
+    "anomaly_isolation_forest",
+    "basket_pairs",
+    "dq_checks",
+    "funnel_conversion",
+    "gapfill_daily_revenue",
+    "rfm_segments",
+    "time_travel_read",
+    "union_segments",
+    # staleness re-confirmation — the full r7 era (17)
+    "ann_ivf_topk",
+    "anomaly_scores_distributed",
+    "dedup_incremental",
+    "dedup_keep_first",
+    "ewma_revenue",
+    "grouping_sets_revenue",
+    "json_quarantine",
+    "jsonl_roundtrip",
+    "mapinarrow_norms",
+    "project_embeddings",
+    "range_frame_activity",
+    "scd2_customer_dim",
+    "session_paths",
+    "similarity_topk",
+    "stream_generator_ingest",
+    "txlog_pruned_read",
+    "zorder_orders_key",
+    # staleness re-confirmation — r8 era (11 of 33, one per family;
+    # the remainder rotates in r14)
+    "anomaly_features",
+    "cohort_retention",
+    "dedup_substring",
+    "doc_perplexity",
+    "equidepth_histogram",
+    "incremental_mv_refresh",
+    "item_recommendations",
+    "pii_scrub",
+    "pit_join_orders",
+    "range_join_coincident",
+    "stream_socket_ingest",
 )
 
 

@@ -23,28 +23,26 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r12 (VERDICT r11 items 1-2): staleness-first re-confirmation
-        # drains the r4/r5/r6 eras. multimodal_/txlog_/X24/storage
-        # carry no slot this round BY DESIGN — all their rows are
-        # r9-r11 green (the freshest evidence on any board); they
-        # rotate back by staleness around r13. Every family below
-        # keeps at least one in-window representative.
+        # r13 (VERDICT r12 item 1): staleness-first re-confirmation
+        # drains the r6/r7 eras and starts on r8. fuzzy_/sketch/X24
+        # carry no slot this round BY DESIGN — their rows are r11-r12
+        # green (the freshest evidence on any board); they rotate back
+        # by staleness. Every family below keeps at least one
+        # in-window representative.
         "stream_": 5,
-        "dedup_": 3,
+        "dedup_": 4,
         "semantic_dedup": 2,
-        "fuzzy_": 2,
         "ann_": 1,
+        "anomaly_": 3,
     }
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
     for name in (
-        # the post-rewrite re-confirmation leads the window
-        "fuzzy_name_matches",
-        # the round's new/upgraded arms, boarded at registration
-        "fuzzy_multiblock_matches",
-        "semantic_dedup_sharded",
-        "segment_overlap_sketch",
+        # the exactness-window graduation (a rewrite) leads the window
+        "approx_distinct_quantiles",
+        # the round's new arm, boarded at registration
+        "semantic_dedup_prod",
         # 12 flagship keepers spanning the families
         "daily_sales", "fct_purchases", "stream_bronze_silver",
         "stream_inventory_restock", "stream_upsert_gold",
@@ -58,9 +56,16 @@ def test_priority_covers_every_operator_family():
 def test_oracle_density_in_priority_block():
     """Rows-only entries burn a verdict slot without a hash check; keep
     them to the genuinely non-SQL-expressible few. This round: exactly
-    ONE — approx_distinct_quantiles (HLL/KLL estimates, no SQL oracle
-    by nature) re-boards because its only driver evidence is r4-era;
-    its quality gates live in tests/test_stats.py."""
+    TWO, both rows-only BY NATURE (randomized/iterative ML scores) and
+    both boarded because their driver evidence is the board's oldest
+    (r6/r7 — the staleness rotation's whole point). The sketch rows all
+    carry oracles now: approx_distinct_quantiles graduated via its
+    exactness windows this round (see tests/test_exactness_windows.py);
+    sketch_incremental_rollup stays rows-only by nature (KLL k-cap +
+    randomized compaction — SURVEY §5 note) and is NOT boarded."""
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
-    assert rows_only == ["approx_distinct_quantiles"]
+    assert rows_only == [
+        "anomaly_isolation_forest",
+        "anomaly_scores_distributed",
+    ]
