@@ -15,9 +15,18 @@ Exactness notes pinned by tests/test_sketches.py:
   estimate(sketch(all rows)) exactly, which is what makes the
   incremental layout safe — the rollup answer never drifts from the
   recompute answer.
-- Below ~3/8 * 2^lgConfigK distinct values the HLL sketch is still in
-  its exact (coupon list/set) phase, so small-partition estimates are
-  exact counts — relevant when validating against small fixtures.
+- Below ``hll_exact_boundary(lgk) = min(3·2^(lgk-3)/4, 24576)``
+  distinct values the HLL sketch is still in its exact (coupon
+  list/set) phase, so small-partition estimates are exact counts —
+  relevant when validating against small fixtures. The rule has TWO
+  terms (r13 correction — r12 used ~3/8·2^lgk, which is wrong for
+  lgk ≥ 16 and silently broke exactness claims at sf1): the coupon
+  SET promotes to HLL register mode at 3/4 of its 2^(lgk-3) slot
+  budget, AND the coupon array is capped at 2^15 slots for any lgk.
+  Measured by bisection on this build: lgk=14→1544, 16→6339,
+  17→12290, 18→24594, 19–21→24576 (the few-past-rule tail is where
+  the freshly-promoted HLL estimate still rounds exact — never rely
+  on it).
 
 Oracle posture: DuckDB's approx_count_distinct is a different sketch
 family (its estimates differ by design), so estimate-producing queries
@@ -34,6 +43,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_LGK = 12
+
+# The coupon array's absolute slot cap (2^15), times the 3/4 load
+# factor at which a coupon set promotes to HLL register mode.
+_HLL_COUPON_CAP = 3 * (1 << 15) // 4  # 24576
+
+
+def hll_exact_boundary(lgk: int) -> int:
+    """Largest distinct count at which a DataSketches HLL sketch at
+    ``lgk`` is STILL GUARANTEED in its exact coupon phase (see the
+    module docstring's measured bisection): the SET promotes at 3/4 of
+    its 2^(lgk-3) slot budget, and the coupon array itself is capped
+    at 2^15 slots for any lgk."""
+    return min(3 * (1 << (lgk - 3)) // 4, _HLL_COUPON_CAP)
 
 
 def daily_sketches(

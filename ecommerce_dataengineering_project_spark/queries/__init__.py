@@ -31,27 +31,35 @@ PRIORITY: tuple[str, ...] = (
     # Slot 1 is `approx_distinct_quantiles` — REWRITTEN this round
     # (graduated from rows-only to a hash-matched oracle via its
     # sketch families' own exactness windows: HLL coupon phase on
-    # per-flag suppliers at lgk=16, GK at accuracy >= n returning the
-    # exact rank-ceil(q*n) element — the third application of the
-    # segment_overlap_sketch / heavy_hitter_tokens move), so the
-    # board-rewrites rule applies. One slot is this round's NEW arm,
-    # boarded at registration: semantic_dedup_prod — the measured
-    # 100 TB SemDeDup composition (shard + constant-occupancy cells +
-    # Arrow BLAS assigner, the prod100tb profiler arm) registered with
-    # its own fold-argmax oracle, closing VERDICT r12 item 3 with
-    # driver evidence rather than only a timing. 12 flagship keepers
-    # stay for continuity. The remaining 36 slots drain the oldest
+    # per-flag suppliers at lgk=HLL_LGK_EXACT, GK at accuracy >= n
+    # returning the exact rank-ceil(q*n) element — the third
+    # application of the segment_overlap_sketch / heavy_hitter_tokens
+    # move), so the board-rewrites rule applies; slot 2 re-boards
+    # segment_overlap_sketch after its lgk correction. One slot is
+    # this round's NEW arm, boarded at registration:
+    # semantic_dedup_prod — the measured 100 TB SemDeDup composition
+    # (shard + constant-occupancy cells + Arrow BLAS assigner, the
+    # prod100tb profiler arm) registered with its own fold-argmax
+    # oracle, closing VERDICT r12 item 3 with driver evidence rather
+    # than only a timing. 12 flagship keepers stay for continuity.
+    # The remaining 35 slots drain the oldest
     # evidence: ALL 8 r6-era rows (the 6 r12 deferrals plus
     # funnel_conversion and time_travel_read — includes the two
     # rows-only-by-nature rows anomaly_isolation_forest and, from r7,
     # anomaly_scores_distributed, whose staleness re-checks are due),
-    # the FULL r7 era (17), and 11 of the 33 r8-era rows chosen
+    # the FULL r7 era (17), and 10 of the 33 r8-era rows chosen
     # one-per-family (the rest of r8 rotates in r14 by the same
     # staleness order). After this board no query's latest driver
     # evidence is older than r8 except the r8 residue itself.
     #
     # rewrite re-confirmation: the exactness-window graduation
     "approx_distinct_quantiles",
+    # rewrite re-confirmation: lgk 16→19 after the r13 boundary
+    # bisection (the r12 lgk=16 window actually ended at ~6.1k
+    # distincts, not ~24.5k — exact at every shipped fixture but
+    # FALSE at sf1's 15k users; the corrected window is re-verified
+    # at sf1 and guarded per-decade in tests/test_exactness_windows)
+    "segment_overlap_sketch",
     # new arm, boarded at registration: the 100 TB SemDeDup config
     "semantic_dedup_prod",
     # flagship keepers
@@ -95,7 +103,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_generator_ingest",
     "txlog_pruned_read",
     "zorder_orders_key",
-    # staleness re-confirmation — r8 era (11 of 33, one per family;
+    # staleness re-confirmation — r8 era (10 of 33, one per family;
     # the remainder rotates in r14)
     "anomaly_features",
     "cohort_retention",
@@ -103,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "doc_perplexity",
     "equidepth_histogram",
     "incremental_mv_refresh",
-    "item_recommendations",
     "pii_scrub",
     "pit_join_orders",
     "range_join_coincident",

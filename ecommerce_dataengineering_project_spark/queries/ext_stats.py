@@ -41,6 +41,17 @@ def q_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch answer EXACT. Production rolls back to the default 10000.
 GK_ACC_EXACT = 10_000_000
 
+# lgk for the oracle-graduated HLL arms: the exact coupon phase ends at
+# hll_exact_boundary(lgk) = min(3*2^(lgk-3)/4, 24576) — the r13
+# bisection correction of r12's ~3/8*2^lgk rule (operators/sketches.py
+# module docstring). 19 sits ON the absolute coupon cap (24576), past
+# every fixture-decade cardinality these queries sketch (10k suppliers
+# per flag at sf1; 15k event users at sf1); lgk=16, the r12 choice,
+# promotes to register mode at ~6.1k and silently left the exact phase
+# at sf1. Production rolls back to DEFAULT_LGK=12 where ~1.6% rse is
+# the accepted trade.
+HLL_LGK_EXACT = 19
+
 
 def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 sketches per return flag: HLL distinct suppliers and GK
@@ -52,12 +63,14 @@ def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment_overlap_sketch / heavy_hitter_tokens move, third time)
     via each family's OWN exactness window:
 
-    - HLL (DataSketches ``hll_sketch_agg``, lgk=16): exact in the
-      coupon phase (distincts < ~3/8 * 2^16 ≈ 24.5k). Per-flag
-      distinct suppliers are 10/100/1k/10k across sf0.001→sf1 — every
-      fixture decade is inside the phase. (Distinct ORDERS — 1.1k→1.1M
-      — leave the phase at sf0.1, which is why the distinct arm rides
-      l_suppkey; the exact twin keeps n_orders for the tradeoff.)
+    - HLL (DataSketches ``hll_sketch_agg``, lgk=HLL_LGK_EXACT): exact
+      in the coupon phase (distincts < min(3·2^(lgk-3)/4, 24576) —
+      the bisected r13 rule; 24576 at lgk=19). Per-flag distinct
+      suppliers are 10/100/1k/10k across sf0.001→sf1 — every fixture
+      decade is inside the phase. (Distinct ORDERS — 1.1k→1.1M —
+      leave every possible phase at sf0.1, which is why the distinct
+      arm rides l_suppkey; the exact twin keeps n_orders for the
+      tradeoff.)
     - GK (``percentile_approx``, accuracy=GK_ACC_EXACT): Spark's
       QuantileSummaries merges adjacent samples only when
       g_i + g_{i+1} + delta < 2*relativeError*n; with accuracy >= n
@@ -73,9 +86,9 @@ def q_approx_distinct_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_exactness_windows.py (ADVICE r12)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_suppkey", F.lit(16))).alias(
-            "approx_suppliers"
-        ),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("l_suppkey", F.lit(HLL_LGK_EXACT))
+        ).alias("approx_suppliers"),
         F.percentile_approx("l_quantity", 0.5, F.lit(GK_ACC_EXACT)).alias(
             "approx_median_qty"
         ),
@@ -101,10 +114,10 @@ def q_sketch_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     KLL compaction is RANDOMIZED (coin-flip odd/even survivor pick),
     so past-window values aren't even deterministic, let alone
     SQL-expressible. The HLL arm alone WOULD graduate (15k distinct
-    users at sf1 < the lgk=16 coupon boundary), but a one-column
-    graduation would drop the quantile surface this row exists to
-    cover; the exact twins live in exact_distinct_quantiles /
-    grouped_pandas_stats."""
+    users at sf1 < the 24576 coupon cap at lgk ≥ 19 — see
+    HLL_LGK_EXACT), but a one-column graduation would drop the
+    quantile surface this row exists to cover; the exact twins live in
+    exact_distinct_quantiles / grouped_pandas_stats."""
     from ecommerce_dataengineering_project_spark.operators.sketches import (
         daily_sketches,
         rollup_sketches,
@@ -145,18 +158,25 @@ def q_segment_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     between every pair of event-type segments (HLL inclusion-
     exclusion). Graduated from rows-only to a hash-matched oracle
     (VERDICT r11 item 9) via the sketch family's own exactness
-    property: in the coupon phase (distincts < ~3/8 * 2^lgk) HLL
-    estimates — and their pairwise unions — are exact counts, so the
-    exact inclusion-exclusion SQL IS the sketch's answer. lgk=16 puts
-    the phase boundary at ~24.5k distincts, past every fixture decade
-    (events: 150 users/segment at sf0.01, 1.5k at sf0.1, 15k at sf1);
-    production rolls back to the default lgk=12 where ~1.6% rse is the
-    accepted trade. Coupon-phase exactness itself is pinned by
-    tests/test_sketches.py."""
+    property: in the coupon phase HLL estimates — and their pairwise
+    unions — are exact counts, so the exact inclusion-exclusion SQL IS
+    the sketch's answer.
+
+    lgk REWRITTEN 16→HLL_LGK_EXACT in r13: the TRUE phase boundary is
+    min(3·2^(lgk-3)/4, 24576) — bisected this round, correcting r12's
+    ~3/8·2^lgk rule — so lgk=16 actually left the exact phase at ~6.1k
+    distincts and the documented "15k users at sf1" claim was FALSE
+    (measured: est 15060 ≠ 15000 at sf1). At lgk=19 the boundary is
+    the 24576 coupon cap, past every fixture decade (events: 150
+    users/segment at sf0.01, 1.5k at sf0.1, 15k at sf1 — re-verified
+    against exact SQL at sf1); production rolls back to the default
+    lgk=12 where ~1.6% rse is the accepted trade. Coupon-phase
+    exactness is pinned by tests/test_sketches.py, the per-decade
+    precondition by tests/test_exactness_windows.py."""
     from ecommerce_dataengineering_project_spark.operators.sketches import segment_overlap
 
     ev = load_table(spark, sf_dir, "events")
-    return segment_overlap(ev, "event_type", "user_id", lgk=16)
+    return segment_overlap(ev, "event_type", "user_id", lgk=HLL_LGK_EXACT)
 
 
 def q_segment_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,9 +469,10 @@ ORACLES = {
           ON a.user_id = b.user_id AND a.event_type < b.event_type
         GROUP BY 1, 2
     """,
-    # Valid while the lgk=16 sketches stay in their exact coupon phase
-    # (distincts < ~24.5k — every fixture decade; see the query
-    # docstring): there, HLL estimates and their unions ARE the exact
+    # Valid while the lgk=HLL_LGK_EXACT sketches stay in their exact
+    # coupon phase (distincts < the 24576 coupon cap — every fixture
+    # decade; see the query docstring and the r13 boundary
+    # correction): there, HLL estimates and their unions ARE the exact
     # counts, so inclusion-exclusion reduces to this exact SQL. The
     # all-pairs frame (counts x counts, LEFT JOIN common) keeps
     # zero-overlap pairs, mirroring the operator's non-equi pair join.
@@ -525,11 +546,11 @@ ORACLES = {
         FROM lineitem GROUP BY 1
     """,
     # Valid inside BOTH exactness windows (see the query docstring):
-    # lgk=16 HLL in the coupon phase (per-flag distinct suppliers
-    # 10..10k across every fixture decade, boundary ~24.5k) estimates
-    # the exact distinct count, and GK at accuracy >= n never
-    # compresses, so percentile_approx(q) IS the element at rank
-    # ceil(q*n) — picked here explicitly.
+    # lgk=HLL_LGK_EXACT HLL in the coupon phase (per-flag distinct
+    # suppliers 10..10k across every fixture decade, < the 24576
+    # coupon cap) estimates the exact distinct count, and GK at
+    # accuracy >= n never compresses, so percentile_approx(q) IS the
+    # element at rank ceil(q*n) — picked here explicitly.
     "approx_distinct_quantiles": """
         WITH ranked AS (
             SELECT l_returnflag, l_quantity,

@@ -17,26 +17,46 @@ import os
 import duckdb
 import pytest
 
+from ecommerce_dataengineering_project_spark.operators.sketches import (
+    hll_exact_boundary,
+)
 from ecommerce_dataengineering_project_spark.queries.ext_stats import (
     GK_ACC_EXACT,
     HH_K,
+    HLL_LGK_EXACT,
 )
 
 # DataSketches HLL stays in its exact coupon (list/set) phase below
-# ~3/8 * 2^lgk distinct values; both graduated HLL arms run lgk=16.
-HLL_LGK = 16
-COUPON_BOUNDARY = (3 * (1 << HLL_LGK)) // 8  # 24576
+# min(3*2^(lgk-3)/4, 24576) distinct values — the r13 bisection rule
+# (operators/sketches.py); both graduated HLL arms run HLL_LGK_EXACT.
+COUPON_BOUNDARY = hll_exact_boundary(HLL_LGK_EXACT)  # 24576 at lgk=19
+
+
+def test_boundary_rule_matches_measured_bisection():
+    # the bisected points from the r13 probe (module docstring in
+    # operators/sketches.py); the rule must stay conservative — at or
+    # below every measured last-exact n
+    measured = {14: 1544, 16: 6339, 17: 12290, 18: 24594, 19: 24576, 21: 24576}
+    for lgk, last_exact in measured.items():
+        assert hll_exact_boundary(lgk) <= last_exact, lgk
+    # and it must not be vacuously tiny: the lgk=19 window really does
+    # cover the largest fixture cardinality the graduated arms sketch
+    assert hll_exact_boundary(19) == 24576
 
 _DECADES = [
-    d
+    f"/root/testdata/{d}"
     for d in ("sf0.001", "sf0.01", "sf0.1")
     if os.path.isdir(f"/root/testdata/{d}")
 ]
+# the generated decade fixture (tools/gen_sf1.py), when present — the
+# sf1 cardinalities are exactly where the r12 lgk=16 claim broke
+if os.path.isdir("/root/repo/.tmp/testdata/sf1"):
+    _DECADES.append("/root/repo/.tmp/testdata/sf1")
 
 
-@pytest.fixture(scope="module", params=_DECADES)
+@pytest.fixture(scope="module", params=_DECADES, ids=os.path.basename)
 def decade(request) -> str:
-    return f"/root/testdata/{request.param}"
+    return request.param
 
 
 def test_segment_overlap_unions_stay_in_coupon_phase(decade):
@@ -57,7 +77,7 @@ def test_segment_overlap_unions_stay_in_coupon_phase(decade):
     ).fetchone()[0]
     assert worst < COUPON_BOUNDARY, (
         f"{decade}: largest segment-pair distinct-user union {worst} left "
-        f"the lgk={HLL_LGK} coupon phase (<{COUPON_BOUNDARY}) — the "
+        f"the lgk={HLL_LGK_EXACT} coupon phase (<{COUPON_BOUNDARY}) — the "
         "segment_overlap_sketch oracle is no longer exact"
     )
 
@@ -91,7 +111,7 @@ def test_approx_distinct_quantiles_windows(decade):
         """
     ).fetchone()
     assert ds < COUPON_BOUNDARY, (
-        f"{decade}: per-flag distinct suppliers {ds} left the lgk={HLL_LGK} "
+        f"{decade}: per-flag distinct suppliers {ds} left the lgk={HLL_LGK_EXACT} "
         f"coupon phase (<{COUPON_BOUNDARY})"
     )
     assert n <= GK_ACC_EXACT, (

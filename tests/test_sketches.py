@@ -36,10 +36,11 @@ def test_hll_union_is_lossless(spark, events):
 
 
 def test_hll_exact_phase_on_small_partitions(spark, events):
-    """Below ~3/8 * 2^lgk distinct values the sketch is still in its
-    exact coupon phase: per-day estimates equal exact distinct counts
-    on the fixture (each day has far fewer distinct users than 4096 at
-    the test SFs)."""
+    """Below hll_exact_boundary(lgk) distinct values (384 at the
+    default lgk=12 — min(3*2^(lgk-3)/4, 24576), the r13 bisected rule)
+    the sketch is still in its exact coupon phase: per-day estimates
+    equal exact distinct counts on the fixture (each day has far fewer
+    distinct users than 384 at the test SFs)."""
     report = {
         r["day"]: r["approx_distinct_keys"]
         for r in daily_sketch_report(events, "ts", "user_id", "value").collect()
