@@ -137,6 +137,44 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    predicate: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int | None = None,
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k: each query's nearest neighbors
+    among only the corpus rows satisfying ``predicate`` — filtered
+    vector search ("top-k among label=3 docs"), the retrieval shape
+    every RAG/eval pipeline needs beside unfiltered ANN.
+
+    The predicate applies to the corpus BELOW the broadcast scoring
+    join, so Catalyst pushes it into the parquet scan (PushedFilters —
+    plan-pinned in tests/test_similarity.py): non-matching row groups
+    are skipped and the n·K cosine loop runs over SURVIVORS only.
+    Exact recall at cost n_filtered·K.
+
+    Why pre-filter and not probe-then-filter: composing IVF probing
+    with a post-filter loses recall precisely when the filter is
+    selective — survivors may all live outside the probed cells (the
+    classic filtered-ANN trap). At 100 TB, make the filter free
+    instead: partition or z-order the corpus ON the filter columns so
+    the pushed predicate prunes FILES, then serve cells within the
+    surviving partitions — the `ann_ivf_indexed` + layout composition
+    this repo already ships. Post-filtering a probed candidate set is
+    only right for near-unselective predicates; it needs k/selectivity
+    over-probing to hold recall, which stops paying exactly when
+    pre-filtering starts being cheap.
+    """
+    return brute_force_topk(
+        queries, corpus.where(predicate), id_col=id_col, vec_col=vec_col,
+        k=k, dim=dim,
+    )
+
+
 def benchmark_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -41,6 +41,31 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(_queries_df(spark, sf_dir), emb, k=TOP_K, dim=EMBEDDING_DIM)
 
 
+FILTER_LABEL = 3
+
+
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 filtered vector search (NEW r13): exact top-k among only the
+    corpus vectors with label=FILTER_LABEL — the retrieval shape RAG /
+    eval pipelines run beside unfiltered ANN. The label predicate sits
+    below the broadcast scoring join and compiles to PushedFilters at
+    the embeddings scan (plan-pinned in tests/test_similarity.py), so
+    survivors are the only rows scored; see
+    operators/similarity.filtered_topk for the pre-filter vs
+    probe-then-filter recall argument and the 100 TB layout
+    composition (partition/z-order on filter columns + IVF within)."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import filtered_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return filtered_topk(
+        _queries_df(spark, sf_dir),
+        emb,
+        F.col("label") == FILTER_LABEL,
+        k=TOP_K,
+        dim=EMBEDDING_DIM,
+    )
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
@@ -262,6 +287,7 @@ QUERIES = {
     "mapinarrow_norms": q_mapinarrow_norms,
     "project_embeddings": q_project_embeddings,
     "similarity_topk": q_similarity_topk,
+    "ann_filtered_topk": q_ann_filtered_topk,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -333,6 +359,28 @@ ORACLES = {
                                       (x, y) -> x + y) / (q.nrm * c.nrm)) * 1000000.0 + 0.5)
                        / 1000000.0 AS cosine
             FROM n q JOIN n c ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    # Same scored/rank SQL as similarity_topk with the label predicate
+    # on the NEIGHBOR side only (queries are not filtered) — the
+    # oracle's filter mirrors the pushed-down scan filter.
+    "ann_filtered_topk": f"""
+        WITH {_COS_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(q.v, c.v), x -> x[1] * x[2]),
+                                      (x, y) -> x + y) / (q.nrm * c.nrm)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS cosine
+            FROM n q
+            JOIN n c ON q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+            JOIN embeddings l ON l.vec_id = c.vec_id AND l.label = {FILTER_LABEL}
         )
         SELECT query_id, neighbor_id, cosine,
                CAST(rank AS INTEGER) AS rank

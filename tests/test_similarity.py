@@ -706,3 +706,32 @@ def test_prod_semdedup_keepset_equals_codegen_anchor(spark, sf_dir):
     # and the arrow arm really took the Arrow path
     plan = arrow._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_filtered_topk_pushes_predicate_and_filters_neighbors(spark, sf_dir):
+    """ann_filtered_topk (r13): the label predicate must (a) reach the
+    embeddings parquet scan as a pushed filter — survivors are the
+    only rows scored — and (b) hold on every returned neighbor, with
+    ranks dense per query."""
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        FILTER_LABEL,
+        TOP_K,
+        q_ann_filtered_topk,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    out = q_ann_filtered_topk(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert f"EqualTo(label,{FILTER_LABEL})" in plan, plan[:2000]
+    rows = out.collect()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert labels[r.neighbor_id] == FILTER_LABEL
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, min(TOP_K, len(ranks)) + 1)), q
