@@ -34,6 +34,7 @@ _BNLJ_OK = {
     "bm25_search",  # corpus stats scalar attach
     "ingestion_freshness",  # global latest-ts scalar attach
     "similarity_topk",  # 5-row broadcast query side, != condition
+    "ann_filtered_topk",  # same 5-row broadcast query side, corpus pre-filtered
     "ann_pq_topk",  # same 5-row broadcast query side over PQ codes
     "tfidf_top_terms",  # n_docs scalar attach
     "segment_overlap_sketch",  # |segments|-row pairwise (<) join over sketches
@@ -51,6 +52,7 @@ _BNLJ_OK = {
 # the declared §2j / multimodal / ANN-assigner surface. Never
 # row-at-a-time BatchEvalPython.
 _PYTHON_OK = {
+    "semantic_dedup_prod",  # the forced Arrow BLAS assigner IS the arm
     "ann_lsh_topk",
     "pandas_udf_score",
     "grouped_pandas_stats",
