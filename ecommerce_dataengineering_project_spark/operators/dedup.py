@@ -1013,6 +1013,139 @@ def semantic_dedup(
     )
 
 
+def semantic_cell_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_codegen_doubles: int | None = None,
+) -> DataFrame:
+    """The persisted state of incremental SEMANTIC dedup: each accepted
+    vector's (id, cell, vector, norm) — the kept-embeddings table plus
+    one int and one double, nothing more (unlike MinHash there is no
+    smaller sketch to keep: semantic rescoring needs the vectors, so
+    the "index" IS the accepted corpus, cell-assigned once at accept
+    time). The continuous-ingest caller appends kept rows after every
+    batch; PERSIST IT BUCKETED/PARTITIONED BY ``cell`` so the probe
+    join in ``semantic_dedup_incremental`` never shuffles history."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        MAX_CODEGEN_CENTROID_DOUBLES,
+        as_double,
+        cell_assign,
+        norm,
+    )
+
+    if max_codegen_doubles is None:
+        max_codegen_doubles = MAX_CODEGEN_CENTROID_DOUBLES
+    v = emb.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
+    return v.withColumn(
+        "cell", cell_assign(F.col("v"), centroids, "v", max_codegen_doubles)
+    ).withColumn("nrm", norm("v"))
+
+
+def semantic_dedup_incremental(
+    new_emb: DataFrame,
+    history_index: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    max_codegen_doubles: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup — the continuous-ingest variant of X2's
+    semantic arm, completing the incremental family (exact:
+    ``dedup_incremental_exact``; MinHash: ``minhash_incremental``;
+    semantic: this). A NEW batch is cell-assigned with the SAME
+    centroids as the accepted history and checked against (a) the
+    persisted cell index of everything already accepted
+    (``semantic_cell_index``) and (b) itself — history is never
+    re-deduped and never rescanned beyond the probed cells. Per new
+    vector:
+
+    - ``n_history_hits``: accepted vectors in the same cell with
+      cosine ≥ threshold (any id — history is already accepted, so
+      every hit outranks the newcomer);
+    - ``n_batch_hits``: SMALLER-id batch vectors in the same cell
+      clearing the threshold — the same conservative one-pass
+      within-batch rule as ``minhash_incremental`` AND the same keep
+      rule as batch ``semantic_dedup`` (a chained family keeps its
+      smallest id);
+    - ``keep`` ⇔ no hits either way.
+
+    Caller contract: new-batch ids are disjoint from history ids, and
+    the centroids are the history's centroids — re-fitting centroids
+    per batch would silently re-cell history and invalidate the index
+    (version centroids WITH the index; refresh both together when
+    drift warrants, then re-assign once).
+
+    Scale shape: the new batch is assigned map-side (same codegen/
+    Arrow auto-switch as ``semantic_dedup``); both probes are joins on
+    the ``cell`` key — shuffle-free for the history side when the
+    index is stored bucketed by cell, and the batch self-join
+    exchanges only the (small) batch. Equivalence anchor: on a fused
+    corpus where history ∪ batch is deduped from scratch, a batch
+    row's keep here implies more-or-equal strictness than the batch
+    operator (history rows that batch dedup would have DROPPED still
+    veto newcomers — the incremental trade, identical to
+    ``minhash_incremental``'s conservative rule; pinned in tests).
+    """
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+    from ecommerce_dataengineering_project_spark.operators.similarity import dot
+
+    nb = semantic_cell_index(
+        new_emb, centroids, id_col, vec_col, max_codegen_doubles
+    )
+    hist = history_index.select(
+        F.col("vid").alias("__hid"),
+        F.col("cell").alias("cell_h"),
+        F.col("v").alias("vh"),
+        F.col("nrm").alias("nh"),
+    )
+    cos_h = round_half_up(
+        dot("v", "vh") / (F.col("nrm") * F.col("nh")), 6
+    )
+    hist_hits = (
+        nb.join(
+            hist,
+            (F.col("cell") == F.col("cell_h")) & (cos_h >= threshold),
+        )
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("n_history_hits"))
+    )
+    part = nb.select(
+        F.col("vid").alias("__bid"),
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_b = round_half_up(
+        dot("v", "vb") / (F.col("nrm") * F.col("nb")), 6
+    )
+    batch_hits = (
+        nb.join(
+            part,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("__bid") < F.col("vid"))
+            & (cos_b >= threshold),
+        )
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("n_batch_hits"))
+    )
+    hh = F.coalesce(F.col("n_history_hits"), F.lit(0)).cast("bigint")
+    bh = F.coalesce(F.col("n_batch_hits"), F.lit(0)).cast("bigint")
+    return (
+        nb.join(hist_hits, "vid", "left")
+        .join(batch_hits, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            hh.alias("n_history_hits"),
+            bh.alias("n_batch_hits"),
+            ((hh == 0) & (bh == 0)).alias("keep"),
+        )
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

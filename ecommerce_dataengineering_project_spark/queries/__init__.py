@@ -35,7 +35,7 @@ PRIORITY: tuple[str, ...] = (
     # returning the exact rank-ceil(q*n) element — the third
     # application of the segment_overlap_sketch / heavy_hitter_tokens
     # move), so the board-rewrites rule applies; slot 2 re-boards
-    # segment_overlap_sketch after its lgk correction. Two slots are
+    # segment_overlap_sketch after its lgk correction. Three slots are
     # this round's NEW arms, boarded at registration:
     # semantic_dedup_prod — the measured 100 TB SemDeDup composition
     # (shard + constant-occupancy cells + Arrow BLAS assigner, the
@@ -43,13 +43,15 @@ PRIORITY: tuple[str, ...] = (
     # oracle, closing VERDICT r12 item 3 with driver evidence rather
     # than only a timing — and ann_filtered_topk (X3's
     # metadata-predicate filtered vector search, pushdown
-    # plan-pinned). 12 flagship keepers stay for continuity.
-    # The remaining 34 slots drain the oldest
+    # plan-pinned) — and semantic_dedup_incremental (continuous-ingest
+    # SemDeDup against a persisted cell index, completing the
+    # incremental family). 12 flagship keepers stay for continuity.
+    # The remaining 33 slots drain the oldest
     # evidence: ALL 8 r6-era rows (the 6 r12 deferrals plus
     # funnel_conversion and time_travel_read — includes the two
     # rows-only-by-nature rows anomaly_isolation_forest and, from r7,
     # anomaly_scores_distributed, whose staleness re-checks are due),
-    # the FULL r7 era (17), and 9 of the 33 r8-era rows chosen
+    # the FULL r7 era (17), and 8 of the 33 r8-era rows chosen
     # one-per-family (the rest of r8 rotates in r14 by the same
     # staleness order). After this board no query's latest driver
     # evidence is older than r8 except the r8 residue itself.
@@ -66,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     # and filtered vector search (X3's metadata-predicate arm)
     "semantic_dedup_prod",
     "ann_filtered_topk",
+    "semantic_dedup_incremental",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -107,12 +110,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_generator_ingest",
     "txlog_pruned_read",
     "zorder_orders_key",
-    # staleness re-confirmation — r8 era (9 of 33, one per family;
+    # staleness re-confirmation — r8 era (8 of 33, one per family;
     # the remainder rotates in r14)
     "anomaly_features",
     "dedup_substring",
     "doc_perplexity",
-    "equidepth_histogram",
     "incremental_mv_refresh",
     "pii_scrub",
     "pit_join_orders",

@@ -282,6 +282,44 @@ def q_semantic_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_INC_CENTROIDS: dict[str, list] = {}
+
+
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest SEMANTIC dedup (operators/dedup.py
+    semantic_dedup_incremental — NEW r13, completing the incremental
+    family beside dedup_incremental / dedup_incremental_minhash): even
+    vec_ids play the accepted history as its persisted cell index,
+    odd vec_ids are the incoming batch, checked against history cells
+    and batch-internally. Centroids are the HISTORY's seeded centroids
+    (the index's versioned quantizer — at ingest time the batch hasn't
+    been seen), so the oracle seeds its cents CTE from the even slice
+    only."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup_incremental,
+    )
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+        suggest_n_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    history = emb.where(F.col("vec_id") % 2 == 0)
+    new_batch = emb.where(F.col("vec_id") % 2 != 0)
+    if sf_dir not in _SEM_INC_CENTROIDS:
+        lo, hi = SEM_CELL_CLAMP
+        n_cells = suggest_n_cells(history.count(), min_cells=lo, max_cells=hi)
+        _SEM_INC_CENTROIDS[sf_dir] = seeded_centroids(history, n_cells)
+    cents = _SEM_INC_CENTROIDS[sf_dir]
+    return semantic_dedup_incremental(
+        new_batch,
+        semantic_cell_index(history, cents),
+        cents,
+        threshold=COSINE_THRESHOLD,
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -297,6 +335,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_sharded": q_semantic_dedup_sharded,
     "semantic_dedup_prod": q_semantic_dedup_prod,
+    "semantic_dedup_incremental": q_semantic_dedup_incremental,
 }
 
 
@@ -558,6 +597,14 @@ _SEM_COSINE = _r6(
     " (x, y) -> x + y) / (na.nrm * nb.nrm)"
 )
 
+
+def _sem_cosine(a: str, b: str) -> str:
+    """The same rounded-cosine SQL over arbitrary (v, nrm) aliases."""
+    return _r6(
+        f"LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP({a}.v, {b}.v), x -> x[1] * x[2]),"
+        f" (x, y) -> x + y) / ({a}.nrm * {b}.nrm)"
+    )
+
 ORACLES["semantic_dedup"] = f"""
     WITH {_COS},
     {_SEM_ASSIGN},
@@ -621,6 +668,69 @@ ORACLES["semantic_dedup_prod"] = f"""
     FROM assign a
     JOIN embeddings e ON e.vec_id = a.vec_id
     LEFT JOIN (SELECT DISTINCT id_b FROM pairs) d ON d.id_b = a.vec_id
+"""
+
+# Incremental SemDeDup: cents seeded from the HISTORY (even-id) slice
+# only — the index's versioned quantizer — then BOTH sides fold-argmax
+# assigned; history hits at any id, batch hits at smaller odd ids.
+ORACLES["semantic_dedup_incremental"] = f"""
+    WITH {_COS},
+    hist AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),
+    newb AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 <> 0),
+    cents AS (
+        SELECT cell, cv, halfsq FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell,
+                   LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                       / 2.0 AS halfsq
+            FROM hist
+        ) WHERE cell < (SELECT GREATEST({SEM_CELL_CLAMP[0]},
+                            LEAST({SEM_CELL_CLAMP[1]},
+                                  CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER)))
+                        FROM hist)
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM n e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    hh AS (
+        SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_history_hits
+        FROM newb b
+        JOIN assign ab ON ab.vec_id = b.vec_id
+        JOIN hist h ON TRUE
+        JOIN assign ah ON ah.vec_id = h.vec_id AND ah.cell = ab.cell
+        WHERE {_sem_cosine("b", "h")} >= {COSINE_THRESHOLD}
+        GROUP BY 1
+    ),
+    bh AS (
+        SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_batch_hits
+        FROM newb a
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN newb p ON p.vec_id < a.vec_id
+        JOIN assign ap ON ap.vec_id = p.vec_id AND ap.cell = aa.cell
+        WHERE {_sem_cosine("a", "p")} >= {COSINE_THRESHOLD}
+        GROUP BY 1
+    )
+    SELECT b.vec_id, CAST(ab.cell AS INTEGER) AS cell,
+           COALESCE(hh.n_history_hits, 0) AS n_history_hits,
+           COALESCE(bh.n_batch_hits, 0) AS n_batch_hits,
+           (COALESCE(hh.n_history_hits, 0) = 0
+            AND COALESCE(bh.n_batch_hits, 0) = 0) AS keep
+    FROM newb b
+    JOIN assign ab ON ab.vec_id = b.vec_id
+    LEFT JOIN hh ON hh.vec_id = b.vec_id
+    LEFT JOIN bh ON bh.vec_id = b.vec_id
 """
 
 # The cluster closure again (same pair arithmetic + recursive CTE),

@@ -735,3 +735,92 @@ def test_filtered_topk_pushes_predicate_and_filters_neighbors(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, min(TOP_K, len(ranks)) + 1)), q
+
+
+def test_semantic_dedup_incremental_semantics(spark):
+    """Incremental SemDeDup (r13): history vetoes at any id, batch
+    vetoes at smaller ids only, cross-cell near-dups survive (the
+    SemDeDup recall trade), and the conservative rule is at least as
+    strict as batch semantic_dedup on the fused corpus for batch rows."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    c0 = [1.0, 0.0, 0.0, 0.0]
+    c1 = [0.0, 1.0, 0.0, 0.0]
+    hist_rows = [(0, c0), (2, [0.98, 0.02, 0.0, 0.0])]
+    new_rows = [
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of history 0 -> dropped
+        (3, c1),                        # novel -> kept
+        (5, [0.01, 0.99, 0.0, 0.0]),   # near-dup of batch 3 (smaller id) -> dropped
+        (7, [0.0, 0.0, 1.0, 0.0]),     # c0 cell but orthogonal -> kept
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    hist = spark.createDataFrame(hist_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_incremental(
+            new, semantic_cell_index(hist, [c0, c1]), [c0, c1], threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {1, 3, 5, 7}  # history rows never re-deduped
+    assert not out[1].keep and out[1].n_history_hits == 2 and out[1].n_batch_hits == 0
+    assert out[3].keep
+    assert not out[5].keep and out[5].n_batch_hits == 1 and out[5].n_history_hits == 0
+    assert out[7].keep and out[7].cell == out[1].cell
+    # conservative-rule anchor: every batch row the FUSED batch dedup
+    # keeps whose smaller-id neighbors are all history-independent is
+    # also kept here; and anything fused dedup drops for a smaller-id
+    # reason is dropped here too (history can only ADD vetoes)
+    fused = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(hist.union(new), [c0, c1], threshold=0.9).collect()
+    }
+    for vid, r in out.items():
+        if not fused[vid]:
+            assert not r.keep, vid
+
+
+def test_semantic_dedup_incremental_accepts_what_history_allows(spark, sf_dir):
+    """Fixture anchor: on the embeddings table (even=history, odd=new)
+    the incremental keep-set equals the direct SQL-style recompute —
+    already hash-checked by the oracle — and re-running the SAME batch
+    against history ∪ kept-batch drops every previously-kept row
+    (idempotence of acceptance: a kept vector is its own history hit)."""
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup_incremental,
+    )
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+        suggest_n_cells,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import (
+        COSINE_THRESHOLD,
+        SEM_CELL_CLAMP,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 != 0)
+    lo, hi = SEM_CELL_CLAMP
+    cents = seeded_centroids(hist, suggest_n_cells(hist.count(), lo, hi))
+    idx = semantic_cell_index(hist, cents)
+    first = semantic_dedup_incremental(new, idx, cents, threshold=COSINE_THRESHOLD)
+    kept_ids = [r.vec_id for r in first.where("keep").collect()]
+    assert kept_ids
+    kept_index = semantic_cell_index(
+        emb.where(F.col("vec_id").isin(kept_ids)), cents
+    )
+    second = semantic_dedup_incremental(
+        new, idx.union(kept_index), cents, threshold=COSINE_THRESHOLD
+    )
+    gained = {r.vec_id: r for r in second.collect()}
+    for vid in kept_ids:
+        assert not gained[vid].keep  # now a history hit of itself
+        assert gained[vid].n_history_hits >= 1
