@@ -1079,15 +1079,20 @@ def semantic_dedup_incremental(
     drift warrants, then re-assign once).
 
     Scale shape: the new batch is assigned map-side (same codegen/
-    Arrow auto-switch as ``semantic_dedup``); both probes are joins on
-    the ``cell`` key — shuffle-free for the history side when the
-    index is stored bucketed by cell, and the batch self-join
-    exchanges only the (small) batch. Equivalence anchor: on a fused
-    corpus where history ∪ batch is deduped from scratch, a batch
-    row's keep here implies more-or-equal strictness than the batch
-    operator (history rows that batch dedup would have DROPPED still
-    veto newcomers — the incremental trade, identical to
-    ``minhash_incremental``'s conservative rule; pinned in tests).
+    Arrow auto-switch as ``semantic_dedup``), then ONE left-outer join
+    carries both probes — the history index and the smaller-id batch
+    partners ride a single tagged union, so the whole decision is one
+    join + one aggregation (the ``semantic_dedup`` single-join move,
+    extended with per-source conditional counts; the two-join form
+    re-evaluated the assignment fold per branch). The join key is the
+    ``cell`` equality — shuffle-free for the history side when the
+    index is stored bucketed by cell; the batch side exchanges only
+    the (small) batch. Equivalence anchor: on a fused corpus where
+    history ∪ batch is deduped from scratch, a batch row's keep here
+    implies more-or-equal strictness than the batch operator (history
+    rows that batch dedup would have DROPPED still veto newcomers —
+    the incremental trade, identical to ``minhash_incremental``'s
+    conservative rule; pinned in tests).
     """
     from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
     from ecommerce_dataengineering_project_spark.operators.similarity import dot
@@ -1095,53 +1100,43 @@ def semantic_dedup_incremental(
     nb = semantic_cell_index(
         new_emb, centroids, id_col, vec_col, max_codegen_doubles
     )
-    hist = history_index.select(
-        F.col("vid").alias("__hid"),
-        F.col("cell").alias("cell_h"),
-        F.col("v").alias("vh"),
-        F.col("nrm").alias("nh"),
-    )
-    cos_h = round_half_up(
-        dot("v", "vh") / (F.col("nrm") * F.col("nh")), 6
-    )
-    hist_hits = (
-        nb.join(
-            hist,
-            (F.col("cell") == F.col("cell_h")) & (cos_h >= threshold),
+    partners = history_index.select(
+        F.col("vid").alias("pid"),
+        F.col("cell").alias("cell_p"),
+        F.col("v").alias("vp"),
+        F.col("nrm").alias("np"),
+        F.lit(True).alias("from_history"),
+    ).unionByName(
+        nb.select(
+            F.col("vid").alias("pid"),
+            F.col("cell").alias("cell_p"),
+            F.col("v").alias("vp"),
+            F.col("nrm").alias("np"),
+            F.lit(False).alias("from_history"),
         )
-        .groupBy("vid")
-        .agg(F.count(F.lit(1)).alias("n_history_hits"))
     )
-    part = nb.select(
-        F.col("vid").alias("__bid"),
-        F.col("cell").alias("cell_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+    cos = round_half_up(dot("v", "vp") / (F.col("nrm") * F.col("np")), 6)
+    cond = (
+        (F.col("cell") == F.col("cell_p"))
+        & (cos >= threshold)
+        & (F.col("from_history") | (F.col("pid") < F.col("vid")))
     )
-    cos_b = round_half_up(
-        dot("v", "vb") / (F.col("nrm") * F.col("nb")), 6
-    )
-    batch_hits = (
-        nb.join(
-            part,
-            (F.col("cell") == F.col("cell_b"))
-            & (F.col("__bid") < F.col("vid"))
-            & (cos_b >= threshold),
-        )
-        .groupBy("vid")
-        .agg(F.count(F.lit(1)).alias("n_batch_hits"))
-    )
-    hh = F.coalesce(F.col("n_history_hits"), F.lit(0)).cast("bigint")
-    bh = F.coalesce(F.col("n_batch_hits"), F.lit(0)).cast("bigint")
+    hh = F.count(F.when(F.col("from_history"), 1)).cast("bigint")
+    bh = F.count(F.when(~F.col("from_history"), 1)).cast("bigint")
     return (
-        nb.join(hist_hits, "vid", "left")
-        .join(batch_hits, "vid", "left")
+        nb.join(partners, cond, "left_outer")
+        .groupBy("vid", "cell")
+        .agg(
+            hh.alias("n_history_hits"),
+            bh.alias("n_batch_hits"),
+            F.every(F.col("pid").isNull()).alias("keep"),
+        )
         .select(
             F.col("vid").alias(id_col),
             "cell",
-            hh.alias("n_history_hits"),
-            bh.alias("n_batch_hits"),
-            ((hh == 0) & (bh == 0)).alias("keep"),
+            "n_history_hits",
+            "n_batch_hits",
+            "keep",
         )
     )
 
