@@ -204,12 +204,16 @@ def benchmark_contamination(
     float policy); the nearest eval id breaks cosine ties by SMALLEST
     id via max(struct(cos, -id)) — identical to the oracle's
     (cos DESC, id ASC) row_number pick. That negate-and-max tie-break
-    (and the bigint output column) REQUIRES an integral ``id_col``;
-    string/UUID benchmark ids fail fast below with a targeted error —
-    re-key such ids upstream (e.g. ``xxhash64``/``monotonically_
-    increasing_id``), or swap the pick for a row_number window over
-    (cos DESC, id ASC), which orders any type but adds a per-corpus-id
-    sort this map-side agg avoids (ADVICE r12).
+    (and the bigint output column) REQUIRES an integral BENCHMARK
+    ``id_col``; string/UUID benchmark ids fail fast below with a
+    targeted error — re-key such ids upstream (e.g. ``xxhash64``/
+    ``monotonically_increasing_id``), or swap the pick for a
+    row_number window over (cos DESC, id ASC), which orders any type
+    but adds a per-corpus-id sort this map-side agg avoids (ADVICE
+    r12). The CORPUS id is never negated — it rides through as a
+    groupBy key in its own type — so string/UUID corpus ids (the
+    large, expensive-to-re-key side) are accepted as-is (ADVICE r13
+    narrowed the check to the benchmark frame only).
 
     Edge semantics: every output row carries a real nearest neighbor,
     so an EMPTY benchmark yields an EMPTY relation (there is no max
@@ -217,15 +221,15 @@ def benchmark_contamination(
     corpus on the flag should treat "no eval set" upstream.
     """
     _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
-    for side, frame in (("corpus", corpus), ("benchmark", benchmark)):
-        id_type = dict(frame.dtypes).get(id_col)
-        if id_type not in _INTEGRAL:
-            raise TypeError(
-                f"benchmark_contamination requires an integral id_col for the "
-                f"max(struct(cos, -id)) tie-break; {side}.{id_col} is "
-                f"{id_type!r} — re-key to a long (xxhash64 / "
-                f"monotonically_increasing_id) upstream"
-            )
+    bench_id_type = dict(benchmark.dtypes).get(id_col)
+    if bench_id_type not in _INTEGRAL:
+        raise TypeError(
+            f"benchmark_contamination requires an integral BENCHMARK id_col "
+            f"for the max(struct(cos, -id)) tie-break; benchmark.{id_col} is "
+            f"{bench_id_type!r} — re-key to a long (xxhash64 / "
+            f"monotonically_increasing_id) upstream (corpus ids pass through "
+            f"untyped and may be string/UUID)"
+        )
     # Norms are per-VECTOR, so compute them once per side before the
     # pair join — inside the cosine they would be re-evaluated per
     # PAIR, tripling the flops of the n*m scoring loop (measured

@@ -246,6 +246,16 @@ def q_semantic_dedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEM_OCCUPANCY = 100  # target vectors per cell in the prod configuration
+
+# Centroid memos (here and _SEM_INC_CENTROIDS below) are keyed by
+# sf_dir PATH alone — deliberately weaker than the content-fingerprint
+# keying of the drift baseline and the IVF index directory (ADVICE
+# r13): these cache driver-side Python lists, not persisted artifacts,
+# so the blast radius of a stale entry is one process whose fixture
+# was mutated in place mid-run — which the fixture tables never are
+# (they are immutable bench inputs, same contract as the pre-existing
+# _SEM_CENTROIDS). Anything that OUTLIVES the process (the IVF index,
+# the drift-baseline artifact) carries the content fingerprint.
 _SEM_PROD_CENTROIDS: dict[str, list] = {}
 
 
@@ -259,11 +269,16 @@ def q_semantic_dedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts). This is the `prod100tb` arm of
     tools/profile_semdedup_scale.py — 1.9× across the sf0.1→sf1 decade
     vs the registry shape's 10.5× (SCALE.md) — now carrying its own
-    oracle: the DuckDB fold-argmax assignment must equal the BLAS
-    matmul argmax bit-for-bit (scores are the same dot−½‖c‖² values;
-    proven on every fixture decade, and pinned against the codegen
-    anchor in tests/test_similarity.py), so the keep-set hash-checks
-    exactly like the registry anchor."""
+    oracle: the DuckDB fold-argmax assignment is ARGMAX-EQUAL to the
+    BLAS matmul argmax (test-pinned, ADVICE r13). Both score the same
+    mathematical dot−½‖c‖² values, but numpy's pairwise-sum /
+    BLAS-reordered accumulation is NOT bit-identical to a sequential
+    fold — agreement holds because no fixture vector's top-two cell
+    scores sit within FP discrepancy of each other, a margin
+    tests/test_exactness_windows.py asserts per decade (so a fixture
+    regen or BLAS change near a tie fails a named precondition, not an
+    opaque driver hash). Keep-set equality vs the codegen anchor is
+    pinned in tests/test_similarity.py."""
     from ecommerce_dataengineering_project_spark.operators.dedup import semantic_dedup
     from ecommerce_dataengineering_project_spark.operators.similarity import (
         seeded_centroids,
@@ -646,10 +661,12 @@ ORACLES["semantic_dedup_sharded"] = f"""
 
 # The 100 TB composition (shard + constant-occupancy cells + Arrow
 # assigner): same shard-scoped pair/keep SQL as the sharded anchor —
-# only the cell count changes — because the BLAS matmul assignment
-# equals this fold-argmax bit-for-bit (same dot − ½‖c‖² scores; the
-# equivalence is pinned against the codegen anchor in
-# tests/test_similarity.py and held on every fixture decade).
+# only the cell count changes — because the BLAS matmul assignment is
+# argmax-equal to this fold-argmax (test-pinned; both compute
+# dot − ½‖c‖², but BLAS accumulation order differs, so agreement
+# rests on the per-decade top-1/top-2 margin guard in
+# tests/test_exactness_windows.py plus the keep-set pin against the
+# codegen anchor in tests/test_similarity.py).
 ORACLES["semantic_dedup_prod"] = f"""
     WITH {_COS},
     {_SEM_ASSIGN_PROD},

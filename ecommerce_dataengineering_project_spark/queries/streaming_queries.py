@@ -534,7 +534,14 @@ DRIFT_WIDTH = 64.0
 # the events table under the same path changes, the fingerprint
 # changes and the baseline refits. The fingerprint rides the SAME
 # single-scan aggregation as the fit, so keying by content costs no
-# extra job.
+# extra job ON THE FIRST FIT — but every later call still pays that
+# one scan to re-derive the key before the memo/artifact can answer
+# (ADVICE r13). That repeat scan IS the content-addressing trade: a
+# key the data cannot lie to has to look at the data. Deliberate —
+# the baseline consumer here is a bounded monitor run, not a hot
+# loop; a deployment that polls the baseline per micro-batch should
+# read the persisted artifact by name and trust its embedded
+# fingerprint instead of re-deriving it.
 _DRIFT_BASELINE: dict[tuple[str, str], list[float]] = {}
 
 

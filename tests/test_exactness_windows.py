@@ -119,3 +119,66 @@ def test_approx_distinct_quantiles_windows(decade):
         f"{GK_ACC_EXACT} — percentile_approx may compress and drift off "
         "the exact rank"
     )
+
+
+def test_prod_semdedup_assignment_margin(decade):
+    # semantic_dedup_prod's oracle window (ADVICE r13): the BLAS matmul
+    # assigner and the fold-argmax oracle compute the same mathematical
+    # dot − ½‖c‖² scores but with DIFFERENT accumulation orders (numpy
+    # pairwise-sum / BLAS reordering vs a sequential fold), so only
+    # ARGMAX agreement holds — and only while no vector's top-two cell
+    # scores sit within the FP discrepancy (~n·eps·|partials| ≈ 1e-12
+    # for 64 dims). Assert a 1000x-headroom margin per decade so a
+    # fixture regen or BLAS change near a tie fails HERE with a named
+    # precondition, not as an opaque driver hash mismatch. Bit-identical
+    # centroid pairs are excluded: both engines then score the two
+    # cells equal within themselves and tie-break to the smaller cell.
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        SEED_MOD,
+        SEED_MULT,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import (
+        SEM_CELL_CLAMP,
+        SEM_OCCUPANCY,
+    )
+
+    min_margin = duckdb.sql(
+        f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM read_parquet('{decade}/embeddings.parquet')),
+        cents AS (
+            SELECT cell, cv, halfsq FROM (
+                SELECT v AS cv,
+                       ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                          vec_id ASC) - 1 AS cell,
+                       LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                           / 2.0 AS halfsq
+                FROM e
+            ) WHERE cell < (SELECT GREATEST({SEM_CELL_CLAMP[0]},
+                                CAST(COUNT(*) // {SEM_OCCUPANCY} AS INTEGER))
+                            FROM e)
+        ),
+        top2 AS (
+            SELECT vec_id, s, cv,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM (
+                SELECT e.vec_id, c.cell, c.cv,
+                       LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv),
+                                                  x -> x[1] * x[2]),
+                                   (x, y) -> x + y) - c.halfsq AS s
+                FROM e CROSS JOIN cents c
+            )
+        )
+        SELECT MIN(a.s - b.s)
+        FROM top2 a JOIN top2 b
+          ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+        WHERE a.cv <> b.cv
+        """
+    ).fetchone()[0]
+    assert min_margin is not None and min_margin > 1e-9, (
+        f"{decade}: minimum top-1/top-2 prod-cell score margin "
+        f"{min_margin} is inside the FP-discrepancy danger zone — the "
+        "BLAS-vs-fold argmax equivalence behind semantic_dedup_prod's "
+        "oracle is no longer guaranteed"
+    )

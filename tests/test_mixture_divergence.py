@@ -138,23 +138,29 @@ def test_matches_python_reference_on_random_corpora(spark, rows):
         assert 0.0 <= got[s][3] <= math.log(2.0) + 1e-9
 
 
-def test_reliable_checkpoint_fails_fast_without_dir(spark):
-    # ADVICE r12: reliable_checkpoint=True on a session without a
+def test_reliable_checkpoint_fails_fast_without_dir(spark, monkeypatch):
+    # ADVICE r12 + r13: reliable_checkpoint=True on a session without a
     # checkpoint dir must raise a targeted ValueError at call time,
-    # not a generic SparkException from inside checkpoint()
+    # not a generic SparkException from inside checkpoint(). The
+    # no-dir condition is injected by stubbing getCheckpointDir on the
+    # shared context (restored by monkeypatch) instead of skipping
+    # when a dir is already set — under test reordering/selection the
+    # old skip made this guard silently never run; the guard path
+    # raises BEFORE any checkpoint() call, so the stub is safe even
+    # when a real dir exists.
     import pytest
 
-    if spark.sparkContext.getCheckpointDir() is not None:
-        pytest.skip("session already has a checkpoint dir")
+    monkeypatch.setattr(spark.sparkContext, "getCheckpointDir", lambda: None)
     df = spark.createDataFrame([("a", "x y"), ("b", "x z")], "source string, text string")
     with pytest.raises(ValueError, match="setCheckpointDir"):
         mixture_divergence(df, "source", "text", reliable_checkpoint=True)
 
 
 def test_reliable_checkpoint_matches_local(spark, tmp_path):
-    # runs AFTER the fail-fast test (file order): setting the dir here
-    # is a one-way switch on the shared session, which is harmless —
-    # nothing else calls checkpoint()
+    # setting the dir here is a one-way switch on the shared session,
+    # which is harmless — nothing else calls checkpoint(), and the
+    # fail-fast guard above no longer depends on this never running
+    # first (it stubs the no-dir condition)
     spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
     df = spark.createDataFrame(
         [("a", "x y y"), ("b", "x z"), ("b", "z z q")],

@@ -656,9 +656,13 @@ def test_ivf_indexed_serve_memoizes_the_fingerprint(spark, sf_dir):
 
 
 def test_benchmark_contamination_refuses_string_ids(spark):
-    # ADVICE r12: the max(struct(cos, -id)) tie-break and the bigint
-    # nearest_eval_id column need an integral id — string/UUID ids
-    # must fail fast with a targeted error, not at analysis time
+    # ADVICE r12 + r13: the max(struct(cos, -id)) tie-break and the
+    # bigint nearest_eval_id column need an integral BENCHMARK id —
+    # string/UUID benchmark ids must fail fast with a targeted error,
+    # not at analysis time. The CORPUS id is a pass-through groupBy
+    # key (never negated, emitted in its own type), so a string corpus
+    # id is legal and must WORK — the ADVICE r13 narrowing: the large,
+    # expensive-to-re-key side keeps its natural keys.
     from ecommerce_dataengineering_project_spark.operators.similarity import (
         benchmark_contamination,
     )
@@ -669,10 +673,12 @@ def test_benchmark_contamination_refuses_string_ids(spark):
     str_ids = spark.createDataFrame(
         [("u-1", [1.0, 0.0])], "vec_id string, embedding array<double>"
     )
-    with pytest.raises(TypeError, match="integral id_col"):
-        benchmark_contamination(str_ids, num)
-    with pytest.raises(TypeError, match="integral id_col"):
+    with pytest.raises(TypeError, match="integral BENCHMARK id_col"):
         benchmark_contamination(num, str_ids)
+    rows = benchmark_contamination(str_ids, num, threshold=0.9).collect()
+    assert [(r["vec_id"], r["nearest_eval_id"], r["is_contaminated"]) for r in rows] == [
+        ("u-1", 1, True)
+    ]
 
 
 def test_prod_semdedup_keepset_equals_codegen_anchor(spark, sf_dir):
