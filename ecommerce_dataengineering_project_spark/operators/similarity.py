@@ -658,16 +658,20 @@ def _ivf_corpus_cells_exact(
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    meta_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The exact-assigner corpus relation ``(neighbor_id, cv, cell,
-    c_nrm)`` — ONE definition shared by the per-run batch path
-    (:func:`ivf_topk`) and the persisted index build
+    c_nrm, *meta_cols)`` — ONE definition shared by the per-run batch
+    path (:func:`ivf_topk`) and the persisted index build
     (:func:`build_ivf_index`), so the two cannot drift off the
-    bit-identity contract."""
+    bit-identity contract. ``meta_cols`` are filter attributes carried
+    verbatim into the index so FILTERED serving can push predicates
+    into the index scan (:func:`ivf_topk_indexed` ``predicate``)."""
     return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double(F.col(vec_col)).alias("cv"),
+            *[F.col(m) for m in meta_cols],
         )
         .withColumn("cell", ivf_cell_exact("cv", centroids))
         .withColumn("c_nrm", norm("cv"))
@@ -705,6 +709,7 @@ def build_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> None:
     """Persist the IVF index as a CELL-PARTITIONED parquet table —
     the serving-path form of :func:`ivf_topk`. Each corpus vector is
@@ -717,9 +722,20 @@ def build_ivf_index(
     DIRECTORIES at planning time — the scan never opens the other
     ``n_cells - n_probe`` shards of the corpus, which is the entire
     point of an inverted-file index on object storage.
+
+    ``meta_cols``: filter attributes (label, language, source, ...)
+    stored as ordinary columns INSIDE the cell partitions, so filtered
+    serving pushes its predicate into the same pruned scan
+    (PushedFilters beside the cell PartitionFilters — min/max row-group
+    stats skip non-matching row groups within each probed cell; sort
+    within cells on the hottest filter column at write time to sharpen
+    those stats, the z-order move). For near-always-selective filters,
+    promote the column into the partitioning itself
+    (``partitionBy(meta, "cell")``) and pruning handles both at
+    planning time.
     """
     (
-        _ivf_corpus_cells_exact(corpus, centroids, id_col, vec_col)
+        _ivf_corpus_cells_exact(corpus, centroids, id_col, vec_col, tuple(meta_cols))
         .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -736,6 +752,7 @@ def ivf_topk_indexed(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate: Column | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a persisted :func:`build_ivf_index` table.
 
@@ -751,6 +768,19 @@ def ivf_topk_indexed(
     index's precomputed norms; results are bit-identical to
     :func:`ivf_topk` with the same centroids (same fold arithmetic),
     so the same SQL oracle checks both.
+
+    ``predicate``: optional metadata filter over the index's
+    ``meta_cols`` — FILTERED ANN served from the SAME index:
+    Catalyst stacks it as PushedFilters on the already-cell-pruned
+    scan (both pins in tests/test_layout.py), so only surviving rows
+    of the probed cells are scored. Semantics are probe-then-filter:
+    recall against exact filtered search degrades as the predicate
+    gets MORE selective (survivors may live outside the probed cells
+    — the classic filtered-ANN trap; see :func:`filtered_topk` for
+    the argument). Hold recall by over-probing ~k/selectivity, or for
+    always-selective predicates make the filter column a partition
+    column of the index itself (``build_ivf_index`` meta docstring)
+    so pre-filtering is free at planning time.
     """
     q = (
         queries.select(
@@ -765,6 +795,8 @@ def ivf_topk_indexed(
     )
     probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
     cand = spark.read.parquet(index_path).where(F.col("cell").isin(probed))
+    if predicate is not None:
+        cand = cand.where(predicate)
     return _ivf_score_and_rank(cand, q, k)
 
 

@@ -90,9 +90,14 @@ _IVF_CENTROIDS: dict[str, list] = {}
 _IVF_INDEX_FP: dict[str, str] = {}
 
 
-def _ivf_index_fingerprint(emb: DataFrame, centroids: list) -> str:
+def _ivf_index_fingerprint(
+    emb: DataFrame, centroids: list, meta: tuple = ()
+) -> str:
     """Cache key for a persisted IVF index: sha256 over (row count,
-    order-independent corpus content signature, centroid literals).
+    order-independent corpus content signature, centroid literals,
+    the index's meta-column tuple — an index FORMAT term, so adding or
+    removing stored filter attributes lands in a new directory instead
+    of serving a schema the predicate can't push into).
 
     The content term is ``bit_xor(xxhash64(vec_id, embedding))`` —
     one commutative 64-bit fold, computed in the SAME single-scan job
@@ -109,7 +114,7 @@ def _ivf_index_fingerprint(emb: DataFrame, centroids: list) -> str:
         F.bit_xor(F.xxhash64("vec_id", "embedding")).alias("sig"),
     ).first()
     return hashlib.sha256(
-        repr((sig["n"], sig["sig"], centroids)).encode()
+        repr((sig["n"], sig["sig"], centroids, tuple(meta))).encode()
     ).hexdigest()[:12]
 
 
@@ -802,6 +807,52 @@ def _mmr_oracle() -> str:
 ORACLES["mmr_diversified_topk"] = _mmr_oracle()
 
 
+# Filter attributes stored inside the persisted IVF index (ordinary
+# columns within the cell partitions) — ONE index serves both the
+# unfiltered and the predicate-filtered arms.
+IVF_INDEX_META = ("label",)
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """Build-or-fetch the persisted IVF index for this corpus; returns
+    (index path, centroids).
+
+    The index directory is keyed by a fingerprint of the corpus
+    CONTENT plus the centroids plus the stored meta columns: .tmp
+    persists across processes, so a bare per-sf path could silently
+    serve an index built from OLD data, OLD constants, or an OLD
+    schema against freshly-computed probe cells. Any change to the
+    fixtures, to N_CELLS/the seed constants, or to IVF_INDEX_META
+    lands in a new directory and rebuilds. The fingerprint is memoized
+    per sf_dir (same per-process invalidation model as
+    _IVF_CENTROIDS), so only the FIRST serve pays the one fingerprint
+    scan — repeat serves never touch the unprobed corpus, which is the
+    point of the index."""
+    import os
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_scale import _sf_name
+    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
+    if sf_dir not in _IVF_INDEX_FP:
+        _IVF_INDEX_FP[sf_dir] = _ivf_index_fingerprint(
+            emb, _IVF_CENTROIDS[sf_dir], IVF_INDEX_META
+        )
+    fp = _IVF_INDEX_FP[sf_dir]
+    path = os.path.join(TMP_ROOT, "ivf_index", f"{_sf_name(sf_dir)}_{fp}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ivf_index(
+            emb, _IVF_CENTROIDS[sf_dir], path, meta_cols=IVF_INDEX_META
+        )
+    return path, _IVF_CENTROIDS[sf_dir]
+
+
 def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3, the SERVING path: the IVF index persisted ONCE as a
     cell-partitioned parquet table (vectors + precomputed norms under
@@ -815,48 +866,121 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     prebuilt index and never opens the unprobed n_cells - n_probe
     shards of the corpus, which is what an inverted file buys at
     100 TB."""
-    import os
-
     from ecommerce_dataengineering_project_spark.operators.similarity import (
-        build_ivf_index,
         ivf_topk_indexed,
-        seeded_centroids,
     )
-    from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
-    # The index directory is keyed by a fingerprint of the corpus
-    # CONTENT plus the centroids: .tmp persists across processes, so a
-    # bare per-sf path could silently serve an index built from OLD
-    # data or OLD constants against freshly-computed probe cells. Any
-    # change to the fixtures or to N_CELLS/the seed constants lands in
-    # a new directory and rebuilds. The fingerprint is memoized per
-    # sf_dir (same per-process invalidation model as _IVF_CENTROIDS),
-    # so only the FIRST serve pays the one fingerprint scan — repeat
-    # serves never touch the unprobed corpus, which is the point of
-    # the index.
-    from ecommerce_dataengineering_project_spark.queries.ext_scale import _sf_name
-
-    if sf_dir not in _IVF_INDEX_FP:
-        _IVF_INDEX_FP[sf_dir] = _ivf_index_fingerprint(emb, _IVF_CENTROIDS[sf_dir])
-    fp = _IVF_INDEX_FP[sf_dir]
-    path = os.path.join(TMP_ROOT, "ivf_index", f"{_sf_name(sf_dir)}_{fp}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build_ivf_index(emb, _IVF_CENTROIDS[sf_dir], path)
+    path, cents = _ivf_index(spark, sf_dir)
     return ivf_topk_indexed(
         spark,
         _queries_df(spark, sf_dir),
         path,
-        _IVF_CENTROIDS[sf_dir],
+        cents,
         k=TOP_K,
         n_probe=N_PROBE,
     )
 
 
+def q_ann_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 filtered search composed WITH the persisted IVF index
+    (NEW r14, VERDICT r13 item 3): `ann_filtered_topk`'s metadata
+    predicate served from `ann_ivf_indexed`'s cell-partitioned index —
+    the layout composition the `filtered_topk` docstring argues. The
+    index stores the filter attribute (IVF_INDEX_META) inside its cell
+    partitions, so the serving scan carries BOTH prunings at once
+    (plan-pinned in tests/test_layout.py): the probed cells as a
+    static PartitionFilter (unprobed cell directories never open) AND
+    the label predicate as PushedFilters (row groups without label=3
+    skip via min/max stats). Survivors-only scoring on top.
+
+    Semantics are probe-then-filter: within the probed cells, the
+    exact filtered top-k — which the oracle mirrors (same cand set as
+    ann_ivf_topk restricted to label=3). Recall vs EXACT filtered
+    search (`ann_filtered_topk`) degrades as the predicate sharpens —
+    at ~10% selectivity and n_probe=4/16 it is regression-tested
+    against the exact arm; an always-selective predicate belongs in
+    the index PARTITIONING instead (build_ivf_index meta docstring),
+    which makes pre-filtering free at planning time."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_topk_indexed,
+    )
+
+    path, cents = _ivf_index(spark, sf_dir)
+    return ivf_topk_indexed(
+        spark,
+        _queries_df(spark, sf_dir),
+        path,
+        cents,
+        k=TOP_K,
+        n_probe=N_PROBE,
+        predicate=F.col("label") == FILTER_LABEL,
+    )
+
+
 QUERIES["ann_ivf_indexed"] = q_ann_ivf_indexed
+QUERIES["ann_filtered_ivf"] = q_ann_filtered_ivf
 
 # Bit-identical results to the batch form — the SAME oracle checks the
 # persisted-index serving path.
 ORACLES["ann_ivf_indexed"] = ORACLES["ann_ivf_topk"]
+
+# Filtered-IVF: the ann_ivf_topk candidate SQL with the label
+# predicate on the CANDIDATE side (queries stay unfiltered), mirroring
+# the pushed index-scan filter.
+ORACLES["ann_filtered_ivf"] = f"""
+    WITH {_COS_CTE},
+    cents AS (
+        SELECT cell, cv, halfsq FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell,
+                   LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                       / 2.0 AS halfsq
+            FROM n
+        ) WHERE cell < {N_CELLS}
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM n e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores WHERE vec_id < {N_QUERY_VECS}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+        FROM probes p
+        JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+        JOIN embeddings l ON l.vec_id = a.vec_id AND l.label = {FILTER_LABEL}
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               FLOOR((LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(qn.v, cn.v),
+                                                 x -> x[1] * x[2]),
+                                  (x, y) -> x + y) / (qn.nrm * cn.nrm))
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM cand
+        JOIN n qn ON qn.vec_id = cand.query_id
+        JOIN n cn ON cn.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+"""

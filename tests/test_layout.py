@@ -219,3 +219,23 @@ def test_ivf_index_scan_prunes_to_probed_cells(spark, sf_dir):
     indexed = sorted(map(tuple, df.collect()))
     batch = sorted(map(tuple, q_ann_ivf_topk(spark, sf_dir).collect()))
     assert indexed == batch
+
+
+def test_filtered_ivf_scan_carries_both_prunings(spark, sf_dir):
+    """ann_filtered_ivf (VERDICT r13 item 3): the ONE index scan must
+    show BOTH a static PartitionFilter on the probed cells (unprobed
+    cell directories never open) AND the metadata predicate as
+    PushedFilters (row groups without label=3 skip via min/max stats)
+    — the filtered-search-over-IVF-layout composition the
+    filtered_topk docstring argues."""
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        q_ann_filtered_ivf,
+    )
+
+    df = q_ann_filtered_ivf(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.index("PartitionFilters")
+    assert "cell" in plan[i : i + 260], plan[i : i + 400]
+    j = plan.index("PushedFilters")
+    assert "EqualTo(label,3)" in plan[j : j + 260], plan[j : j + 400]
+    assert df.count() > 0

@@ -35,6 +35,36 @@ def test_ivf_topk_recall(spark, sf_dir, exact_pairs):
     _check(q_ann_ivf_topk(spark, sf_dir).collect(), exact_pairs, 0.4)
 
 
+def test_filtered_ivf_recall_vs_exact_filtered(spark, sf_dir):
+    """ann_filtered_ivf (probe-then-filter over the persisted index)
+    vs ann_filtered_topk (exact pre-filtered scoring): at ~10% label
+    selectivity with n_probe=4/16 the probed cells must still recall a
+    meaningful share of the exact filtered neighbors, and every emitted
+    pair must be a TRUE label-filtered pair with the identical rounded
+    cosine (precision 1 — the index rescores exactly)."""
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        q_ann_filtered_ivf,
+        q_ann_filtered_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in q_ann_filtered_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in q_ann_filtered_ivf(spark, sf_dir).collect()
+    }
+    # precision: probed candidates are a subset of the label-filtered
+    # corpus, so any approx pair either appears in the exact top-k with
+    # the same cosine, or ranks below it — never a non-matching row
+    for pair, cos in approx.items():
+        if pair in exact:
+            assert cos == exact[pair]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.4, f"filtered-IVF recall {recall:.2f}"
+
+
 def test_embedding_near_dup_lsh_fallback(spark, sf_dir):
     """Above the driver-collect guard, near-dup pairs re-route through
     LSH candidates + exact rescoring: precision must be exactly 1
@@ -642,9 +672,9 @@ def test_ivf_indexed_serve_memoizes_the_fingerprint(spark, sf_dir):
     calls = {"n": 0}
     real = xs._ivf_index_fingerprint
 
-    def counting(emb, cents):
+    def counting(emb, cents, *a, **kw):
         calls["n"] += 1
-        return real(emb, cents)
+        return real(emb, cents, *a, **kw)
 
     xs._ivf_index_fingerprint = counting
     try:
