@@ -26,49 +26,30 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r13 rotation (VERDICT r12 items 1-3): staleness-first
-    # re-confirmation continues exactly as planned in the r12 STATUS.
-    # Slot 1 is `approx_distinct_quantiles` — REWRITTEN this round
-    # (graduated from rows-only to a hash-matched oracle via its
-    # sketch families' own exactness windows: HLL coupon phase on
-    # per-flag suppliers at lgk=HLL_LGK_EXACT, GK at accuracy >= n
-    # returning the exact rank-ceil(q*n) element — the third
-    # application of the segment_overlap_sketch / heavy_hitter_tokens
-    # move), so the board-rewrites rule applies; slot 2 re-boards
-    # segment_overlap_sketch after its lgk correction. Three slots are
-    # this round's NEW arms, boarded at registration:
-    # semantic_dedup_prod — the measured 100 TB SemDeDup composition
-    # (shard + constant-occupancy cells + Arrow BLAS assigner, the
-    # prod100tb profiler arm) registered with its own fold-argmax
-    # oracle, closing VERDICT r12 item 3 with driver evidence rather
-    # than only a timing — and ann_filtered_topk (X3's
-    # metadata-predicate filtered vector search, pushdown
-    # plan-pinned) — and semantic_dedup_incremental (continuous-ingest
-    # SemDeDup against a persisted cell index, completing the
-    # incremental family). 12 flagship keepers stay for continuity.
-    # The remaining 33 slots drain the oldest
-    # evidence: ALL 8 r6-era rows (the 6 r12 deferrals plus
-    # funnel_conversion and time_travel_read — includes the two
-    # rows-only-by-nature rows anomaly_isolation_forest and, from r7,
-    # anomaly_scores_distributed, whose staleness re-checks are due),
-    # the FULL r7 era (17), and 8 of the 33 r8-era rows chosen
-    # one-per-family (the rest of r8 rotates in r14 by the same
-    # staleness order). After this board no query's latest driver
-    # evidence is older than r8 except the r8 residue itself.
+    # r14 rotation (VERDICT r13 items 1, 3, 4): staleness-first
+    # re-confirmation continues exactly as planned in the r13 STATUS.
+    # Slots 1-2 are this round's NEW arms, boarded at registration:
+    # ann_filtered_ivf — filtered vector search SERVED FROM the
+    # persisted cell-partitioned IVF index (both prunings plan-pinned:
+    # static cell PartitionFilters + pushed label predicate — the
+    # layout composition filtered_topk's docstring argues, closing
+    # VERDICT item 3) — and stream_semantic_dedup — the
+    # continuous-ingest SemDeDup loop as an ACTUAL foreachBatch
+    # micro-batch stream over the persisted cell-index contract
+    # (closing VERDICT item 4). 12 flagship keepers stay for
+    # continuity. The remaining 36 slots drain the oldest evidence:
+    # ALL 25 remaining r8-era rows (incl. the rows-only-by-nature
+    # sketch_incremental_rollup, whose staleness re-check is the last
+    # r8 debt), then 11 of the 34 r9-era rows chosen one-per-family —
+    # triangle_count first (the r13 watchlist's largest unexplained
+    # bench mover rides a fresh driver check beside its floor
+    # attribution). After this board no query's latest driver evidence
+    # is older than r9 except the r9 residue itself, which rotates in
+    # r15 by the same staleness order.
     #
-    # rewrite re-confirmation: the exactness-window graduation
-    "approx_distinct_quantiles",
-    # rewrite re-confirmation: lgk 16→19 after the r13 boundary
-    # bisection (the r12 lgk=16 window actually ended at ~6.1k
-    # distincts, not ~24.5k — exact at every shipped fixture but
-    # FALSE at sf1's 15k users; the corrected window is re-verified
-    # at sf1 and guarded per-decade in tests/test_exactness_windows)
-    "segment_overlap_sketch",
-    # new arms, boarded at registration: the 100 TB SemDeDup config
-    # and filtered vector search (X3's metadata-predicate arm)
-    "semantic_dedup_prod",
-    "ann_filtered_topk",
-    "semantic_dedup_incremental",
+    # new arms, boarded at registration
+    "ann_filtered_ivf",
+    "stream_semantic_dedup",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -82,44 +63,45 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pipeline_full",
     "cdc_apply",
     "pagerank_copurchase",
-    # staleness re-confirmation — the full r6 era (8: the 6 r12
-    # deferrals + funnel_conversion + time_travel_read)
-    "anomaly_isolation_forest",
-    "basket_pairs",
-    "dq_checks",
-    "funnel_conversion",
-    "gapfill_daily_revenue",
-    "rfm_segments",
-    "time_travel_read",
-    "union_segments",
-    # staleness re-confirmation — the full r7 era (17)
-    "ann_ivf_topk",
-    "anomaly_scores_distributed",
-    "dedup_incremental",
-    "dedup_keep_first",
-    "ewma_revenue",
-    "grouping_sets_revenue",
-    "json_quarantine",
-    "jsonl_roundtrip",
-    "mapinarrow_norms",
-    "project_embeddings",
-    "range_frame_activity",
-    "scd2_customer_dim",
-    "session_paths",
-    "similarity_topk",
-    "stream_generator_ingest",
-    "txlog_pruned_read",
-    "zorder_orders_key",
-    # staleness re-confirmation — r8 era (8 of 33, one per family;
-    # the remainder rotates in r14)
-    "anomaly_features",
-    "dedup_substring",
-    "doc_perplexity",
-    "incremental_mv_refresh",
-    "pii_scrub",
-    "pit_join_orders",
-    "range_join_coincident",
-    "stream_socket_ingest",
+    # staleness re-confirmation — the full remaining r8 era (25)
+    "cohort_retention",
+    "dedup_clusters",
+    "doc_fingerprint",
+    "equidepth_histogram",
+    "generator_source",
+    "ingestion_freshness",
+    "inverted_index",
+    "item_recommendations",
+    "mixture_sample",
+    "orc_roundtrip",
+    "pack_training_bins",
+    "pq_codes",
+    "scalar_functions",
+    "segment_overlap_exact",
+    "sketch_incremental_rollup",
+    "skew_salted_join",
+    "sql_shipping_priority",
+    "stream_dedup",
+    "stream_quarantine",
+    "stream_scd2_dim",
+    "stream_txlog_append",
+    "table_profile",
+    "tumbling_window_events",
+    "txlog_bloom_point_read",
+    "window_first_last",
+    # staleness re-confirmation — r9 era (11 of 34, one per family;
+    # the remainder rotates in r15)
+    "athena_manifest_read",
+    "bigram_lm",
+    "cogroup_asof_pandas",
+    "recursive_cte_reach",
+    "split_train_val_test",
+    "stream_dedup_rocksdb",
+    "stream_stream_left_join",
+    "theta_segment_overlap",
+    "triangle_count",
+    "txlog_auto_compact",
+    "udtf_user_sessions",
 )
 
 

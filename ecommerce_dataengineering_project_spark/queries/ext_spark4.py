@@ -26,10 +26,12 @@ the equivalent (often verbatim) SQL:
 - theta sketches (``theta_sketch_agg`` + union/intersection/
   difference): DataSketches set algebra — the only sketch family whose
   INTERSECTION is first-class, which HLL cannot do. Below the nominal
-  entry count (lgk=14 -> 16384) theta sketches are in exact mode, so
-  the driver check at sf<=0.1 (<=15k customers) is bit-exact while the
-  same query at 100 TB degrades gracefully to a bounded-error
-  estimate with fixed-size, map-side-combinable state.
+  entry count (lgk=THETA_LGK -> 16384, explicitly propagated to the
+  UNION whose Spark default is a SMALLER lgk=12 — the r14 audit catch,
+  see THETA_LGK) theta sketches are in exact mode, so the driver check
+  at sf<=0.1 (<=15k customers, verified at sf0.1 itself) is bit-exact
+  while the same query at 100 TB degrades gracefully to a
+  bounded-error estimate with fixed-size, map-side-combinable state.
 
 Scale notes per query live on the functions; none introduce a Python
 row path — everything stays inside codegen/whole-stage JVM execution.
@@ -254,31 +256,50 @@ def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Theta nominal entries: the sketches AND the union must carry it.
+# r14 audit catch (the institutionalized verify-at-the-largest-decade
+# rule, VERDICT r13 item 6, second application after r13's HLL coupon
+# boundary): Spark's `theta_union(a, b)` DEFAULT lgNomEntries is 12,
+# so the union result downsampled to ~4096 retained hashes and the r9
+# docstring's "sf0.1 15k under 16384" claim was FALSE for the union
+# term — measured n_union 14907 != 14999 at sf0.1 while intersection
+# and difference (which carry no nominal cap) stayed exact. The
+# driver's sf0.01 board (1.5k < 4096) was never wrong; the claim was.
+# Passing lgk explicitly to the union restores the full 2^14 window
+# (bisected on this build: exact at 16384 distinct, off-by-one at
+# 16385), now guarded per decade in tests/test_exactness_windows.py.
+THETA_LGK = 14
+
+
 def q_theta_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24/X5: customer-set overlap across half-years via theta sketches.
 
     HLL (X5, `operators/sketches.py`) only unions; theta sketches keep
     the hashed sample, so INTERSECTION and DIFFERENCE are first-class —
     the sketch answer to "how many buyers did H1 and H2 share?" without
-    an exact-distinct shuffle. State is fixed-size (lgk=14 -> <=16384
-    retained hashes) and map-side combinable. Below the nominal entry
-    count the sketch is EXACT (sf0.01 has 1.5k customers, sf0.1 15k —
-    both under 16384), which makes this driver-checkable bit-for-bit
-    against DuckDB's exact COUNT(DISTINCT ...); the estimate-mode error
-    contract at higher cardinality is pinned in tests/test_spark4.py.
+    an exact-distinct shuffle. State is fixed-size (lgk=THETA_LGK ->
+    <=16384 retained hashes) and map-side combinable. Below the nominal
+    entry count — propagated to the UNION too, see THETA_LGK note — the
+    whole algebra is EXACT (sf0.01 has 1.5k customers, sf0.1 15k; both
+    verified AT their decade), which makes this driver-checkable
+    bit-for-bit against DuckDB's exact COUNT(DISTINCT ...); the
+    estimate-mode error contract at higher cardinality is pinned in
+    tests/test_spark4.py.
     """
     o = load_table(spark, sf_dir, "orders")
     mid = F.lit("1996-07-01").cast("timestamp")
     sk = o.agg(
         F.theta_sketch_agg(
-            F.when(F.col("o_orderdate") < mid, F.col("o_custkey")), F.lit(14)
+            F.when(F.col("o_orderdate") < mid, F.col("o_custkey")),
+            F.lit(THETA_LGK),
         ).alias("a"),
         F.theta_sketch_agg(
-            F.when(F.col("o_orderdate") >= mid, F.col("o_custkey")), F.lit(14)
+            F.when(F.col("o_orderdate") >= mid, F.col("o_custkey")),
+            F.lit(THETA_LGK),
         ).alias("b"),
     )
     return sk.select(
-        F.theta_sketch_estimate(F.theta_union("a", "b"))
+        F.theta_sketch_estimate(F.theta_union("a", "b", F.lit(THETA_LGK)))
         .cast("bigint")
         .alias("n_union"),
         F.theta_sketch_estimate(F.theta_intersection("a", "b"))

@@ -1628,3 +1628,259 @@ ORACLES["stream_idle_timer_flush"] = """
     FROM e JOIN runs ON e.user_id = runs.user_id AND e.b = runs.b
     GROUP BY e.user_id, runs.island
 """
+
+
+# --- stream_semantic_dedup (NEW r14, VERDICT r13 item 4) -------------
+
+# Three ingest micro-batches of odd vec_ids, split by vec_id % 6
+# (1/3/5 -> batch 0/1/2) — deterministic boundaries both engines can
+# derive, so the sequential accept-loop is exactly SQL-replayable.
+STREAM_SEM_BATCHES = 3
+_SEM_BOOT_STAGED: set[str] = set()  # per-process, like _SOURCE_CACHE
+
+
+def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest SemDeDup loop as an ACTUAL micro-batch
+    stream (VERDICT r13 item 4): `semantic_dedup_incremental` +
+    `semantic_cell_index` append wired into foreachBatch — the
+    `stream_upsert_gold` pattern — so the persisted-index contract
+    (operators/dedup.py semantic_cell_index docstring) is exercised by
+    a real streaming loop, not only batch fixtures.
+
+    Even vec_ids bootstrap the accepted history's cell index; odd
+    vec_ids replay as three ordered micro-batches. State is ONE
+    decision log, partitioned by ingest epoch: the bootstrap rows land
+    as ``ingest_batch=-1`` (keep=true, hits 0 — accepted history IS a
+    decision), and each micro-batch appends its own epoch directory
+    carrying BOTH the keep/veto verdicts AND the batch vectors+norms —
+    so the persisted cell index is exactly the ``keep`` filter of the
+    log, and each batch costs ONE write job (a separate index table
+    plus a decisions table doubled the per-batch job count for no
+    information; a production deployment would asynchronously compact
+    the keep rows into the cell-bucketed index table the
+    semantic_cell_index docstring prescribes — same contents, done off
+    the ingest path).
+
+    Exactly-once under foreachBatch's at-least-once replay: the write
+    lands in a per-batch directory (overwrite = replace, never
+    double-append), and the index view filters
+    ``ingest_batch < batch_id`` — a replayed batch can never see its
+    OWN partial append as history (which would self-veto every kept
+    row at cosine 1.0 — the acceptance-idempotence hazard pinned in
+    tests/test_similarity.py), so the recompute is bit-identical —
+    tests/test_stream_semantic_dedup.py re-derives each epoch from the
+    log-as-of-its-start and asserts it equals the stored epoch.
+
+    Sequential semantics — deliberately different from the one-shot
+    `semantic_dedup_incremental` fixture: a batch-0 vector that was
+    VETOED never enters the index, so it cannot veto a batch-2
+    newcomer (one-shot, all smaller odd ids veto). This is the true
+    accept-loop a production ingest runs; the oracle replays the same
+    three-step loop in chained SQL CTEs. At 100 TB: per-batch work is
+    (batch x probed cells) with history read partition-pruned to the
+    probe cells when the index is stored bucketed/partitioned by cell
+    — history is never rescanned, the property measured flat
+    (1.94->1.89 s for 10x history) in SCALE.md."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup_incremental,
+    )
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        seeded_centroids,
+        suggest_n_cells,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import (
+        COSINE_THRESHOLD,
+        SEM_CELL_CLAMP,
+        _SEM_INC_CENTROIDS,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        run_bounded_foreach,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    history = emb.where(F.col("vec_id") % 2 == 0)
+    # the index's versioned quantizer — SAME history slice and memo as
+    # the batch incremental arm, so the two arms share one selection
+    if sf_dir not in _SEM_INC_CENTROIDS:
+        lo, hi = SEM_CELL_CLAMP
+        n_cells = suggest_n_cells(history.count(), min_cells=lo, max_cells=hi)
+        _SEM_INC_CENTROIDS[sf_dir] = seeded_centroids(history, n_cells)
+    cents = _SEM_INC_CENTROIDS[sf_dir]
+
+    name = f"sem_dedup_{_sf_key(sf_dir)}"
+    base = os.path.join(TMP_ROOT, "streams", name)
+    dec_dir = os.path.join(base, "decisions")
+    shutil.rmtree(dec_dir, ignore_errors=True)
+    # The bootstrap epoch is a pure function of the (immutable) fixture
+    # + centroids: compute it ONCE per process like staged_source does
+    # for stream inputs, then per run just copy the few files into the
+    # fresh log dir — repeat serves skip the Spark job entirely.
+    boot_dir = os.path.join(
+        TMP_ROOT, "streams", "sources", f"sem_dedup_boot_{_sf_key(sf_dir)}"
+    )
+    if sf_dir not in _SEM_BOOT_STAGED:
+        semantic_cell_index(history, cents).select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.lit(0).cast("bigint").alias("n_history_hits"),
+            F.lit(0).cast("bigint").alias("n_batch_hits"),
+            F.lit(True).alias("keep"),
+            "v",
+            "nrm",
+        ).coalesce(4).write.mode("overwrite").parquet(boot_dir)
+        _SEM_BOOT_STAGED.add(sf_dir)
+    os.makedirs(dec_dir, exist_ok=True)
+    shutil.copytree(boot_dir, os.path.join(dec_dir, "ingest_batch=-1"))
+
+    def stage(source_dir: str):
+        odds = emb.where(F.col("vec_id") % 2 != 0).select("vec_id", "embedding")
+        tagged = odds.withColumn(
+            "__batch", F.expr("cast((vec_id % 6) div 2 as int)")
+        )
+        stage_source_tagged(tagged, STREAM_SEM_BATCHES, source_dir)
+        return StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        )
+
+    src = staged_source(spark, f"sem_dedup_batches_{_sf_key(sf_dir)}", stage)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        idx = (
+            spark.read.parquet(dec_dir)
+            .where(F.col("keep") & (F.col("ingest_batch") < batch_id))
+            .select(F.col("vec_id").alias("vid"), "cell", "v", "nrm")
+        )
+        dec = semantic_dedup_incremental(
+            batch_df, idx, cents, threshold=COSINE_THRESHOLD
+        )
+        # one epoch file per batch: verdicts + the batch's vectors
+        # (broadcast — the batch is bounded by contract), so the next
+        # epoch's index view is just a keep filter over the log
+        nb = semantic_cell_index(batch_df, cents).select("vid", "v", "nrm")
+        out = dec.join(
+            F.broadcast(nb), dec["vec_id"] == nb["vid"]
+        ).select(
+            "vec_id", "cell", "n_history_hits", "n_batch_hits", "keep", "v", "nrm"
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(dec_dir, f"ingest_batch={batch_id}")
+        )
+
+    run_bounded_foreach(spark, name, None, lambda s: s, apply, source=src)
+    return spark.read.parquet(dec_dir).where(F.col("ingest_batch") >= 0).select(
+        "vec_id", "cell", "n_history_hits", "n_batch_hits", "keep", "ingest_batch"
+    )
+
+
+QUERIES["stream_semantic_dedup"] = q_stream_semantic_dedup
+
+
+def _stream_semdedup_oracle() -> str:
+    """Chained-CTE SQL replay of the three-batch accept loop: h{k} is
+    the index as of batch k (bootstrap history, then += each batch's
+    kept rows), d{k} that batch's decisions — the same hh/bh shape as
+    the `semantic_dedup_incremental` oracle, sequenced."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        SEED_MOD,
+        SEED_MULT,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_dedup import (
+        COSINE_THRESHOLD,
+        SEM_CELL_CLAMP,
+        _COS,
+        _sem_cosine,
+    )
+
+    blocks = []
+    for k in range(STREAM_SEM_BATCHES):
+        blocks.append(
+            f"""
+    b{k} AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 6 = {2 * k + 1}),
+    hh{k} AS (
+        SELECT b.vec_id, CAST(COUNT(*) AS BIGINT) AS n_history_hits
+        FROM b{k} b
+        JOIN assign ab ON ab.vec_id = b.vec_id
+        JOIN h{k} h ON h.cell = ab.cell
+        WHERE {_sem_cosine("b", "h")} >= {COSINE_THRESHOLD}
+        GROUP BY 1
+    ),
+    bh{k} AS (
+        SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_batch_hits
+        FROM b{k} a
+        JOIN assign aa ON aa.vec_id = a.vec_id
+        JOIN b{k} p ON p.vec_id < a.vec_id
+        JOIN assign ap ON ap.vec_id = p.vec_id AND ap.cell = aa.cell
+        WHERE {_sem_cosine("a", "p")} >= {COSINE_THRESHOLD}
+        GROUP BY 1
+    ),
+    d{k} AS (
+        SELECT b.vec_id, ab.cell,
+               COALESCE(hh{k}.n_history_hits, 0) AS n_history_hits,
+               COALESCE(bh{k}.n_batch_hits, 0) AS n_batch_hits,
+               (COALESCE(hh{k}.n_history_hits, 0) = 0
+                AND COALESCE(bh{k}.n_batch_hits, 0) = 0) AS keep
+        FROM b{k} b
+        JOIN assign ab ON ab.vec_id = b.vec_id
+        LEFT JOIN hh{k} ON hh{k}.vec_id = b.vec_id
+        LEFT JOIN bh{k} ON bh{k}.vec_id = b.vec_id
+    ),
+    k{k} AS (
+        SELECT d.vec_id, d.cell, b.v, b.nrm
+        FROM d{k} d JOIN b{k} b ON b.vec_id = d.vec_id WHERE d.keep
+    ),
+    h{k + 1} AS (SELECT * FROM h{k} UNION ALL SELECT * FROM k{k})"""
+        )
+    finals = "\n    UNION ALL\n".join(
+        f"""    SELECT vec_id, CAST(cell AS INTEGER) AS cell, n_history_hits,
+           n_batch_hits, keep, CAST({k} AS INTEGER) AS ingest_batch
+    FROM d{k}"""
+        for k in range(STREAM_SEM_BATCHES)
+    )
+    return f"""
+    WITH {_COS},
+    hist AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 2 = 0),
+    cents AS (
+        SELECT cell, cv, halfsq FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell,
+                   LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                       / 2.0 AS halfsq
+            FROM hist
+        ) WHERE cell < (SELECT GREATEST({SEM_CELL_CLAMP[0]},
+                            LEAST({SEM_CELL_CLAMP[1]},
+                                  CAST(FLOOR(SQRT(COUNT(*))) AS INTEGER)))
+                        FROM hist)
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM n e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    h0 AS (
+        SELECT h.vec_id, a.cell, h.v, h.nrm
+        FROM hist h JOIN assign a ON a.vec_id = h.vec_id
+    ),{",".join(blocks)}
+{finals}
+"""
+
+
+ORACLES["stream_semantic_dedup"] = _stream_semdedup_oracle()

@@ -121,6 +121,50 @@ def test_approx_distinct_quantiles_windows(decade):
     )
 
 
+def test_theta_overlap_stays_in_exact_mode(decade):
+    # theta_segment_overlap (queries/ext_spark4.py): DataSketches theta
+    # at lgk=THETA_LGK is exact while the RETAINED set fits, i.e. while
+    # the UNION of distinct customers <= 2^THETA_LGK — bisected r14 on
+    # this Spark build: n=16384 exact, n=16385 estimates 16384 (off by
+    # one), through parallel partial sketches and merges. Applying this
+    # guard for the first time CAUGHT a live bug: Spark's theta_union
+    # defaults to lgNomEntries=12, so the union term silently
+    # downsampled at sf0.1 (14907 != 14999) even though both input
+    # sketches were exact — the query now propagates THETA_LGK into
+    # the union. The oracle's claim covers the SHIPPED decades only
+    # (sf0.1 is ~15k customers, 92% of the window — the tightest
+    # claimed window in the repo); sf1's ~150k customers are documented
+    # estimate-mode, pinned by the error-bound test in
+    # tests/test_spark4.py, so this guard deliberately does NOT extend
+    # to the generated decade.
+    from ecommerce_dataengineering_project_spark.queries.ext_spark4 import THETA_LGK
+
+    if decade.endswith("sf1"):
+        pytest.skip("theta oracle claims shipped decades only")
+    n_cust = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM read_parquet('{decade}/orders.parquet')"
+    ).fetchone()[0]
+    assert n_cust <= 2 ** THETA_LGK, (
+        f"{decade}: {n_cust} distinct customers left theta's lgk={THETA_LGK} "
+        f"exact window (<={2 ** THETA_LGK}) — the theta_segment_overlap "
+        "oracle is no longer bit-exact"
+    )
+
+
+def test_approx_topk_domain_within_tracked_budget(decade):
+    # approx_topk_event_types: approx_top_k counts are exact while the
+    # DOMAIN fits maxItemsTracked (default 10000); the event_type
+    # domain is generator-fixed at 5 values, so the window holds at
+    # every decade including generated sf1 — asserted, not assumed.
+    n_types = duckdb.sql(
+        f"SELECT COUNT(DISTINCT event_type) FROM read_parquet('{decade}/events.parquet')"
+    ).fetchone()[0]
+    assert n_types <= 10_000, (
+        f"{decade}: {n_types} distinct event types exceed approx_top_k's "
+        "maxItemsTracked=10000 — counts may drop to estimate mode"
+    )
+
+
 def test_prod_semdedup_assignment_margin(decade):
     # semantic_dedup_prod's oracle window (ADVICE r13): the BLAS matmul
     # assigner and the fold-argmax oracle compute the same mathematical

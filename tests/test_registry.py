@@ -23,26 +23,27 @@ def test_priority_covers_every_operator_family():
     """One checked representative per family — a family silently falling
     out of the cap is what left streaming/text unverified in round 1."""
     families = {
-        # r13 (VERDICT r12 item 1): staleness-first re-confirmation
-        # drains the r6/r7 eras and starts on r8. fuzzy_/sketch/X24
-        # carry no slot this round BY DESIGN — their rows are r11-r12
-        # green (the freshest evidence on any board); they rotate back
-        # by staleness. Every family below keeps at least one
-        # in-window representative.
-        "stream_": 5,
-        "dedup_": 4,
-        "semantic_dedup": 2,
+        # r14 (VERDICT r13 item 1): staleness-first re-confirmation
+        # drains the full remaining r8 era and starts on r9. The
+        # fuzzy_/anomaly_/sketch-graduation rows carry no slot this
+        # round BY DESIGN — their evidence is r12-r13 green (the
+        # freshest on any board); they rotate back by staleness. Every
+        # family below keeps at least one in-window representative.
+        "stream_": 7,
+        "dedup_": 2,
+        "semantic_dedup": 1,
         "ann_": 1,
-        "anomaly_": 3,
+        "txlog_": 2,
     }
     for prefix, want in families.items():
         got = sum(1 for n in PRIORITY if n.startswith(prefix))
         assert got >= want, f"{prefix}*: {got} < {want} in priority block"
     for name in (
-        # the exactness-window graduation (a rewrite) leads the window
-        "approx_distinct_quantiles",
-        # the round's new arm, boarded at registration
-        "semantic_dedup_prod",
+        # the round's new arms, boarded at registration
+        "ann_filtered_ivf",
+        "stream_semantic_dedup",
+        # the r13 watchlist's largest bench mover rides a fresh check
+        "triangle_count",
         # 12 flagship keepers spanning the families
         "daily_sales", "fct_purchases", "stream_bronze_silver",
         "stream_inventory_restock", "stream_upsert_gold",
@@ -56,16 +57,11 @@ def test_priority_covers_every_operator_family():
 def test_oracle_density_in_priority_block():
     """Rows-only entries burn a verdict slot without a hash check; keep
     them to the genuinely non-SQL-expressible few. This round: exactly
-    TWO, both rows-only BY NATURE (randomized/iterative ML scores) and
-    both boarded because their driver evidence is the board's oldest
-    (r6/r7 — the staleness rotation's whole point). The sketch rows all
-    carry oracles now: approx_distinct_quantiles graduated via its
-    exactness windows this round (see tests/test_exactness_windows.py);
-    sketch_incremental_rollup stays rows-only by nature (KLL k-cap +
-    randomized compaction — SURVEY §5 note) and is NOT boarded."""
+    ONE — sketch_incremental_rollup, rows-only BY NATURE (KLL k-cap +
+    randomized compaction — SURVEY §5 note), boarded because its r8
+    driver evidence is the last of that era (the staleness rotation's
+    whole point). The anomaly_* rows-only pair re-boarded r13 and
+    rotates back by staleness."""
     queries, oracles = registry()
     rows_only = [n for n in PRIORITY if n not in oracles]
-    assert rows_only == [
-        "anomaly_isolation_forest",
-        "anomaly_scores_distributed",
-    ]
+    assert rows_only == ["sketch_incremental_rollup"]
