@@ -89,13 +89,20 @@ PRIORITY: tuple[str, ...] = (
     "tumbling_window_events",
     "txlog_bloom_point_read",
     "window_first_last",
-    # staleness re-confirmation — r9 era (11 of 34, one per family;
-    # the remainder rotates in r15)
+    # board-rewrites rule: xml_roundtrip's write fan-out was rebuilt
+    # this round (fixed repartition(4) -> session-parallel write, the
+    # fifth decade wave's finding), and theta_segment_overlap's union
+    # now carries THETA_LGK explicitly (the r14 exactness-window audit
+    # catch) — both re-boarded with their rewrites
+    "xml_roundtrip",
+    # staleness re-confirmation — r9 era (10 of 34, one per family;
+    # the remainder rotates in r15; split_train_val_test yielded its
+    # slot to the xml_roundtrip rewrite — its corpus family keeps
+    # in-window coverage via the corpus_pipeline_full keeper)
     "athena_manifest_read",
     "bigram_lm",
     "cogroup_asof_pandas",
     "recursive_cte_reach",
-    "split_train_val_test",
     "stream_dedup_rocksdb",
     "stream_stream_left_join",
     "theta_segment_overlap",

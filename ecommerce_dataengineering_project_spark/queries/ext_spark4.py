@@ -629,7 +629,17 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     external jar). Timestamps ride as formatted strings (µs precision,
     same lossless pattern as jsonl_roundtrip: XML's default timestamp
     handling is not µs-safe) and are re-cast on read; the oracle is
-    the source table."""
+    the source table.
+
+    Write fan-out (r14, fifth decade wave): XML's per-row string
+    serialization is the dominant CPU term, so the write must keep the
+    SESSION's parallelism — the original fixed ``repartition(4)``
+    capped serialization at 4 cores forever (measured 5.98x across the
+    sf0.1→sf1 decade on a 2.22x scan floor; the cap is exactly the
+    kind of fixed fan-out that strangles a 1000-executor write). The
+    round-robin exchange only fires when the scan is narrower than the
+    session — at lake scale the scan already carries the
+    parallelism."""
     import os
 
     from ecommerce_dataengineering_project_spark.streaming.harness import TMP_ROOT
@@ -641,12 +651,14 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < par:
+        ev = ev.repartition(par)
     path = os.path.join(
         TMP_ROOT, "xml", f"events_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
     )
     (
-        ev.repartition(4)
-        .write.format("xml")
+        ev.write.format("xml")
         .option("rowTag", "event")
         .mode("overwrite")
         .save(path)
