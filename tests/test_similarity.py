@@ -65,6 +65,50 @@ def test_filtered_ivf_recall_vs_exact_filtered(spark, sf_dir):
     assert recall >= 0.4, f"filtered-IVF recall {recall:.2f}"
 
 
+def test_filtered_ivf_overprobing_dial_recovers_recall(spark, sf_dir):
+    """The documented recall dial (ivf_topk_indexed docstring): under a
+    selective predicate, probing MORE cells must monotonically recover
+    the exact filtered neighbors — at n_probe = n_cells the probed set
+    IS the filtered corpus, so recall is exactly 1. Pins that the
+    over-probe lever actually works, not just that it is argued."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_topk_indexed,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        FILTER_LABEL,
+        N_CELLS,
+        _ivf_index,
+        _queries_df,
+        q_ann_filtered_topk,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_filtered_topk(spark, sf_dir).collect()
+    }
+    path, cents = _ivf_index(spark, sf_dir)
+    prev = -1.0
+    for n_probe in (2, 4, N_CELLS):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk_indexed(
+                spark,
+                _queries_df(spark, sf_dir),
+                path,
+                cents,
+                k=TOP_K,
+                n_probe=n_probe,
+                predicate=F.col("label") == FILTER_LABEL,
+            ).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= prev - 1e-9, f"recall fell raising n_probe to {n_probe}"
+        prev = recall
+    assert prev == 1.0  # full probe == exact filtered search
+
+
 def test_embedding_near_dup_lsh_fallback(spark, sf_dir):
     """Above the driver-collect guard, near-dup pairs re-route through
     LSH candidates + exact rescoring: precision must be exactly 1
