@@ -239,3 +239,58 @@ def test_filtered_ivf_scan_carries_both_prunings(spark, sf_dir):
     j = plan.index("PushedFilters")
     assert "EqualTo(label,3)" in plan[j : j + 260], plan[j : j + 400]
     assert df.count() > 0
+
+
+def test_meta_partitioned_index_prunes_filter_at_planning_time(spark, sf_dir, tmp_path):
+    """The build_ivf_index docstring's stronger layout for
+    ALWAYS-selective predicates: promote the filter column into the
+    index partitioning (label above cell) and the metadata predicate
+    stops being a row-group filter — BOTH prunings become
+    planning-time PartitionFilters, and non-matching label directories
+    are never listed, let alone opened. Results must equal the
+    row-group-filtered form exactly (same vectors survive, same
+    scoring arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        _ivf_corpus_cells_exact,
+        ivf_topk_indexed,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        FILTER_LABEL,
+        TOP_K,
+        N_PROBE,
+        _ivf_index,
+        _queries_df,
+        q_ann_filtered_ivf,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    _, cents = _ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_by_label")
+    (
+        _ivf_corpus_cells_exact(emb, cents, "vec_id", "embedding", ("label",))
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("label", "cell")
+        .parquet(path)
+    )
+    df = ivf_topk_indexed(
+        spark,
+        _queries_df(spark, sf_dir),
+        path,
+        cents,
+        k=TOP_K,
+        n_probe=N_PROBE,
+        predicate=F.col("label") == FILTER_LABEL,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.index("PartitionFilters")
+    window = plan[i : i + 400]
+    assert "cell" in window and "label" in window, window
+    j = plan.index("PushedFilters")
+    assert "EqualTo(label" not in plan[j : j + 260]  # nothing left to push
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, q_ann_filtered_ivf(spark, sf_dir).collect())
+    )
