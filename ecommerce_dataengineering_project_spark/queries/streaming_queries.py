@@ -1681,15 +1681,6 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe cells when the index is stored bucketed/partitioned by cell
     — history is never rescanned, the property measured flat
     (1.94->1.89 s for 10x history) in SCALE.md."""
-    import os
-    import shutil
-
-    from pyspark.sql.types import ArrayType, FloatType
-
-    from ecommerce_dataengineering_project_spark.operators.dedup import (
-        semantic_cell_index,
-        semantic_dedup_incremental,
-    )
     from ecommerce_dataengineering_project_spark.operators.similarity import (
         seeded_centroids,
         suggest_n_cells,
@@ -1698,9 +1689,6 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         COSINE_THRESHOLD,
         SEM_CELL_CLAMP,
         _SEM_INC_CENTROIDS,
-    )
-    from ecommerce_dataengineering_project_spark.streaming.harness import (
-        run_bounded_foreach,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1711,20 +1699,56 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo, hi = SEM_CELL_CLAMP
         n_cells = suggest_n_cells(history.count(), min_cells=lo, max_cells=hi)
         _SEM_INC_CENTROIDS[sf_dir] = seeded_centroids(history, n_cells)
-    cents = _SEM_INC_CENTROIDS[sf_dir]
+    return run_semantic_dedup_stream(
+        spark,
+        f"sem_dedup_{_sf_key(sf_dir)}",
+        history,
+        emb.where(F.col("vec_id") % 2 != 0),
+        F.expr("cast((vec_id % 6) div 2 as int)"),
+        STREAM_SEM_BATCHES,
+        _SEM_INC_CENTROIDS[sf_dir],
+        COSINE_THRESHOLD,
+    )
 
-    name = f"sem_dedup_{_sf_key(sf_dir)}"
-    base = os.path.join(TMP_ROOT, "streams", name)
+
+def run_semantic_dedup_stream(
+    spark: SparkSession,
+    key: str,
+    history: DataFrame,
+    new_vectors: DataFrame,
+    batch_tag,
+    n_batches: int,
+    cents: list,
+    threshold: float,
+) -> DataFrame:
+    """The ingest-dedup micro-batch loop, parameterized so the
+    registered fixture AND the production-condition profiler
+    (tools/profile_semstream_scale.py: FIXED batches, growing history)
+    drive the identical code path. ``key`` names the stream dirs and
+    the per-process staging memos; ``batch_tag`` is an int Column
+    splitting ``new_vectors`` into the ordered ingest epochs."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+        semantic_dedup_incremental,
+    )
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        run_bounded_foreach,
+    )
+
+    base = os.path.join(TMP_ROOT, "streams", key)
     dec_dir = os.path.join(base, "decisions")
     shutil.rmtree(dec_dir, ignore_errors=True)
     # The bootstrap epoch is a pure function of the (immutable) fixture
     # + centroids: compute it ONCE per process like staged_source does
     # for stream inputs, then per run just copy the few files into the
     # fresh log dir — repeat serves skip the Spark job entirely.
-    boot_dir = os.path.join(
-        TMP_ROOT, "streams", "sources", f"sem_dedup_boot_{_sf_key(sf_dir)}"
-    )
-    if sf_dir not in _SEM_BOOT_STAGED:
+    boot_dir = os.path.join(TMP_ROOT, "streams", "sources", f"{key}_boot")
+    if key not in _SEM_BOOT_STAGED:
         semantic_cell_index(history, cents).select(
             F.col("vid").alias("vec_id"),
             "cell",
@@ -1734,16 +1758,15 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
             "nrm",
         ).coalesce(4).write.mode("overwrite").parquet(boot_dir)
-        _SEM_BOOT_STAGED.add(sf_dir)
+        _SEM_BOOT_STAGED.add(key)
     os.makedirs(dec_dir, exist_ok=True)
     shutil.copytree(boot_dir, os.path.join(dec_dir, "ingest_batch=-1"))
 
     def stage(source_dir: str):
-        odds = emb.where(F.col("vec_id") % 2 != 0).select("vec_id", "embedding")
-        tagged = odds.withColumn(
-            "__batch", F.expr("cast((vec_id % 6) div 2 as int)")
+        tagged = new_vectors.select("vec_id", "embedding").withColumn(
+            "__batch", batch_tag
         )
-        stage_source_tagged(tagged, STREAM_SEM_BATCHES, source_dir)
+        stage_source_tagged(tagged, n_batches, source_dir)
         return StructType(
             [
                 StructField("vec_id", LongType()),
@@ -1751,7 +1774,7 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
 
-    src = staged_source(spark, f"sem_dedup_batches_{_sf_key(sf_dir)}", stage)
+    src = staged_source(spark, f"{key}_batches", stage)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         idx = (
@@ -1759,9 +1782,7 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("keep") & (F.col("ingest_batch") < batch_id))
             .select(F.col("vec_id").alias("vid"), "cell", "v", "nrm")
         )
-        dec = semantic_dedup_incremental(
-            batch_df, idx, cents, threshold=COSINE_THRESHOLD
-        )
+        dec = semantic_dedup_incremental(batch_df, idx, cents, threshold=threshold)
         # one epoch file per batch: verdicts + the batch's vectors
         # (broadcast — the batch is bounded by contract), so the next
         # epoch's index view is just a keep filter over the log
@@ -1775,7 +1796,7 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(dec_dir, f"ingest_batch={batch_id}")
         )
 
-    run_bounded_foreach(spark, name, None, lambda s: s, apply, source=src)
+    run_bounded_foreach(spark, key, None, lambda s: s, apply, source=src)
     return spark.read.parquet(dec_dir).where(F.col("ingest_batch") >= 0).select(
         "vec_id", "cell", "n_history_hits", "n_batch_hits", "keep", "ingest_batch"
     )
