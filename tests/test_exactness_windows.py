@@ -62,7 +62,13 @@ def decade(request) -> str:
 def test_segment_overlap_unions_stay_in_coupon_phase(decade):
     # segment_overlap_sketch: every pairwise UNION of per-segment
     # distinct-user sets (the largest cardinality any sketch sees)
-    # must stay inside the coupon phase
+    # must stay inside the coupon phase.
+    # r14 algebra audit (after theta_union's silent lgk=12 default):
+    # hll_union/hll_union_agg carry NO nominal-entries parameter of
+    # their own — probed empirically at lgk=19: union exact at 24576
+    # distinct, off-by-one at 24577, i.e. hll_exact_boundary(19) holds
+    # THROUGH the union, so this guard's boundary is the right one for
+    # the whole HLL algebra, not just the aggregator.
     worst = duckdb.sql(
         f"""
         WITH du AS (SELECT DISTINCT event_type, user_id
