@@ -743,6 +743,98 @@ def build_ivf_index(
     )
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
+) -> None:
+    """Append an ingest batch to an EXISTING :func:`build_ivf_index`
+    table without touching the resident files — the index lifecycle's
+    third verb (build → serve → append). New vectors are assigned with
+    the index's OWN centroids (the versioned-quantizer contract
+    ``semantic_cell_index`` documents: re-fitting per batch would
+    silently re-cell the residents) and land as new files inside the
+    existing ``cell=<id>/`` directories; serving needs no change —
+    the same cell PartitionFilters prune the same directories, now
+    with one more file each. At 100 TB this is the only affordable
+    maintenance mode: a batch append costs (batch assignment + batch
+    write), never a corpus rewrite. Re-center (a fresh
+    :func:`build_ivf_index` under a new fingerprint) only when the
+    quantizer drift monitor (:func:`quantizer_drift`) says the
+    centroids have gone stale — the same refresh-both-together
+    versioning rule as incremental SemDeDup. Serving equivalence with
+    a from-scratch build over the union corpus is pinned in
+    tests/test_similarity.py (bit-identical: same assignment fold,
+    same stored norms)."""
+    (
+        _ivf_corpus_cells_exact(
+            new_vectors, centroids, id_col, vec_col, tuple(meta_cols)
+        )
+        .repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def quantizer_drift(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell quantizer staleness report — the monitor that decides
+    WHEN the append-only index lifecycle must pay for a re-center.
+    For each vector, the squared L2 distance to its assigned centroid
+    (``|v|² − 2·dot(v,c) + |c|²`` — the same fold arithmetic as the
+    assignment, so the report is SQL-oracle-reproducible); per cell:
+    member count, mean and max distance (rounded half-up at 1e-6).
+    Read it like a SemDeDup/IVF ops dashboard: cells whose mean
+    distance grows against the fit-time baseline are absorbing data
+    the centroid no longer represents (recall decays there first);
+    compare snapshots across appends and re-center when the drift
+    crosses the budgeted recall margin. One scan, map-side partial
+    aggregation, no shuffle beyond the |cells|-row agg — safe to run
+    per ingest batch at 100 TB."""
+    from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
+
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", ivf_cell_exact("v", centroids))
+    # dist² to the ASSIGNED centroid via the same per-cell fold scores
+    # the assigner ranks on: score = dot − ½|c|², so
+    # dist² = |v|² − 2·score_assigned — one extra fold (|v|²) plus the
+    # best score recovered from the identical struct array.
+    dist = (
+        dot("v", "v")  # |v|² as the same zip_with fold the oracle uses
+        - 2.0 * F.expr(_assigned_score_sql("v", centroids))
+    )
+    return (
+        v.withColumn("dist2", dist)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            round_half_up(F.avg("dist2"), 6).alias("avg_dist2"),
+            round_half_up(F.max("dist2"), 6).alias("max_dist2"),
+        )
+    )
+
+
+def _assigned_score_sql(vec: str, centroids: list[list[float]]) -> str:
+    """``max(dot(v,c) − ½|c|²)`` over the centroid set — the assigned
+    cell's score, as one SQL expression. The struct scores are stored
+    NEGATED (min == best, ties to the lower cell — _cell_structs), so
+    the best score is −array_min over the same array the assigner
+    sorts: bit-identical arithmetic to the assignment itself."""
+    return (
+        f"-array_min(transform(array({_cell_structs(vec, centroids)}),"
+        " s -> s.negs))"
+    )
+
+
 def ivf_topk_indexed(
     spark,
     queries: DataFrame,

@@ -47,9 +47,12 @@ PRIORITY: tuple[str, ...] = (
     # is older than r9 except the r9 residue itself, which rotates in
     # r15 by the same staleness order.
     #
-    # new arms, boarded at registration
+    # new arms, boarded at registration (ivf_quantizer_drift completes
+    # the index lifecycle: build -> serve -> append [ivf_index_append,
+    # pinned by serving-equivalence tests] -> drift-triggered re-center)
     "ann_filtered_ivf",
     "stream_semantic_dedup",
+    "ivf_quantizer_drift",
     # flagship keepers
     "daily_sales",
     "fct_purchases",
@@ -95,13 +98,14 @@ PRIORITY: tuple[str, ...] = (
     # now carries THETA_LGK explicitly (the r14 exactness-window audit
     # catch) — both re-boarded with their rewrites
     "xml_roundtrip",
-    # staleness re-confirmation — r9 era (10 of 34, one per family;
+    # staleness re-confirmation — r9 era (9 of 34, one per family;
     # the remainder rotates in r15; split_train_val_test yielded its
     # slot to the xml_roundtrip rewrite — its corpus family keeps
-    # in-window coverage via the corpus_pipeline_full keeper)
+    # in-window coverage via the corpus_pipeline_full keeper — and
+    # cogroup_asof_pandas to the ivf_quantizer_drift registration —
+    # the J2 family keeps in-window coverage via pit_join_orders r13)
     "athena_manifest_read",
     "bigram_lm",
-    "cogroup_asof_pandas",
     "recursive_cte_reach",
     "stream_dedup_rocksdb",
     "stream_stream_left_join",

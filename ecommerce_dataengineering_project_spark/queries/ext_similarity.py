@@ -984,3 +984,71 @@ ORACLES["ann_filtered_ivf"] = f"""
         FROM scored
     ) WHERE rank <= {TOP_K}
 """
+
+
+def q_ivf_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index-lifecycle ops (NEW r14): the quantizer staleness
+    report for the persisted IVF index — per cell, member count and
+    mean/max squared distance to the assigned centroid
+    (operators/similarity.quantizer_drift). This is the monitor that
+    closes the build → serve → append loop: appends
+    (`ivf_index_append`) are cheap precisely because centroids are
+    FROZEN with the index, so something must say when frozen has
+    become stale — growing per-cell mean distance against the
+    fit-time snapshot is that signal (recall decays first in the
+    drifted cells). Same seeded centroids as the serving arms, same
+    fold arithmetic as the assignment itself, so the whole report is
+    SQL-oracle-checkable. One scan, map-side partial agg, |cells|-row
+    result — run it per ingest batch at 100 TB."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        quantizer_drift,
+        seeded_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = seeded_centroids(emb, N_CELLS)
+    return quantizer_drift(emb, _IVF_CENTROIDS[sf_dir])
+
+
+QUERIES["ivf_quantizer_drift"] = q_ivf_quantizer_drift
+
+# Same cents/cell_scores CTEs as the IVF serving oracles; dist² =
+# |v|² − 2·(assigned score), assigned = the (s DESC, cell ASC) winner.
+ORACLES["ivf_quantizer_drift"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT cell, cv, halfsq FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell,
+                   LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                       / 2.0 AS halfsq
+            FROM e
+        ) WHERE cell < {N_CELLS}
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell, s FROM (
+            SELECT vec_id, cell, s,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    d AS (
+        SELECT a.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, e.v), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - 2.0 * a.s AS dist2
+        FROM assign a JOIN e ON e.vec_id = a.vec_id
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_vectors,
+           FLOOR(AVG(dist2) * 1000000.0 + 0.5) / 1000000.0 AS avg_dist2,
+           FLOOR(MAX(dist2) * 1000000.0 + 0.5) / 1000000.0 AS max_dist2
+    FROM d GROUP BY cell
+"""

@@ -904,3 +904,78 @@ def test_semantic_dedup_incremental_accepts_what_history_allows(spark, sf_dir):
     for vid in kept_ids:
         assert not gained[vid].keep  # now a history hit of itself
         assert gained[vid].n_history_hits >= 1
+
+
+def test_ivf_index_append_serves_identically_to_full_build(spark, sf_dir, tmp_path):
+    """Index lifecycle (r14): build on half the corpus, APPEND the
+    other half with the frozen centroids, and serving must be
+    bit-identical to a from-scratch build over the whole corpus —
+    same assignment fold, same stored norms, just more files per cell
+    directory. This is what makes index maintenance affordable at
+    100 TB: appends cost (batch assignment + batch write), re-centers
+    are a deliberate, drift-triggered event."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        N_CELLS,
+        N_PROBE,
+        _queries_df,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(emb, N_CELLS)
+    full, grown = str(tmp_path / "full"), str(tmp_path / "grown")
+    build_ivf_index(emb, cents, full)
+    build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), cents, grown)
+    ivf_index_append(emb.where(F.col("vec_id") % 2 != 0), cents, grown)
+    q = _queries_df(spark, sf_dir)
+    served_full = sorted(
+        map(tuple, ivf_topk_indexed(spark, q, full, cents, k=TOP_K, n_probe=N_PROBE).collect())
+    )
+    served_grown = sorted(
+        map(tuple, ivf_topk_indexed(spark, q, grown, cents, k=TOP_K, n_probe=N_PROBE).collect())
+    )
+    assert served_full == served_grown
+
+
+def test_quantizer_drift_flags_the_drifted_cell(spark):
+    """Semantics pin for the staleness monitor: vectors near their
+    centroid report ~0 distance; a cell absorbing far-away appends
+    reports the growth. Constructed: centroid axes e0/e1; residents on
+    the axes (dist² 0), then appends near e1 at distance d — cell 1's
+    mean rises by exactly the appended mass while cell 0 is
+    untouched."""
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        quantizer_drift,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    schema = "vec_id bigint, embedding array<double>"
+    resident = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], schema
+    )
+    base = {
+        r["cell"]: (r["n_vectors"], r["avg_dist2"], r["max_dist2"])
+        for r in quantizer_drift(resident, cents).collect()
+    }
+    assert base == {0: (1, 0.0, 0.0), 1: (1, 0.0, 0.0)}
+    grown = resident.unionByName(
+        spark.createDataFrame([(2, [0.3, 1.0]), (3, [0.5, 1.0])], schema)
+    )
+    after = {
+        r["cell"]: (r["n_vectors"], r["avg_dist2"], r["max_dist2"])
+        for r in quantizer_drift(grown, cents).collect()
+    }
+    assert after[0] == (1, 0.0, 0.0)  # undrifted cell untouched
+    n, avg, mx = after[1]
+    assert n == 3
+    # dist² of [0.3,1] and [0.5,1] to e1 are 0.09 and 0.25; the report
+    # rounds half-up at 1e-6, so compare at that granularity
+    assert abs(avg - (0.0 + 0.09 + 0.25) / 3) <= 5e-7
+    assert abs(mx - 0.25) <= 5e-7
