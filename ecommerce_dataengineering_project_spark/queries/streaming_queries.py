@@ -1667,7 +1667,12 @@ def q_stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ingest_batch < batch_id`` — a replayed batch can never see its
     OWN partial append as history (which would self-veto every kept
     row at cosine 1.0 — the acceptance-idempotence hazard pinned in
-    tests/test_similarity.py), so the recompute is bit-identical —
+    tests/test_similarity.py). The log read declares its schema
+    explicitly (r15), so planning never opens a leaf footer and the
+    prefix filter partition-prunes a crashed batch's partial epoch
+    directory before any of its files are touched — self-recovery
+    holds even when the partial file is corrupt. The recompute is
+    bit-identical —
     tests/test_stream_semantic_dedup.py re-derives each epoch from the
     log-as-of-its-start and asserts it equals the stored epoch.
 
@@ -1776,9 +1781,23 @@ def run_semantic_dedup_stream(
 
     src = staged_source(spark, f"{key}_batches", stage)
 
+    # Explicit log schema: the per-batch index read must NOT infer its
+    # schema from leaf files — inference opens parquet footers before
+    # partition pruning applies, so a crashed batch's partial epoch
+    # file could fail the read on retry and wedge the stream (no wrong
+    # data, but no self-recovery). With the schema declared, planning
+    # never opens a footer and the ``ingest_batch < batch_id`` prefix
+    # filter prunes the retried batch's own directory before any of
+    # its files are touched (r14 ADVICE).
+    log_schema = (
+        "vec_id bigint, cell int, n_history_hits bigint, "
+        "n_batch_hits bigint, keep boolean, v array<double>, "
+        "nrm double, ingest_batch int"
+    )
+
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         idx = (
-            spark.read.parquet(dec_dir)
+            spark.read.schema(log_schema).parquet(dec_dir)
             .where(F.col("keep") & (F.col("ingest_batch") < batch_id))
             .select(F.col("vec_id").alias("vid"), "cell", "v", "nrm")
         )
@@ -1797,7 +1816,7 @@ def run_semantic_dedup_stream(
         )
 
     run_bounded_foreach(spark, key, None, lambda s: s, apply, source=src)
-    return spark.read.parquet(dec_dir).where(F.col("ingest_batch") >= 0).select(
+    return spark.read.schema(log_schema).parquet(dec_dir).where(F.col("ingest_batch") >= 0).select(
         "vec_id", "cell", "n_history_hits", "n_batch_hits", "keep", "ingest_batch"
     )
 

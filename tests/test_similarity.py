@@ -42,7 +42,10 @@ def test_filtered_ivf_recall_vs_exact_filtered(spark, sf_dir):
     meaningful share of the exact filtered neighbors, and every emitted
     pair must be a TRUE label-filtered pair with the identical rounded
     cosine (precision 1 — the index rescores exactly)."""
+    from pyspark.sql import functions as F
+
     from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        FILTER_LABEL,
         q_ann_filtered_ivf,
         q_ann_filtered_topk,
     )
@@ -55,12 +58,24 @@ def test_filtered_ivf_recall_vs_exact_filtered(spark, sf_dir):
         (r.query_id, r.neighbor_id): r.cosine
         for r in q_ann_filtered_ivf(spark, sf_dir).collect()
     }
-    # precision: probed candidates are a subset of the label-filtered
-    # corpus, so any approx pair either appears in the exact top-k with
-    # the same cosine, or ranks below it — never a non-matching row
-    for pair, cos in approx.items():
-        if pair in exact:
-            assert cos == exact[pair]
+    # precision 1, both halves (r14 ADVICE: the cosine check alone only
+    # covered pairs that also rank in the exact top-k): EVERY emitted
+    # neighbor must belong to the label-filtered corpus — the pushed
+    # predicate may drop no survivor and admit no non-matching row —
+    # and pairs shared with the exact arm rescore identically
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    allowed = {
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") == FILTER_LABEL)
+        .select("vec_id")
+        .collect()
+    }
+    for (qid, nid), cos in approx.items():
+        assert nid in allowed, f"neighbor {nid} of query {qid} is not label={FILTER_LABEL}"
+        if (qid, nid) in exact:
+            assert cos == exact[(qid, nid)]
     recall = len(set(approx) & set(exact)) / len(exact)
     assert recall >= 0.4, f"filtered-IVF recall {recall:.2f}"
 
