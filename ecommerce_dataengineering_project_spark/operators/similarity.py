@@ -703,6 +703,99 @@ def _ivf_score_and_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF index lifecycle: build -> serve -> append -> drift -> re-center.
+# The quantizer manifest is the version contract that keeps the verbs
+# honest: every index carries the sha of the EXACT centroid literals it
+# was assigned with, so an append under re-fitted centroids (silent
+# re-celling), an append with a different stored-meta schema (silent
+# mixed-schema cells whose pushed predicates drop appended rows), or a
+# serve with a pre-re-center quantizer (stale probes) all fail fast
+# instead of silently degrading recall.
+# ---------------------------------------------------------------------------
+
+QUANTIZER_MANIFEST = "_quantizer.json"
+
+
+def centroid_sha(centroids: list[list[float]]) -> str:
+    """Version hash of a centroid set: sha256 over the exact repr of
+    the float lists (repr round-trips IEEE doubles, so two centroid
+    sets share a sha iff they are bit-identical)."""
+    return hashlib.sha256(
+        repr([[float(x) for x in c] for c in centroids]).encode()
+    ).hexdigest()[:16]
+
+
+def write_quantizer_manifest(
+    path: str, centroids: list[list[float]], meta_cols: tuple[str, ...], version: int
+) -> None:
+    """Atomically (write + rename) persist the index's quantizer
+    contract beside its cell directories. Underscore-prefixed, so
+    Spark's file listing never sees it as data."""
+    import json
+    import os
+
+    doc = {
+        "version": version,
+        "centroid_sha": centroid_sha(centroids),
+        "n_cells": len(centroids),
+        "dim": len(centroids[0]) if centroids else 0,
+        "meta_cols": list(meta_cols),
+    }
+    tmp = os.path.join(path, QUANTIZER_MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, os.path.join(path, QUANTIZER_MANIFEST))
+
+
+def read_quantizer_manifest(path: str) -> dict | None:
+    """The index's quantizer contract, or None for a pre-manifest
+    directory (a serve against one skips the staleness check; the
+    lifecycle verbs require the manifest and refuse)."""
+    import json
+    import os
+
+    p = os.path.join(path, QUANTIZER_MANIFEST)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def _require_manifest(
+    path: str, centroids: list[list[float]], meta_cols: tuple[str, ...] | None, verb: str
+) -> dict:
+    """Fail-fast gate for the mutation verbs (append / re-center):
+    the target must be a manifest-bearing index whose frozen quantizer
+    matches ``centroids`` bit-for-bit and (when ``meta_cols`` is given)
+    whose stored-meta schema matches the incoming frame's — a mismatch
+    would write mixed-schema files into the cell partitions, and
+    filtered serving's pushed predicate would then silently exclude
+    the rows whose files lack the column (r14 ADVICE)."""
+    man = read_quantizer_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"{verb}: no {QUANTIZER_MANIFEST} at {path} — the lifecycle verbs "
+            "require an index written by build_ivf_index (which records the "
+            "frozen quantizer); rebuild the index to adopt the manifest"
+        )
+    got = centroid_sha(centroids)
+    if man["centroid_sha"] != got:
+        raise ValueError(
+            f"{verb}: quantizer mismatch — index at {path} is version "
+            f"{man['version']} with centroid sha {man['centroid_sha']}, caller "
+            f"passed sha {got}; appends/serves must use the index's OWN frozen "
+            "centroids (re-fitting per batch silently re-cells the residents)"
+        )
+    if meta_cols is not None and list(meta_cols) != man["meta_cols"]:
+        raise ValueError(
+            f"{verb}: meta-column mismatch — index stores {man['meta_cols']}, "
+            f"caller passed {list(meta_cols)}; a mixed-schema append would make "
+            "filtered serving silently drop rows from files lacking the column"
+        )
+    return man
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -741,6 +834,7 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(path)
     )
+    write_quantizer_manifest(path, centroids, tuple(meta_cols), version=1)
 
 
 def ivf_index_append(
@@ -750,6 +844,7 @@ def ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     meta_cols: tuple[str, ...] = (),
+    max_files_per_cell: int | None = None,
 ) -> None:
     """Append an ingest batch to an EXISTING :func:`build_ivf_index`
     table without touching the resident files — the index lifecycle's
@@ -768,7 +863,23 @@ def ivf_index_append(
     versioning rule as incremental SemDeDup. Serving equivalence with
     a from-scratch build over the union corpus is pinned in
     tests/test_similarity.py (bit-identical: same assignment fold,
-    same stored norms)."""
+    same stored norms).
+
+    The append is gated on the index's quantizer manifest: the passed
+    centroids must be the index's OWN frozen set (bit-for-bit) and
+    ``meta_cols`` must equal the stored schema — both mismatches fail
+    fast instead of silently writing re-celled or mixed-schema files.
+
+    ``max_files_per_cell``: the small-file hygiene hook — every append
+    adds >=1 file per touched cell directory, and probe-scan cost
+    grows with file count, not bytes (the same pressure
+    ``sources/txlog.py auto_compact`` answers for streaming appends).
+    When set, cells whose file count exceeds the threshold are
+    bin-packed back down with the staged-swap rewrite
+    (:func:`ecommerce_dataengineering_project_spark.sources.maintenance.compact_partitioned`
+    — cold cells' files untouched, crash leaves originals intact);
+    served results are value-identical, pinned in tests."""
+    _require_manifest(path, centroids, tuple(meta_cols), "ivf_index_append")
     (
         _ivf_corpus_cells_exact(
             new_vectors, centroids, id_col, vec_col, tuple(meta_cols)
@@ -778,6 +889,14 @@ def ivf_index_append(
         .partitionBy("cell")
         .parquet(path)
     )
+    if max_files_per_cell is not None:
+        from ecommerce_dataengineering_project_spark.sources.maintenance import (
+            compact_partitioned,
+        )
+
+        compact_partitioned(
+            new_vectors.sparkSession, path, target_files=max_files_per_cell
+        )
 
 
 def quantizer_drift(
@@ -821,6 +940,151 @@ def quantizer_drift(
             round_half_up(F.max("dist2"), 6).alias("max_dist2"),
         )
     )
+
+
+RECENTER_SCALE = 1_000_000
+
+
+def recenter_centroids(
+    index_members: DataFrame,
+    centroids: list[list[float]],
+    cells: list[int],
+    vec_col: str = "cv",
+    cell_col: str = "cell",
+    scale: int = RECENTER_SCALE,
+) -> list[list[float]]:
+    """Lloyd-step centroids for the flagged cells only: each flagged
+    cell's centroid moves to the mean of its CURRENT members; every
+    other centroid is returned untouched.
+
+    The mean is computed in FIXED POINT — each coordinate quantized to
+    ``round_half_up(x * scale)`` as int64, summed exactly (integer
+    addition is commutative/associative, so the result is independent
+    of partitioning and engine), divided once in double at the end.
+    That is what makes a re-center deterministic enough to be
+    SQL-oracle-checked AND reproducible across cluster layouts — a
+    float mean's accumulation order is engine- and partition-specific.
+    Quantization error is <= 0.5/scale per coordinate, far inside a
+    coarse quantizer's tolerance (cells are kilometer markers, not
+    survey pins).
+
+    ``index_members`` is the persisted index relation (vectors under
+    ``vec_col``); the scan is pruned to the flagged cells' directories
+    via the ``cell`` partition column — at 100 TB a re-center reads
+    ONLY the drifted cells, never the resident corpus
+    (plan-pinned in tests/test_layout.py). The per-cell coordinate agg
+    is map-side partial (|flagged| x dim result rows)."""
+    flagged = sorted(set(cells))
+    rows = (
+        index_members.where(F.col(cell_col).isin(flagged))
+        .select(F.col(cell_col).alias("c"), F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("c", "pos")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(FLOOR(x * {float(scale)!r} + 0.5) AS BIGINT)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    sums: dict[tuple[int, int], int] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        sums[(r["c"], r["pos"])] = r["s"]
+        counts[r["c"]] = r["n"]
+    dim = len(centroids[0]) if centroids else 0
+    new = [list(map(float, c)) for c in centroids]
+    for c in flagged:
+        n = counts.get(c, 0)
+        if n == 0:
+            continue  # an empty flagged cell keeps its centroid
+        new[c] = [sums[(c, p)] / (n * float(scale)) for p in range(dim)]
+    return new
+
+
+def ivf_recenter(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    cells: list[int],
+    vec_col: str = "cv",
+    scale: int = RECENTER_SCALE,
+) -> tuple[list[list[float]], dict]:
+    """Drift-triggered re-center — the verb that closes the IVF index
+    lifecycle (build → serve → append → monitor → RE-CENTER). The
+    drift report (:func:`quantizer_drift`) is the work list: flagged
+    ``cells`` get fresh centroids from their current members
+    (:func:`recenter_centroids`, reading ONLY the flagged cells'
+    directories), then ONE pass over the index reassigns every stored
+    vector under the updated centroid set and rewrites ONLY the cell
+    directories whose membership changed (dynamic partition overwrite
+    — untouched cells' files stay byte-identical; a cell emptied by
+    the moves has its directory dropped). Finally the quantizer
+    manifest version bumps with the new centroid sha, so any serve or
+    append still holding the pre-re-center centroids fails fast
+    instead of probing stale cells.
+
+    Returns ``(new_centroids, stats)`` where stats carries
+    ``moved`` (vectors that changed cell), ``rewritten_cells``,
+    ``emptied`` and the new manifest ``version``. Serving equivalence
+    with a from-scratch :func:`build_ivf_index` under the new
+    centroids is pinned in tests/test_similarity.py.
+
+    At 100 TB: cost = (flagged-cell scan) + (one assignment pass over
+    the index) + (rewrite of changed cells only). The assignment pass
+    is a map-only scan — the unavoidable term, since moving a centroid
+    can pull vectors in from ANY cell; the write is bounded by how
+    much membership actually changed, which is exactly the quantity a
+    re-center exists to fix."""
+    import os
+    import shutil
+
+    man = _require_manifest(path, centroids, None, "ivf_recenter")
+    idx = spark.read.parquet(path)
+    new_cents = recenter_centroids(
+        idx, centroids, cells, vec_col=vec_col, scale=scale
+    )
+    re = idx.withColumn(
+        "new_cell", cell_assign(F.col(vec_col), new_cents, vec_col)
+    )
+    movers = re.where(F.col("new_cell") != F.col("cell"))
+    pair_counts = movers.groupBy("cell", "new_cell").count().collect()
+    moved = sum(r["count"] for r in pair_counts)
+    affected = sorted(
+        {r["cell"] for r in pair_counts} | {r["new_cell"] for r in pair_counts}
+    )
+    emptied: list[int] = []
+    if affected:
+        staged = (
+            re.where(F.col("new_cell").isin(affected))
+            .drop("cell")
+            .withColumnRenamed("new_cell", "cell")
+            # truncate lineage so the overwrite no longer reads from
+            # its own target (same stage-then-overwrite commit as
+            # maintenance.merge_upsert_path); materialized state is
+            # bounded by the affected cells' rows, not the index
+            .localCheckpoint(eager=True)
+        )
+        present = {r["cell"] for r in staged.select("cell").distinct().collect()}
+        emptied = sorted(set(affected) - present)
+        # Session-conf set/restore, not a writer option — same PySpark
+        # 4.1.2 constraint sources/maintenance.merge_upsert documents.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            staged.write.mode("overwrite").partitionBy("cell").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for c in emptied:  # dynamic overwrite never saw these cells
+            shutil.rmtree(os.path.join(path, f"cell={c}"), ignore_errors=True)
+    version = man["version"] + 1
+    write_quantizer_manifest(path, new_cents, tuple(man["meta_cols"]), version)
+    return new_cents, {
+        "moved": moved,
+        "rewritten_cells": affected,
+        "emptied": emptied,
+        "version": version,
+    }
 
 
 def _assigned_score_sql(vec: str, centroids: list[list[float]]) -> str:
@@ -874,6 +1138,14 @@ def ivf_topk_indexed(
     column of the index itself (``build_ivf_index`` meta docstring)
     so pre-filtering is free at planning time.
     """
+    man = read_quantizer_manifest(index_path)
+    if man is not None and man["centroid_sha"] != centroid_sha(centroids):
+        raise ValueError(
+            f"ivf_topk_indexed: stale quantizer — index at {index_path} is "
+            f"version {man['version']} (sha {man['centroid_sha']}), caller "
+            f"probes with sha {centroid_sha(centroids)}; after a re-center, "
+            "serving must adopt the re-centered centroid set"
+        )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -26,93 +26,85 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # stay registered, tested locally, and would be checked under a larger
 # cap, but never displace a distinct operator from a verdict slot.
 PRIORITY: tuple[str, ...] = (
-    # r14 rotation (VERDICT r13 items 1, 3, 4): staleness-first
-    # re-confirmation continues exactly as planned in the r13 STATUS.
-    # Slots 1-2 are this round's NEW arms, boarded at registration:
-    # ann_filtered_ivf — filtered vector search SERVED FROM the
-    # persisted cell-partitioned IVF index (both prunings plan-pinned:
-    # static cell PartitionFilters + pushed label predicate — the
-    # layout composition filtered_topk's docstring argues, closing
-    # VERDICT item 3) — and stream_semantic_dedup — the
-    # continuous-ingest SemDeDup loop as an ACTUAL foreachBatch
-    # micro-batch stream over the persisted cell-index contract
-    # (closing VERDICT item 4). 12 flagship keepers stay for
-    # continuity. The remaining 36 slots drain the oldest evidence:
-    # ALL 25 remaining r8-era rows (incl. the rows-only-by-nature
-    # sketch_incremental_rollup, whose staleness re-check is the last
-    # r8 debt), then 11 of the 34 r9-era rows chosen one-per-family —
-    # triangle_count first (the r13 watchlist's largest unexplained
-    # bench mover rides a fresh driver check beside its floor
-    # attribution). After this board no query's latest driver evidence
-    # is older than r9 except the r9 residue itself, which rotates in
-    # r15 by the same staleness order.
+    # r15 rotation (VERDICT r14 items 1, 3): staleness-first
+    # re-confirmation continues exactly as the r14 STATUS planned.
+    # Slot 1 is this round's NEW arm, boarded at registration:
+    # ivf_recenter — the drift-triggered re-center that closes the IVF
+    # index lifecycle (build -> serve -> append -> monitor ->
+    # RE-CENTER): fixed-point Lloyd-step centroids for the flagged
+    # cells, membership-changed cell directories rewritten via dynamic
+    # partition overwrite, quantizer manifest version bump so stale
+    # serves fail fast. Slots 2-4 are board-rewrites: the index
+    # lifecycle now carries the quantizer manifest (_quantizer.json +
+    # fingerprint fmt2), which changes the executed serve path of
+    # ann_ivf_indexed (r13 evidence) and ann_filtered_ivf, and
+    # stream_semantic_dedup's decision-log read is now explicit-schema
+    # (crash-replay hardening) — all three re-boarded with their
+    # rewrites. 10 flagship keepers stay for continuity
+    # (bucketed_join_revenue and dedup_incremental_minhash yield their
+    # keeper slots to the re-boards — both r14-green, families covered
+    # by semantic_dedup / corpus_pipeline_full / the join keepers).
+    # The remaining 36 slots drain the oldest evidence: ALL 25
+    # remaining r9-era rows, then 11 r10-era rows one-per-family
+    # (txlog_change_feed represents the 13-row txlog r10 block; the
+    # rest of the r10 era rotates in r16 by the same staleness order).
+    # After this board no query's latest driver evidence is older
+    # than r10.
     #
-    # new arms, boarded at registration (ivf_quantizer_drift completes
-    # the index lifecycle: build -> serve -> append [ivf_index_append,
-    # pinned by serving-equivalence tests] -> drift-triggered re-center)
+    # new arm + lifecycle re-boards
+    "ivf_recenter",
+    "ann_ivf_indexed",
     "ann_filtered_ivf",
     "stream_semantic_dedup",
-    "ivf_quantizer_drift",
-    # flagship keepers
+    # flagship keepers (10)
     "daily_sales",
     "fct_purchases",
     "stream_bronze_silver",
     "stream_inventory_restock",
     "stream_upsert_gold",
     "sdp_pipeline_daily",
-    "bucketed_join_revenue",
-    "dedup_incremental_minhash",
     "semantic_dedup",
     "corpus_pipeline_full",
     "cdc_apply",
     "pagerank_copurchase",
-    # staleness re-confirmation — the full remaining r8 era (25)
-    "cohort_retention",
-    "dedup_clusters",
-    "doc_fingerprint",
-    "equidepth_histogram",
-    "generator_source",
-    "ingestion_freshness",
-    "inverted_index",
-    "item_recommendations",
-    "mixture_sample",
-    "orc_roundtrip",
-    "pack_training_bins",
-    "pq_codes",
-    "scalar_functions",
-    "segment_overlap_exact",
-    "sketch_incremental_rollup",
-    "skew_salted_join",
-    "sql_shipping_priority",
-    "stream_dedup",
-    "stream_quarantine",
-    "stream_scd2_dim",
-    "stream_txlog_append",
-    "table_profile",
-    "tumbling_window_events",
-    "txlog_bloom_point_read",
-    "window_first_last",
-    # board-rewrites rule: xml_roundtrip's write fan-out was rebuilt
-    # this round (fixed repartition(4) -> session-parallel write, the
-    # fifth decade wave's finding), and theta_segment_overlap's union
-    # now carries THETA_LGK explicitly (the r14 exactness-window audit
-    # catch) — both re-boarded with their rewrites
-    "xml_roundtrip",
-    # staleness re-confirmation — r9 era (9 of 34, one per family;
-    # the remainder rotates in r15; split_train_val_test yielded its
-    # slot to the xml_roundtrip rewrite — its corpus family keeps
-    # in-window coverage via the corpus_pipeline_full keeper — and
-    # cogroup_asof_pandas to the ivf_quantizer_drift registration —
-    # the J2 family keeps in-window coverage via pit_join_orders r13)
-    "athena_manifest_read",
-    "bigram_lm",
-    "recursive_cte_reach",
-    "stream_dedup_rocksdb",
-    "stream_stream_left_join",
-    "theta_segment_overlap",
-    "triangle_count",
-    "txlog_auto_compact",
-    "udtf_user_sessions",
+    # staleness re-confirmation — the full remaining r9 era (25)
+    "array_functions",
+    "attribution_last_touch",
+    "binary_files_ingest",
+    "bpe_pair_counts",
+    "cogroup_asof_pandas",
+    "corpus_report",
+    "curriculum_order",
+    "datasource_write_roundtrip",
+    "doc_familiarity",
+    "lateral_topk_orders",
+    "mv_routed_daily_sales",
+    "ngram_repetition",
+    "observed_dq_metrics",
+    "padding_batches",
+    "revenue_histogram",
+    "shuffle_corpus",
+    "split_train_val_test",
+    "sql_udf_pricing",
+    "statestore_inspect",
+    "stream_dedup_then_window",
+    "stream_fanout_two_tables",
+    "token_histogram",
+    "unpivot_returnflag",
+    "variant_shred_events",
+    "vocab_coverage",
+    # staleness re-confirmation — r10 era (11 of 30, one per family)
+    "approx_topk_event_types",
+    "arrow_udf_tokens",
+    "bloom_semi_reduce",
+    "bpe_encode_tokens",
+    "dpp_partitioned_join",
+    "generator_pushdown_scan",
+    "mmr_diversified_topk",
+    "mv_cdf_refresh",
+    "reservoir_per_language",
+    "stream_timer_sessions",
+    "txlog_change_feed",
 )
 
 

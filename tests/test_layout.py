@@ -294,3 +294,43 @@ def test_meta_partitioned_index_prunes_filter_at_planning_time(spark, sf_dir, tm
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, q_ann_filtered_ivf(spark, sf_dir).collect())
     )
+
+
+def test_recenter_member_scan_prunes_to_flagged_cells(spark, sf_dir, tmp_path):
+    """recenter_centroids reads ONLY the flagged cells' directories —
+    at 100 TB a re-center's mean pass must never touch the resident
+    corpus. The member aggregation's index scan must carry the flagged
+    cells as a static PartitionFilter."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        RECENTER_SCALE,
+        build_ivf_index,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import N_CELLS
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(emb, N_CELLS)
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, cents, path)
+    # the exact relation recenter_centroids aggregates over
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin([2, 5]))
+        .select(F.col("cell").alias("c"), F.posexplode(F.col("cv")).alias("pos", "x"))
+        .groupBy("c", "pos")
+        .agg(
+            F.sum(
+                F.expr(f"CAST(FLOOR(x * {float(RECENTER_SCALE)!r} + 0.5) AS BIGINT)")
+            ).alias("s")
+        )
+    )
+    import re
+
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    i = plan.index("PartitionFilters")
+    window = plan[i : i + 300]
+    assert re.search(r"cell#\d+ IN \(2,5\)", window), window
+    assert scan.count() == 2 * 64  # two cells x dim coordinate rows

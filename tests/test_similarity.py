@@ -994,3 +994,182 @@ def test_quantizer_drift_flags_the_drifted_cell(spark):
     # rounds half-up at 1e-6, so compare at that granularity
     assert abs(avg - (0.0 + 0.09 + 0.25) / 3) <= 5e-7
     assert abs(mx - 0.25) <= 5e-7
+
+
+def _mk_index(spark, tmp_path, rows, cents, name="idx", meta=()):
+    schema = "vec_id bigint, embedding array<double>" + (
+        ", " + ", ".join(f"{m} int" for m in meta) if meta else ""
+    )
+    from ecommerce_dataengineering_project_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / name)
+    build_ivf_index(
+        spark.createDataFrame(rows, schema), cents, path, meta_cols=tuple(meta)
+    )
+    return path
+
+
+def test_ivf_append_rejects_foreign_centroids_and_meta(spark, tmp_path):
+    """Fail-fast gates on the append verb (r14 ADVICE): an append under
+    re-fitted centroids would silently re-cell the residents, and an
+    append with a different meta_cols tuple would write mixed-schema
+    files whose missing column makes filtered serving silently drop the
+    appended vectors — both must refuse loudly, not degrade recall."""
+    import pytest
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_index_append,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = _mk_index(
+        spark, tmp_path, [(0, [1.0, 0.1], 1), (1, [0.1, 1.0], 2)], cents, meta=("label",)
+    )
+    batch = spark.createDataFrame(
+        [(2, [0.9, 0.0], 3)], "vec_id bigint, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        ivf_index_append(batch, [[0.5, 0.5], [0.0, 1.0]], path, meta_cols=("label",))
+    with pytest.raises(ValueError, match="meta-column mismatch"):
+        ivf_index_append(batch, cents, path, meta_cols=())
+    ivf_index_append(batch, cents, path, meta_cols=("label",))  # matching: OK
+
+
+def test_ivf_append_compaction_bounds_files_serving_identical(spark, sf_dir, tmp_path):
+    """The small-file hygiene hook (VERDICT r14 item 4): every append
+    adds >=1 file per touched cell; with max_files_per_cell set, hot
+    cells bin-pack back down to the threshold and served results stay
+    value-identical. Probe-scan cost tracks file count at 100 TB, so
+    an append-only deployment needs exactly this dial."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        N_CELLS,
+        N_PROBE,
+        _queries_df,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(emb, N_CELLS)
+    loose, packed = str(tmp_path / "loose"), str(tmp_path / "packed")
+    for path, cap in ((loose, None), (packed, 1)):
+        build_ivf_index(emb.where(F.col("vec_id") % 3 == 0), cents, path)
+        for rem in (1, 2):  # two appends -> up to 3 files per cell
+            ivf_index_append(
+                emb.where(F.col("vec_id") % 3 == rem), cents, path,
+                max_files_per_cell=cap,
+            )
+    max_files = max(
+        len(glob.glob(os.path.join(d, "*.parquet")))
+        for d in glob.glob(os.path.join(packed, "cell=*"))
+    )
+    assert max_files <= 1, f"compaction left {max_files} files in a cell"
+    q = _queries_df(spark, sf_dir)
+    a = sorted(map(tuple, ivf_topk_indexed(spark, q, loose, cents, n_probe=N_PROBE).collect()))
+    b = sorted(map(tuple, ivf_topk_indexed(spark, q, packed, cents, n_probe=N_PROBE).collect()))
+    assert a == b
+
+
+def test_ivf_recenter_no_movers_touches_no_files_and_bumps_version(spark, tmp_path):
+    """Re-center semantics pin, the quiet case: tight clusters whose
+    flagged centroid moves WITHOUT changing any membership must leave
+    every data file byte-identical (the rewrite set is membership
+    changes, not flagged cells) while still bumping the quantizer
+    manifest — after which serving with the pre-re-center centroids
+    must refuse (the staleness contract)."""
+    import glob
+    import os
+
+    import pytest
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_recenter,
+        ivf_topk_indexed,
+        read_quantizer_manifest,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.05]),
+        (2, [0.0, 1.0]), (3, [0.1, 0.95]), (4, [0.2, 0.9]),
+    ]
+    path = _mk_index(spark, tmp_path, rows, cents)
+    snap = {
+        f: (os.path.getsize(f), open(f, "rb").read())
+        for f in glob.glob(os.path.join(path, "cell=*", "*.parquet"))
+    }
+    new_cents, stats = ivf_recenter(spark, path, cents, [1])
+    assert stats["moved"] == 0 and stats["rewritten_cells"] == []
+    assert read_quantizer_manifest(path)["version"] == 2
+    for f, (size, blob) in snap.items():
+        assert os.path.getsize(f) == size and open(f, "rb").read() == blob
+    # cell 1's centroid moved to the fixed-point mean of its members
+    assert new_cents[0] == cents[0]
+    exp = [(0.0 + 0.1 + 0.2) / 3, (1.0 + 0.95 + 0.9) / 3]
+    assert all(abs(a - b) <= 1e-6 for a, b in zip(new_cents[1], exp))
+    q = spark.createDataFrame([(100, [0.0, 1.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="stale quantizer"):
+        ivf_topk_indexed(spark, q, path, cents, k=2, n_probe=1)
+    assert ivf_topk_indexed(spark, q, path, new_cents, k=2, n_probe=2).count() > 0
+
+
+def test_ivf_recenter_serving_equivalent_to_full_rebuild(spark, sf_dir, tmp_path):
+    """The re-center contract at corpus scale: after recentering the
+    flagged cells IN PLACE (movers migrate directories, manifest bumps),
+    serving must be bit-identical to a from-scratch build_ivf_index
+    under the re-centered centroid set — same assignment fold, same
+    stored norms, only the maintenance path differs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_recenter,
+        ivf_topk_indexed,
+        quantizer_drift,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        DRIFT_TOP_CELLS,
+        N_CELLS,
+        N_PROBE,
+        _queries_df,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(emb, N_CELLS)
+    lived = str(tmp_path / "lived")
+    build_ivf_index(emb, cents, lived)
+    report = quantizer_drift(
+        spark.read.parquet(lived), cents, id_col="neighbor_id", vec_col="cv"
+    )
+    flagged = [
+        r["cell"]
+        for r in report.orderBy(F.col("avg_dist2").desc(), F.col("cell").asc())
+        .limit(DRIFT_TOP_CELLS)
+        .collect()
+    ]
+    new_cents, stats = ivf_recenter(spark, lived, cents, flagged)
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb, new_cents, fresh)
+    q = _queries_df(spark, sf_dir)
+    a = sorted(map(tuple, ivf_topk_indexed(spark, q, lived, new_cents, n_probe=N_PROBE).collect()))
+    b = sorted(map(tuple, ivf_topk_indexed(spark, q, fresh, new_cents, n_probe=N_PROBE).collect()))
+    assert a == b
+    # the in-place index's stored cells equal the fresh assignment
+    lv = spark.read.parquet(lived).select("neighbor_id", "cell")
+    fr = spark.read.parquet(fresh).select("neighbor_id", "cell")
+    assert lv.exceptAll(fr).count() == 0 and fr.exceptAll(lv).count() == 0
+    shutil.rmtree(lived)
