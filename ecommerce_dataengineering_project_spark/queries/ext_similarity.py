@@ -1098,8 +1098,13 @@ def q_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantizer_drift,
     )
 
+    import os
+
     path, cents = _ivf_index(spark, sf_dir)
-    clone = path + "_rc"
+    # pid-suffixed so concurrent processes (rehearsal beside a bench,
+    # the driver beside a profiler) can never rmtree each other's
+    # in-flight clone; within a process, each run starts fresh
+    clone = f"{path}_rc{os.getpid()}"
     shutil.rmtree(clone, ignore_errors=True)
     shutil.copytree(path, clone)
     # "before" terms read the PRISTINE index (never mutated), so their
