@@ -1036,14 +1036,29 @@ def ivf_recenter(
     can pull vectors in from ANY cell; the write is bounded by how
     much membership actually changed, which is exactly the quantity a
     re-center exists to fix."""
-    import os
-    import shutil
-
     man = _require_manifest(path, centroids, None, "ivf_recenter")
     idx = spark.read.parquet(path)
     new_cents = recenter_centroids(
         idx, centroids, cells, vec_col=vec_col, scale=scale
     )
+    return new_cents, _reapply_centroids(spark, path, man, new_cents, vec_col)
+
+
+def _reapply_centroids(
+    spark, path: str, man: dict, new_cents: list[list[float]], vec_col: str = "cv"
+) -> dict:
+    """The shared mutation tail of the centroid-changing lifecycle
+    verbs (:func:`ivf_recenter`, :func:`ivf_split_cell`): one map-only
+    assignment pass over the index under the UPDATED centroid set,
+    dynamic-partition-overwrite of ONLY the cell directories whose
+    membership changed (untouched cells byte-identical; cells emptied
+    by the moves dropped; brand-new cells created), then the quantizer
+    manifest version bump that makes any serve or append still holding
+    the previous centroids fail fast."""
+    import os
+    import shutil
+
+    idx = spark.read.parquet(path)
     re = idx.withColumn(
         "new_cell", cell_assign(F.col(vec_col), new_cents, vec_col)
     )
@@ -1079,12 +1094,61 @@ def ivf_recenter(
             shutil.rmtree(os.path.join(path, f"cell={c}"), ignore_errors=True)
     version = man["version"] + 1
     write_quantizer_manifest(path, new_cents, tuple(man["meta_cols"]), version)
-    return new_cents, {
+    return {
         "moved": moved,
         "rewritten_cells": affected,
         "emptied": emptied,
         "version": version,
     }
+
+
+def ivf_split_cell(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    cell: int,
+    n_children: int = 2,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+) -> tuple[list[list[float]], dict]:
+    """Hot-cell SPLIT — the occupancy-maintenance verb of the index
+    lifecycle. An append-only deployment keeps the sqrt(n) per-cell
+    occupancy invariant (suggest_n_cells) not by full rebuilds but by
+    splitting whichever cell the append stream overfills: the hot
+    cell's centroid is REPLACED by one child and the other children
+    are APPENDED as new cell ids, so every other cell's id — and its
+    directory — stays stable.
+
+    Child centroids are the same deterministic data-point selection as
+    :func:`seeded_centroids`, ranked by the integer hash over the hot
+    cell's CURRENT members (read partition-pruned from the index —
+    the split never scans the resident corpus), which keeps the whole
+    verb engine-reproducible and therefore SQL-oracle-checkable. The
+    mutation tail is shared with :func:`ivf_recenter`
+    (:func:`_reapply_centroids`): one assignment pass under the grown
+    centroid set — a global pass, because new children can pull in
+    vectors from ANY cell, exactly like a moved centroid — then a
+    rewrite bounded by changed membership and a manifest version bump.
+
+    The converse (merging cold cells) is deliberately not a verb:
+    unprobed cells cost nothing at serve time — their directories are
+    simply never opened — so a merge would buy only centroid-table
+    size, while a split buys the per-cell scan bound that filtered and
+    unfiltered probes actually pay for."""
+    man = _require_manifest(path, centroids, None, "ivf_split_cell")
+    members = spark.read.parquet(path).where(F.col("cell") == cell)
+    children = seeded_centroids(
+        members, n_children, id_col=id_col, vec_col=vec_col
+    )
+    if len(children) < n_children:
+        raise ValueError(
+            f"ivf_split_cell: cell {cell} has only {len(children)} members — "
+            f"cannot split into {n_children}"
+        )
+    new_cents = [list(map(float, c)) for c in centroids]
+    new_cents[cell] = children[0]
+    new_cents.extend(children[1:])
+    return new_cents, _reapply_centroids(spark, path, man, new_cents, vec_col)
 
 
 def _assigned_score_sql(vec: str, centroids: list[list[float]]) -> str:

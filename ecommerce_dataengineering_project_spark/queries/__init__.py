@@ -51,17 +51,21 @@ PRIORITY: tuple[str, ...] = (
     # After this board no query's latest driver evidence is older
     # than r10.
     #
-    # new arm + lifecycle re-boards
+    # new arms + lifecycle re-boards (ivf_split_hot_cell joined
+    # mid-round: the occupancy verb, boarded at registration — it
+    # takes stream_upsert_gold's keeper slot; the MERGE family keeps
+    # in-window coverage via the cdc_apply keeper and the r14-green
+    # stream_upsert_gold evidence)
     "ivf_recenter",
+    "ivf_split_hot_cell",
     "ann_ivf_indexed",
     "ann_filtered_ivf",
     "stream_semantic_dedup",
-    # flagship keepers (10)
+    # flagship keepers (9)
     "daily_sales",
     "fct_purchases",
     "stream_bronze_silver",
     "stream_inventory_restock",
-    "stream_upsert_gold",
     "sdp_pipeline_daily",
     "semantic_dedup",
     "corpus_pipeline_full",

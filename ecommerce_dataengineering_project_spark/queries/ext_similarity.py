@@ -1291,3 +1291,217 @@ ORACLES["ivf_recenter"] = f"""
     LEFT JOIN mo ON mo.cell = b.cell
     LEFT JOIN mi ON mi.cell = b.cell
 """
+
+
+SPLIT_CHILDREN = 2
+
+
+def q_ivf_split_hot_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 index lifecycle, the occupancy verb (NEW r15): split the
+    HOTTEST cell (max member count, ties to the lower cell) of the
+    persisted IVF index into SPLIT_CHILDREN cells
+    (``operators/similarity.ivf_split_cell``). This is how an
+    append-only deployment maintains the sqrt(n) per-cell occupancy
+    invariant incrementally: the hot cell's centroid is replaced by
+    one seeded data-point child and the second child is APPENDED as a
+    new cell id, every other cell id stays stable, and the shared
+    reassignment tail rewrites only membership-changed directories and
+    bumps the quantizer manifest.
+
+    Runs against a pid-suffixed CLONE of the shared serving index
+    (same isolation as ivf_recenter). Output is the occupancy report:
+    per cell (including the new child id N_CELLS), whether it was the
+    split source or the new child, members before/after, migration
+    volume, and the post-split mean dist² — the hot cell's occupancy
+    must drop and the report shows exactly where its members went.
+    Child selection is the seeded_centroids integer-hash rank over the
+    hot cell's members, so the full verb — pick hot → seed children →
+    reassign → report — replays as one SQL oracle."""
+    import os
+    import shutil
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_split_cell,
+        quantizer_drift,
+    )
+
+    path, cents = _ivf_index(spark, sf_dir)
+    clone = f"{path}_split{os.getpid()}"
+    shutil.rmtree(clone, ignore_errors=True)
+    shutil.copytree(path, clone)
+    before = quantizer_drift(
+        spark.read.parquet(path), cents, id_col="neighbor_id", vec_col="cv"
+    )
+    hot = [
+        r["cell"]
+        for r in before.orderBy(F.col("n_vectors").desc(), F.col("cell").asc())
+        .limit(1)
+        .collect()
+    ][0]
+    new_cents, _stats = ivf_split_cell(
+        spark, clone, cents, hot, n_children=SPLIT_CHILDREN
+    )
+    after = quantizer_drift(
+        spark.read.parquet(clone), new_cents, id_col="neighbor_id", vec_col="cv"
+    )
+    mv = (
+        spark.read.parquet(path)
+        .select(F.col("neighbor_id").alias("id"), F.col("cell").alias("oldc"))
+        .join(
+            spark.read.parquet(clone).select(
+                F.col("neighbor_id").alias("id"), F.col("cell").alias("newc")
+            ),
+            "id",
+        )
+        .where(F.col("oldc") != F.col("newc"))
+    )
+    mo = mv.groupBy(F.col("oldc").alias("cell")).agg(
+        F.count(F.lit(1)).alias("moved_out")
+    )
+    mi = mv.groupBy(F.col("newc").alias("cell")).agg(
+        F.count(F.lit(1)).alias("moved_in")
+    )
+    spine = before.select(
+        "cell",
+        F.col("n_vectors").alias("n_before"),
+    ).unionByName(
+        spark.range(N_CELLS, N_CELLS + SPLIT_CHILDREN - 1).select(
+            F.col("id").cast("int").alias("cell"),
+            F.lit(0).cast("bigint").alias("n_before"),
+        )
+    )
+    return (
+        spine.join(
+            after.select(
+                "cell",
+                F.col("n_vectors").alias("n_after"),
+                F.col("avg_dist2").alias("avg_dist2_after"),
+            ),
+            "cell",
+            "left",
+        )
+        .join(mo, "cell", "left")
+        .join(mi, "cell", "left")
+        .select(
+            "cell",
+            (F.col("cell") == F.lit(hot)).alias("split_source"),
+            (F.col("cell") >= F.lit(N_CELLS)).alias("is_child"),
+            "n_before",
+            F.coalesce("moved_out", F.lit(0).cast("bigint")).alias("moved_out"),
+            F.coalesce("moved_in", F.lit(0).cast("bigint")).alias("moved_in"),
+            F.coalesce("n_after", F.lit(0).cast("bigint")).alias("n_after"),
+            "avg_dist2_after",
+        )
+    )
+
+
+QUERIES["ivf_split_hot_cell"] = q_ivf_split_hot_cell
+
+# Same CTE skeleton as the re-center oracle; the centroid patch is a
+# seeded data-point pick (hash rank over the hot cell's members)
+# instead of a fixed-point mean, and the grown centroid set carries
+# one appended cell id.
+ORACLES["ivf_split_hot_cell"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+        SELECT cell, cv, halfsq FROM (
+            SELECT v AS cv,
+                   ROW_NUMBER() OVER (ORDER BY ((vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                                      vec_id ASC) - 1 AS cell,
+                   LIST_REDUCE(LIST_TRANSFORM(v, x -> x * x), (x, y) -> x + y)
+                       / 2.0 AS halfsq
+            FROM e
+        ) WHERE cell < {N_CELLS}
+    ),
+    cell_scores AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cell_scores
+        ) WHERE rn = 1
+    ),
+    beforeagg AS (
+        SELECT cell, COUNT(*) AS n_before FROM assign GROUP BY cell
+    ),
+    hot AS (
+        SELECT cell FROM beforeagg ORDER BY n_before DESC, cell ASC LIMIT 1
+    ),
+    children AS (
+        SELECT v, ROW_NUMBER() OVER (
+                   ORDER BY ((a.vec_id % {SEED_MOD}) * {SEED_MULT}) % {SEED_MOD} ASC,
+                            a.vec_id ASC) - 1 AS r
+        FROM assign a JOIN e ON e.vec_id = a.vec_id
+        WHERE a.cell IN (SELECT cell FROM hot)
+    ),
+    allc AS (
+        SELECT c.cell,
+               CASE WHEN c.cell IN (SELECT cell FROM hot)
+                    THEN (SELECT v FROM children WHERE r = 0)
+                    ELSE c.cv END AS cv
+        FROM cents c
+        UNION ALL
+        SELECT {N_CELLS} AS cell, (SELECT v FROM children WHERE r = 1) AS cv
+    ),
+    allc2 AS (
+        SELECT cell, cv,
+               LIST_REDUCE(LIST_TRANSFORM(cv, x -> x * x), (x, y) -> x + y)
+                   / 2.0 AS halfsq
+        FROM allc
+    ),
+    cs2 AS (
+        SELECT e.vec_id, c.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, c.cv), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - c.halfsq AS s
+        FROM e CROSS JOIN allc2 c
+    ),
+    assign2 AS (
+        SELECT vec_id, cell, s FROM (
+            SELECT vec_id, cell, s,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell ASC) AS rn
+            FROM cs2
+        ) WHERE rn = 1
+    ),
+    d2 AS (
+        SELECT a.vec_id, a.cell,
+               LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(e.v, e.v), x -> x[1] * x[2]),
+                           (x, y) -> x + y) - 2.0 * a.s AS dist2
+        FROM assign2 a JOIN e ON e.vec_id = a.vec_id
+    ),
+    afteragg AS (
+        SELECT cell, COUNT(*) AS n_after,
+               FLOOR(AVG(dist2) * 1000000.0 + 0.5) / 1000000.0 AS avg_dist2_after
+        FROM d2 GROUP BY cell
+    ),
+    moves AS (
+        SELECT a.vec_id, a.cell AS oldc, a2.cell AS newc
+        FROM assign a JOIN assign2 a2 ON a2.vec_id = a.vec_id
+        WHERE a.cell <> a2.cell
+    ),
+    mo AS (SELECT oldc AS cell, COUNT(*) AS moved_out FROM moves GROUP BY oldc),
+    mi AS (SELECT newc AS cell, COUNT(*) AS moved_in FROM moves GROUP BY newc),
+    spine AS (
+        SELECT cell, n_before FROM beforeagg
+        UNION ALL
+        SELECT {N_CELLS} AS cell, CAST(0 AS BIGINT) AS n_before
+    )
+    SELECT CAST(b.cell AS INTEGER) AS cell,
+           b.cell IN (SELECT cell FROM hot) AS split_source,
+           b.cell >= {N_CELLS} AS is_child,
+           b.n_before,
+           CAST(COALESCE(mo.moved_out, 0) AS BIGINT) AS moved_out,
+           CAST(COALESCE(mi.moved_in, 0) AS BIGINT) AS moved_in,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           a.avg_dist2_after
+    FROM spine b
+    LEFT JOIN afteragg a ON a.cell = b.cell
+    LEFT JOIN mo ON mo.cell = b.cell
+    LEFT JOIN mi ON mi.cell = b.cell
+"""

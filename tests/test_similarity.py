@@ -1173,3 +1173,151 @@ def test_ivf_recenter_serving_equivalent_to_full_rebuild(spark, sf_dir, tmp_path
     fr = spark.read.parquet(fresh).select("neighbor_id", "cell")
     assert lv.exceptAll(fr).count() == 0 and fr.exceptAll(lv).count() == 0
     shutil.rmtree(lived)
+
+
+def test_ivf_lifecycle_recenter_recovers_recall(spark, tmp_path):
+    """The capstone semantic pin for the lifecycle: re-centering must
+    actually RECOVER RECALL, which is the only reason the verb exists.
+    Constructed: residents cluster around two axis centroids; appends
+    land as a third, distant cluster the frozen quantizer crams into
+    whichever cell is nearest (drift). Queries aimed at the appended
+    cluster then under-recall at n_probe=1 — the probed cell is picked
+    by a centroid that does not represent the cluster. The drift
+    report flags the absorbing cell (top mean dist²), ivf_recenter
+    moves its centroid into the appended mass, and the SAME
+    n_probe=1 serve must then recall strictly more of the exact
+    neighbors. Monitor → re-center → measurable recall recovery,
+    end to end on the persisted index."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_recenter,
+        ivf_topk_indexed,
+        quantizer_drift,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    residents = [(i, [1.0 - 0.01 * i, 0.01 * i, 0.0]) for i in range(8)] + [
+        (10 + i, [0.01 * i, 1.0 - 0.01 * i, 0.0]) for i in range(8)
+    ]
+    # the drifted ingest: a tight cluster far from both centroids,
+    # straddling their midplane so the frozen quantizer SPLITS it
+    # between the two cells — that split is exactly what makes
+    # n_probe=1 under-recall until a re-center gives the cluster a
+    # representative centroid of its own cell
+    appended = [
+        (100 + i, [0.3 + d, 0.3 - d, 1.0 - 0.005 * i])
+        for i in range(10)
+        for d in [0.02 if i % 2 == 0 else -0.02]
+    ]
+    schema = "vec_id bigint, embedding array<double>"
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark.createDataFrame(residents, schema), cents, path)
+    ivf_index_append(spark.createDataFrame(appended, schema), cents, path)
+
+    corpus = spark.createDataFrame(residents + appended, schema)
+    queries = spark.createDataFrame([(999, [0.3, 0.3, 1.0])], schema)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+
+    def recall(cents_now):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk_indexed(
+                spark, queries, path, cents_now, k=5, n_probe=1
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    before = recall(cents)
+    report = quantizer_drift(
+        spark.read.parquet(path), cents, id_col="neighbor_id", vec_col="cv"
+    )
+    flagged = [
+        r["cell"]
+        for r in report.orderBy(F.col("avg_dist2").desc(), F.col("cell").asc())
+        .limit(1)
+        .collect()
+    ]
+    new_cents, stats = ivf_recenter(spark, path, cents, flagged)
+    after = recall(new_cents)
+    assert after > before, f"recall {before:.2f} -> {after:.2f} did not recover"
+    assert after == 1.0  # the re-centered cell now owns the cluster
+
+
+def test_ivf_split_cell_serving_equivalent_and_ids_stable(spark, sf_dir, tmp_path):
+    """Split contract: after splitting the hottest cell in place,
+    (a) serving under the grown centroid set is bit-identical to a
+    from-scratch build with the same centroids, (b) the split cell's
+    occupancy strictly drops while every OTHER pre-existing cell id
+    keeps its identity (no renumbering — directories stay addressable),
+    and (c) the old centroid set can no longer serve (manifest bump)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_split_cell,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        N_CELLS,
+        N_PROBE,
+        _queries_df,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(emb, N_CELLS)
+    lived = str(tmp_path / "lived")
+    build_ivf_index(emb, cents, lived)
+    occ = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(lived).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = max(occ, key=lambda c: (occ[c], -c))
+    new_cents, stats = ivf_split_cell(spark, lived, cents, hot)
+    assert len(new_cents) == N_CELLS + 1
+    # unchanged ids keep their centroids — no renumbering
+    assert all(
+        new_cents[i] == [float(x) for x in cents[i]]
+        for i in range(N_CELLS)
+        if i != hot
+    )
+    occ2 = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(lived).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert occ2[hot] < occ[hot]  # the hot cell actually shed members
+    assert occ2.get(N_CELLS, 0) > 0  # the child exists and owns rows
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb, new_cents, fresh)
+    q = _queries_df(spark, sf_dir)
+    a = sorted(map(tuple, ivf_topk_indexed(spark, q, lived, new_cents, n_probe=N_PROBE).collect()))
+    b = sorted(map(tuple, ivf_topk_indexed(spark, q, fresh, new_cents, n_probe=N_PROBE).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="stale quantizer"):
+        ivf_topk_indexed(spark, q, lived, cents, n_probe=N_PROBE)
+
+
+def test_ivf_split_cell_refuses_underpopulated_cell(spark, tmp_path):
+    """A cell with fewer members than requested children cannot split
+    — refuse loudly rather than emit duplicate/missing centroids."""
+    import pytest
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        ivf_split_cell,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = _mk_index(
+        spark, tmp_path, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], cents
+    )
+    with pytest.raises(ValueError, match="cannot split"):
+        ivf_split_cell(spark, path, cents, 0, n_children=2)

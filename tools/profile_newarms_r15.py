@@ -23,7 +23,7 @@ SCALES = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": "/root/repo/.tmp/testdata/sf1",
 }
-ARMS = ("fct_purchases", "ivf_recenter")
+ARMS = ("fct_purchases", "ivf_recenter", "ivf_split_hot_cell")
 
 
 def main() -> None:
