@@ -1321,3 +1321,77 @@ def test_ivf_split_cell_refuses_underpopulated_cell(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="cannot split"):
         ivf_split_cell(spark, path, cents, 0, n_children=2)
+
+
+def test_ivf_lifecycle_soak_serving_invariant_across_verbs(spark, sf_dir, tmp_path):
+    """Multi-cycle ops soak over ONE lived-in index: build on a third
+    of the corpus, append the rest in two compacted batches, then
+    re-center the most-drifted cells, then split the hottest cell.
+    After EVERY mutation the lived index must serve bit-identically to
+    a from-scratch build over the same corpus under the current
+    centroid set, and the quantizer manifest must bump exactly on the
+    centroid-changing verbs (appends keep the frozen set). This is the
+    sequence a production deployment actually runs for months; the
+    invariant is what makes the maintenance verbs safe to run blind."""
+    from pyspark.sql import functions as F
+
+    from ecommerce_dataengineering_project_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_recenter,
+        ivf_split_cell,
+        ivf_topk_indexed,
+        quantizer_drift,
+        read_quantizer_manifest,
+        seeded_centroids,
+    )
+    from ecommerce_dataengineering_project_spark.queries.ext_similarity import (
+        N_CELLS,
+        N_PROBE,
+        _queries_df,
+    )
+    from ecommerce_dataengineering_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(emb, N_CELLS)
+    lived = str(tmp_path / "lived")
+    q = _queries_df(spark, sf_dir)
+
+    def assert_serves_like_fresh(cents_now, tag):
+        fresh = str(tmp_path / f"fresh_{tag}")
+        build_ivf_index(emb, cents_now, fresh)
+        a = sorted(map(tuple, ivf_topk_indexed(spark, q, lived, cents_now, n_probe=N_PROBE).collect()))
+        b = sorted(map(tuple, ivf_topk_indexed(spark, q, fresh, cents_now, n_probe=N_PROBE).collect()))
+        assert a == b, f"serving diverged from fresh build after {tag}"
+
+    build_ivf_index(emb.where(F.col("vec_id") % 3 == 0), cents, lived)
+    assert read_quantizer_manifest(lived)["version"] == 1
+    for rem in (1, 2):
+        ivf_index_append(
+            emb.where(F.col("vec_id") % 3 == rem), cents, lived, max_files_per_cell=1
+        )
+        assert read_quantizer_manifest(lived)["version"] == 1  # frozen set kept
+    assert_serves_like_fresh(cents, "appends")
+
+    report = quantizer_drift(
+        spark.read.parquet(lived), cents, id_col="neighbor_id", vec_col="cv"
+    )
+    flagged = [
+        r["cell"]
+        for r in report.orderBy(F.col("avg_dist2").desc(), F.col("cell").asc())
+        .limit(2)
+        .collect()
+    ]
+    cents2, _ = ivf_recenter(spark, lived, cents, flagged)
+    assert read_quantizer_manifest(lived)["version"] == 2
+    assert_serves_like_fresh(cents2, "recenter")
+
+    occ = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(lived).groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = max(occ, key=lambda c: (occ[c], -c))
+    cents3, _ = ivf_split_cell(spark, lived, cents2, hot)
+    assert read_quantizer_manifest(lived)["version"] == 3
+    assert len(cents3) == len(cents2) + 1
+    assert_serves_like_fresh(cents3, "split")
