@@ -97,17 +97,21 @@ PRIORITY: tuple[str, ...] = (
     "unpivot_returnflag",
     "variant_shred_events",
     "vocab_coverage",
-    # staleness re-confirmation — r10 era (11 of 30, one per family)
-    "approx_topk_event_types",
+    # staleness re-confirmation — r10 era (10 of 30, one per family;
+    # bpe_encode_tokens and approx_topk_event_types yield to
+    # stream_txlog_source and the dedup_incremental_minhash keeper —
+    # their families keep in-window coverage via bpe_pair_counts (r9
+    # block above) and the r13-green sketch rows; both rotate in r16)
     "arrow_udf_tokens",
     "bloom_semi_reduce",
-    "bpe_encode_tokens",
+    "dedup_incremental_minhash",
     "dpp_partitioned_join",
     "generator_pushdown_scan",
     "mmr_diversified_topk",
     "mv_cdf_refresh",
     "reservoir_per_language",
     "stream_timer_sessions",
+    "stream_txlog_source",
     "txlog_change_feed",
 )
 
