@@ -177,11 +177,7 @@ def _register_datasource(spark, cls) -> None:
             return
     except Exception:
         manager = None  # non-classic session: fall through to public path
-    try:
-        spark.dataSource.register(cls)
-    except AnalysisException as e:
-        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e) or manager is None:
-            raise
+    def _register_into_manager(mgr) -> None:
         from pyspark.sql.udf import _wrap_function
 
         sc = spark.sparkContext
@@ -191,7 +187,42 @@ def _register_datasource(spark, cls) -> None:
             "org.apache.spark.sql.execution.datasources.v2.python."
             "UserDefinedPythonDataSource",
         )(wrapped)
-        manager.registerDataSource(name, uds)
+        mgr.registerDataSource(name, uds)
+
+    try:
+        spark.dataSource.register(cls)
+    except AnalysisException as e:
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e) or manager is None:
+            raise
+        _register_into_manager(manager)
+    # The public path's registration is NOT always visible to this
+    # session's resolver: on a fresh ``newSession()`` whose parent
+    # never registered, ``spark.dataSource.register`` succeeds without
+    # error yet the child session's DataSourceManager still lacks the
+    # source and reads/writes fail with DATA_SOURCE_NOT_FOUND (the
+    # mirror image of the ALREADY_EXISTS quirk above — registration
+    # and resolution consult different managers). Verify, and register
+    # directly into this session's manager when the public path did
+    # not land.
+    if manager is not None and not manager.dataSourceExists(name):
+        _register_into_manager(manager)
+    # And the converse hole: DataFrameWriter.save's format lookup goes
+    # through the JVM-ACTIVE session's manager, not the calling
+    # session's — a child session that registered only locally still
+    # fails its WRITE with DATA_SOURCE_NOT_FOUND while reads work.
+    # Make the registration visible to the default/active sessions'
+    # managers too (same UserDefinedPythonDataSource instance; direct
+    # manager puts are idempotent).
+    if manager is not None:
+        try:
+            jvm_ss = spark.sparkContext._jvm.org.apache.spark.sql.SparkSession
+            for opt in (jvm_ss.getDefaultSession(), jvm_ss.getActiveSession()):
+                if opt.isDefined():
+                    other = opt.get().sessionState().dataSourceManager()
+                    if not other.dataSourceExists(name):
+                        _register_into_manager(other)
+        except Exception:
+            pass  # non-classic JVM surface: session-local registration stands
 
 
 def register(spark) -> None:

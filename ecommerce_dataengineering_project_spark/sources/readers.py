@@ -26,6 +26,20 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
+# Per-process memo of each fixture file's INFERRED schema (the raw
+# on-disk schema, pre-NTZ-normalization), keyed by absolute path.
+# Schema inference is driver-side footer work (~125 ms/call measured
+# on local[32]); with hundreds of registered queries each calling
+# load_table 1-3x per run it was the single largest fixed cost in the
+# suite. Passing the memoized schema back to the reader skips the
+# inference (20 ms/call) and changes nothing else — the declared
+# schema IS the inferred one. This is the production posture too: at
+# 100 TB the schema comes from the catalog/table format, never from
+# per-query footer sniffing. Fixture files are immutable for the life
+# of a process, so the memo can never go stale; mutable .tmp outputs
+# must NOT be routed through this cache.
+_SCHEMA_CACHE: dict[str, StructType] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (S3-analog: Delta batch scan).
@@ -45,7 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sessions both this repo and the oracle harness use, the cast is
     value-preserving.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    raw_schema = _SCHEMA_CACHE.get(path)
+    if raw_schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(raw_schema).parquet(path)
     return normalize_ntz(df)
 
 
