@@ -802,7 +802,18 @@ def minhash_incremental(
     to the batch ids.
     """
     sh = shingles(new_docs, id_col, text_col)
-    nb = band_keys(minhash_signatures(sh, id_col), id_col)
+    # The batch band-key relation feeds THREE plan branches (the
+    # history probe and both sides of the within-batch self-join); the
+    # derivation behind it (text scan -> shingle explode -> 16 minhash
+    # aggregations) is the operator's expensive part, and without
+    # materialization each branch re-derives it — the r15 plan audit
+    # counted the scan+shingle+sig subtree 4x in one plan. Checkpoint
+    # the 16-rows-per-doc skinny relation once (lazy); every branch
+    # then reads the result. Same bounded-state shape as the
+    # exact_jaccard_pairs shingle checkpoint above.
+    nb = band_keys(minhash_signatures(sh, id_col), id_col).localCheckpoint(
+        eager=False
+    )
     hist = history_bands.select(
         F.col(id_col).alias("__hist_id"), "band_id", "band_hash"
     )

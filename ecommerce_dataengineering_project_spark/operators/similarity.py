@@ -1636,7 +1636,18 @@ def mmr_topk(
                 "query_id", "neighbor_id", "score_u", F.lit(pick).alias("pick")
             )
         )
+        # Each later pick references `selected` THREE times (the
+        # anti-join, the penalty join, and the growing union), so an
+        # un-materialized accumulator re-derives every earlier pick's
+        # whole join chain per reference — the unrolled plan grew to
+        # 74 exchanges at k_div=3 (r15 plan audit). Checkpointing the
+        # accumulator (lazy; at most Q*k_div tiny rows) makes pick
+        # p+1's plan read pick p's RESULT instead of its derivation —
+        # the same bounded-state rule the lineage-truncation note in
+        # connected_components applies per iteration.
         selected = selected.unionByName(nxt)
+        if pick < k_div:
+            selected = selected.localCheckpoint(eager=False)
     return selected.select(
         "query_id", F.col("pick").cast("int").alias("pick"), "neighbor_id", "score_u"
     )

@@ -32,6 +32,7 @@ tests/test_mv_router.py).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -83,8 +84,23 @@ def build_mv(
         raise ValueError("MV needs at least one measure")
     base.groupBy(*dims).agg(*aggs).write.mode("overwrite").parquet(path)
     # metadata-only count (parquet footer row counts) — the router's
-    # cost statistic, captured once at build time
-    n_rows = spark.read.parquet(path).count()
+    # cost statistic, captured once at build time. Read driver-side
+    # from the footers the write just produced: a Spark count() job
+    # here paid scheduling for a number the files already carry (at
+    # 100 TB the same statistic comes from the table format's
+    # manifest). Falls back to the engine count for any layout the
+    # footer walk can't read.
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n_rows = sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(path, "*.parquet"))
+        )
+    except Exception:
+        n_rows = spark.read.parquet(path).count()
     return MaterializedAggregate(
         name=name, dims=dims, partials=partials, path=path, n_rows=n_rows
     )

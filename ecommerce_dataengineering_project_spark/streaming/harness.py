@@ -263,7 +263,23 @@ def run_bounded_stream(
     # FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
     # unconditionally true under ProcessingTimeTimeout, so availableNow
     # would schedule empty batches forever.
-    confs = {"spark.sql.shuffle.partitions": str(state_partitions)}
+    #
+    # noDataMicroBatches OFF by default (r15 measurement: the trailing
+    # no-data batch costs a full ~0.9 s trigger — addBatch + offset/
+    # commit-log fsyncs — per bounded run): in this harness the final
+    # watermark advance is performed by the staged far-future FLUSH
+    # ROWS, so every real window/timer/outer-null emission lands in a
+    # data batch (the flush batch sees a watermark already past every
+    # real event), and the no-data batch that availableNow would
+    # append can only emit flush-key rows the callers provably filter
+    # (or evict state nobody reads). An unbounded production run keeps
+    # the default: there, wall-clock finalization between arrivals is
+    # exactly what no-data batches are for. Callers can re-enable per
+    # run via extra_confs.
+    confs = {
+        "spark.sql.shuffle.partitions": str(state_partitions),
+        "spark.sql.streaming.noDataMicroBatches.enabled": "false",
+    }
     confs.update(extra_confs or {})
     prevs = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
