@@ -70,22 +70,27 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     # separate builds would otherwise each re-derive the full upstream
     # edge derivation (for copurchase edges: the lineitem scan + two
     # shuffles, unmaterialized since order_baskets materialize=False).
-    # Eager localCheckpoint, NOT persist: a cache entry pinned under a
+    # localCheckpoint, NOT persist: a cache entry pinned under a
     # lazily-returned result can never be unpersisted by the caller
     # and leaks executor storage for the session; checkpoint blocks
-    # are GC-cleaned once the result is released.
+    # are GC-cleaned once the result is released. LAZY (r15): each
+    # eager checkpoint was its own Spark job at construction time —
+    # three serial job launches before the first real action; the lazy
+    # form materializes each relation exactly once inside the
+    # consumer's first job (cache fills on first computation, every
+    # other branch reads it), same reuse, two fewer job barriers.
     und = (
         edges.select("a", "b")
         .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # deg feeds every iteration's rank rebuild AND the adjacency —
     # without materialization each iteration would recompute it (at
     # sf0.1 that tripled the runtime).
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
+        eager=False
     )
-    adj = und.join(deg, "a").localCheckpoint(eager=True)
+    adj = und.join(deg, "a").localCheckpoint(eager=False)
     ranks = deg.select(F.col("a").alias("node"), F.lit(SCALE).cast("bigint").alias("rank"))
     for _ in range(iterations):
         incoming = (

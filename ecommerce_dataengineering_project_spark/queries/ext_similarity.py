@@ -1108,10 +1108,14 @@ def q_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(clone, ignore_errors=True)
     shutil.copytree(path, clone)
     # "before" terms read the PRISTINE index (never mutated), so their
-    # lazy re-evaluation at collect time is replay-safe
+    # lazy re-evaluation at collect time is replay-safe. Checkpointed
+    # (lazy, |cells| rows) because the report is consumed TWICE — the
+    # flagged-cells collect and the final ops-report join — and each
+    # consumer would otherwise re-run the full index scan + assignment
+    # fold behind it (r15 plan audit).
     before = quantizer_drift(
         spark.read.parquet(path), cents, id_col="neighbor_id", vec_col="cv"
-    )
+    ).localCheckpoint(eager=False)
     flagged = [
         r["cell"]
         for r in before.orderBy(F.col("avg_dist2").desc(), F.col("cell").asc())
@@ -1329,9 +1333,11 @@ def q_ivf_split_hot_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone = f"{path}_split{os.getpid()}"
     shutil.rmtree(clone, ignore_errors=True)
     shutil.copytree(path, clone)
+    # consumed twice (hot-cell collect + the report spine) — same lazy
+    # |cells|-row checkpoint as ivf_recenter's before report
     before = quantizer_drift(
         spark.read.parquet(path), cents, id_col="neighbor_id", vec_col="cv"
-    )
+    ).localCheckpoint(eager=False)
     hot = [
         r["cell"]
         for r in before.orderBy(F.col("n_vectors").desc(), F.col("cell").asc())
