@@ -168,8 +168,14 @@ def basket_pairs(
     # the one-per-order checkpointed relation
     baskets = order_baskets(lineitem, order_col, item_col, max_basket_items)
     n_orders = baskets.count()
-    item_counts = baskets.select(F.explode("items").alias("i")).groupBy("i").agg(
-        F.count("*").alias("i_orders")
+    # consumed twice (both lift-side broadcasts): lazy checkpoint so
+    # the explode+count pass over the baskets runs once, not per
+    # broadcast build (r15 plan audit)
+    item_counts = (
+        baskets.select(F.explode("items").alias("i"))
+        .groupBy("i")
+        .agg(F.count("*").alias("i_orders"))
+        .localCheckpoint(eager=False)
     )
     pairs = basket_pair_counts(baskets, min_support).select(
         F.col("a").alias("item_a"),
@@ -304,11 +310,21 @@ def item_item_recs(
     oracle-exact at 6 decimals.
     """
     baskets = order_baskets(lineitem, order_col, item_col)
-    item_counts = baskets.select(F.explode("items").alias("p")).groupBy("p").agg(
-        F.count(F.lit(1)).alias("c")
+    # item_counts feeds both cosine sides (ia/ib) and pairs feeds both
+    # halves of the symmetric union — without materialization each
+    # reference re-ran its explode+aggregate pass over the baskets
+    # (r15 plan audit: 10 exchanges). Lazy checkpoints compute each
+    # once; both relations are item-/pair-count-sized.
+    item_counts = (
+        baskets.select(F.explode("items").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    pairs = basket_pair_counts(baskets, min_support).withColumnRenamed(
-        "pair_orders", "support"
+    pairs = (
+        basket_pair_counts(baskets, min_support)
+        .withColumnRenamed("pair_orders", "support")
+        .localCheckpoint(eager=False)
     )
     sym = pairs.unionAll(
         pairs.select(

@@ -976,12 +976,21 @@ def semantic_dedup(
         v = v.repartition(par)
     if max_codegen_doubles is None:
         max_codegen_doubles = MAX_CODEGEN_CENTROID_DOUBLES
+    # The assignment is consumed by BOTH sides of the keep-decision
+    # self-join; unmaterialized, the probe branch and the partner
+    # branch each run the full nearest-cell scorer (n * n_cells * dim)
+    # — the single most expensive stage of the operator, twice. The
+    # lazy checkpoint scores once. This mirrors what the production
+    # path (semantic_cell_index) does anyway: the assignment IS the
+    # persisted index there; the in-one-query variant just keeps it in
+    # task-local cache instead of a table.
     assigned = (
         v.withColumn(
             "cell",
             cell_assign(F.col("v"), centroids, "v", max_codegen_doubles),
         )
         .withColumn("nrm", norm("v"))
+        .localCheckpoint(eager=False)
     )
     # ONE left-outer join carries the whole keep decision: probe row r
     # is a dup iff some same-cell partner with a SMALLER id clears the
