@@ -1071,6 +1071,7 @@ def semantic_dedup_incremental(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     max_codegen_doubles: int | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the continuous-ingest variant of X2's
     semantic arm, completing the incremental family (exact:
@@ -1117,8 +1118,18 @@ def semantic_dedup_incremental(
     from ecommerce_dataengineering_project_spark.functions.scalars import round_half_up
     from ecommerce_dataengineering_project_spark.operators.similarity import dot
 
-    nb = semantic_cell_index(
-        new_emb, centroids, id_col, vec_col, max_codegen_doubles
+    # ``assigned``: a caller that already cell-assigned the batch (the
+    # streaming ingest loop assigns once per epoch and also persists
+    # the assignment in its decision log) passes it here so the
+    # nearest-cell fold is not re-run. Default path assigns and
+    # checkpoints lazily: the relation feeds BOTH the probe side and
+    # the within-batch partner side of the union — unmaterialized,
+    # each branch re-ran the full scorer over the batch.
+    nb = (
+        semantic_cell_index(new_emb, centroids, id_col, vec_col, max_codegen_doubles)
+        .localCheckpoint(eager=False)
+        if assigned is None
+        else assigned
     )
     partners = history_index.select(
         F.col("vid").alias("pid"),

@@ -1801,13 +1801,21 @@ def run_semantic_dedup_stream(
             .where(F.col("keep") & (F.col("ingest_batch") < batch_id))
             .select(F.col("vec_id").alias("vid"), "cell", "v", "nrm")
         )
-        dec = semantic_dedup_incremental(batch_df, idx, cents, threshold=threshold)
+        # assign the batch ONCE per epoch (lazy checkpoint) and hand
+        # the assignment to the decision operator AND the log write —
+        # the r15 plan audit counted the nearest-cell fold 4x per
+        # micro-batch (probe side, union partner side, and a separate
+        # re-assignment for the epoch file)
+        nb = semantic_cell_index(batch_df, cents).localCheckpoint(eager=False)
+        dec = semantic_dedup_incremental(
+            batch_df, idx, cents, threshold=threshold, assigned=nb
+        )
         # one epoch file per batch: verdicts + the batch's vectors
         # (broadcast — the batch is bounded by contract), so the next
         # epoch's index view is just a keep filter over the log
-        nb = semantic_cell_index(batch_df, cents).select("vid", "v", "nrm")
+        nbv = nb.select("vid", "v", "nrm")
         out = dec.join(
-            F.broadcast(nb), dec["vec_id"] == nb["vid"]
+            F.broadcast(nbv), dec["vec_id"] == nbv["vid"]
         ).select(
             "vec_id", "cell", "n_history_hits", "n_batch_hits", "keep", "v", "nrm"
         )
