@@ -164,7 +164,10 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     touches text and the shuffle is by bucket, so skew is bounded by
     bucket size, not corpus size.
     """
-    bands = band_keys(sig, id_col)
+    # the band relation is both sides of the self-join — without
+    # materialization each side re-runs the 16-min signature aggregate
+    # feeding it (r15 plan audit; same fix as minhash_incremental)
+    bands = band_keys(sig, id_col).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -223,7 +226,11 @@ def _jaccard_from_inter(
     inter: DataFrame, sh: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Score (id_a, id_b, n_inter) against per-doc set sizes."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # consumed by both join sides (n_a / n_b) — one |docs|-row lazy
+    # checkpoint instead of two aggregate passes over the shingles
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")).localCheckpoint(
+        eager=False
+    )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
