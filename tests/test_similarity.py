@@ -343,9 +343,27 @@ def test_semantic_dedup_arrow_assigner_past_clamp(spark):
     # force the Arrow path with a tiny budget: identical decisions
     arrow = semantic_dedup(emb, [c0, c1], threshold=0.9, max_codegen_doubles=1)
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, arrow.collect()))
-    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    # The dispatch pin moved to semantic_cell_index (the identical
+    # cell_assign call semantic_dedup routes through): since r15,
+    # semantic_dedup checkpoints its assignment, so the assigner nodes
+    # live in the checkpointed lineage, not the result's executed plan.
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+    )
+
+    plan = (
+        semantic_cell_index(emb, [c0, c1], max_codegen_doubles=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "ArrowEvalPython" in plan and "array_min" not in plan
-    ep = exact._jdf.queryExecution().executedPlan().toString()
+    ep = (
+        semantic_cell_index(emb, [c0, c1])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "ArrowEvalPython" not in ep  # small literals stay codegen
     # a genuinely past-clamp centroid set keeps the plan O(1)-sized
     import random
@@ -356,9 +374,16 @@ def test_semantic_dedup_arrow_assigner_past_clamp(spark):
     vecs = [(i, [float(x) for x in big[i % 17]]) for i in range(40)]
     emb2 = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
     out = semantic_dedup(emb2, big, threshold=0.99)
-    plan2 = out._jdf.queryExecution().executedPlan().toString()
+    plan2 = (
+        semantic_cell_index(emb2, big)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "ArrowEvalPython" in plan2
     assert len(plan2) < 200_000, len(plan2)  # no 4097x64-double literal
+    # and the dedup result's own plan stays literal-free too
+    assert len(out._jdf.queryExecution().executedPlan().toString()) < 200_000
     got = {r.vec_id: r.keep for r in out.collect()}
     # rows sharing the identical vector dedup to the smallest id
     assert all(got[i] == (i < 17) for i in range(40))
@@ -798,8 +823,20 @@ def test_prod_semdedup_keepset_equals_codegen_anchor(spark, sf_dir):
     a = sorted(map(tuple, codegen.collect()))
     b = sorted(map(tuple, arrow.collect()))
     assert a == b  # ids, shard, CELL ASSIGNMENT, and keep all bit-equal
-    # and the arrow arm really took the Arrow path
-    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    # and the tiny budget really routes the assigner through Arrow
+    # (pinned on semantic_cell_index — the identical cell_assign call —
+    # since r15's assignment checkpoint hides the node from the dedup
+    # result's executed plan)
+    from ecommerce_dataengineering_project_spark.operators.dedup import (
+        semantic_cell_index,
+    )
+
+    plan = (
+        semantic_cell_index(emb, cents, max_codegen_doubles=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "ArrowEvalPython" in plan
 
 
