@@ -37,6 +37,7 @@ from ecommerce_dataengineering_project_spark.streaming.event_windows import (
 from ecommerce_dataengineering_project_spark.streaming.harness import (
     TMP_ROOT,
     _capture_plan as _harness_capture,
+    adaptive_state_partitions,
     run_bounded_stream,
     stage_source_tagged,
     staged_source,
@@ -218,13 +219,15 @@ def q_stream_inventory_restock(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = staged_source(spark, f"events_qty_{_sf_key(sf_dir)}", stage)
     # Unlike the commit-bound aggregations, the restock scan does real
     # per-group Python work — give it parallelism, not fewer commits
-    # (measured sf0.1: 16 partitions ~30% faster than 4).
+    # (measured sf0.1: 16 partitions ~30% faster than 4 on local[32]),
+    # derived from the session's parallelism so a smaller session
+    # doesn't pay extra commit waves (adaptive_state_partitions note).
     return run_bounded_stream(
         spark,
         "inventory_restock",
         None,
         inventory_restock_stream,
-        state_partitions=16,
+        state_partitions=adaptive_state_partitions(spark),
         source=src,
     )
 
@@ -1514,16 +1517,17 @@ def q_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     def transform(stream: DataFrame) -> DataFrame:
         return timer_sessions_stream(stream, gap="6 hours", watermark="1 hour")
 
-    # state_partitions=16 like the restock arm: the per-GROUP fixed
+    # parallelism-derived like the restock arm: the per-GROUP fixed
     # cost (arrow group framing + state round-trip) dominates and
     # parallelizes across stores (measured sf0.1: 16 partitions ~35%
-    # faster than the default 4 on this operator)
+    # faster than the default 4 on local[32]; 8 faster than 16 by
+    # 25-40% on local[8] — adaptive_state_partitions reproduces both)
     return run_bounded_stream(
         spark,
         "timer_sessions",
         None,
         transform,
-        state_partitions=16,
+        state_partitions=adaptive_state_partitions(spark),
         source=src,
     ).where(F.col("user_id") >= 0)
 
@@ -1593,7 +1597,7 @@ def q_stream_idle_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idle_timer_flush",
         None,
         idle_flush_stream,
-        state_partitions=16,
+        state_partitions=adaptive_state_partitions(spark),
         source=src,
         extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
     )

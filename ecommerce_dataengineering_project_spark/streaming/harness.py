@@ -159,6 +159,25 @@ def console_sink(df: DataFrame, trigger_seconds: int = 60):
     )
 
 
+def adaptive_state_partitions(spark: SparkSession, cap: int = 16) -> int:
+    """State-store partition count for the per-key-Python stateful
+    arms, derived from the session's parallelism instead of a
+    constant (guide-§2 scale adaptivity; the r15 measurement):
+
+    - local[32]: 16 beats both 8 (+15%) and 32 (+25-45%) — the
+      per-GROUP Arrow/state framing parallelizes across stores until
+      store-commit count overtakes it, so the sweet spot sits below
+      the core count;
+    - local[8]: 8 beats 16 by 25-40% (16 stores on 8 cores pay two
+      commit waves per batch for no extra parallelism).
+
+    ``min(cap, max(4, defaultParallelism))`` reproduces both measured
+    optima and sizes to executor count on a cluster (captured in the
+    checkpoint at first start, same scoping rule as before).
+    """
+    return min(cap, max(4, spark.sparkContext.defaultParallelism))
+
+
 _SOURCE_CACHE: dict[str, object] = {}
 
 

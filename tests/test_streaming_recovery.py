@@ -160,3 +160,17 @@ def test_txlog_stream_source_pads_pre_evolution_files(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.extra for r in spark.read.schema(stream.schema).parquet(sink).collect()}
     assert got == {0: None, 1: None, 2: None, 3: None, 4: None, 5: 10, 6: 12, 7: 14}
+
+
+def test_adaptive_state_partitions_tracks_parallelism(spark):
+    """r15: the per-key stateful arms derive their state-store count
+    from session parallelism (measured optima: 16 on local[32], 8 on
+    local[8]) instead of a constant tuned for one machine shape."""
+    from ecommerce_dataengineering_project_spark.streaming.harness import (
+        adaptive_state_partitions,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    got = adaptive_state_partitions(spark)
+    assert got == min(16, max(4, par))
+    assert adaptive_state_partitions(spark, cap=8) == min(8, max(4, par))
