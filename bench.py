@@ -124,28 +124,17 @@ def main() -> None:
     # its full repeat count inside the budget, a degraded-to-one-run
     # stream query would otherwise absorb its ~10 s staging job into
     # the single timed sample.
-    from pyspark.sql import functions as _F
-
     from ecommerce_dataengineering_project_spark.queries import streaming_queries as _sq
-    from ecommerce_dataengineering_project_spark.streaming.harness import (
-        stage_source_tagged as _sst,
-        staged_source as _ss,
-    )
 
+    # The exact shared-source set the registered arms read (r16: the
+    # consolidated _d1 stagings beside the 3-range originals, and the
+    # dup family's helper replaces the inline re-implementation).
     _sq._events_source(spark, sf_dir, n_flush=0)
     _sq._events_source(spark, sf_dir, n_flush=2)
-
-    def _stage_dup(source_dir, flush):
-        def stage(sd):
-            ev = _sq._tagged_events(spark, sf_dir)
-            dup = ev.withColumn("__batch", _F.col("__batch") + 3)
-            _sst(ev.unionByName(dup), 6, sd, _sq._flush_rows(flush) if flush else None)
-            return _sq.EVENT_SCHEMA
-
-        _ss(spark, source_dir, stage)
-
-    _stage_dup(f"events_dup_{_sq._sf_key(sf_dir)}", 0)
-    _stage_dup(f"events_dup_flush_{_sq._sf_key(sf_dir)}", 2)
+    _sq._events_source(spark, sf_dir, n_flush=0, n_data=1)
+    _sq._events_source(spark, sf_dir, n_flush=2, n_data=1)
+    _sq._events_dup_source(spark, sf_dir)
+    _sq._events_dup_source(spark, sf_dir, n_flush=2)
 
     # Pre-build the persisted IVF index for the same reason: the build
     # is a one-time indexing pass (production's offline index job),

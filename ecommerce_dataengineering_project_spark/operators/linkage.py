@@ -77,6 +77,15 @@ def _collapse_names(df: DataFrame, key_col: str, name_col: str) -> tuple[DataFra
     the quadratic stage no longer grows with duplication at all.
     """
     p = df.select(F.col(key_col).alias("key"), F.col(name_col).alias("name"))
+    # Deliberately NOT materialized (measured r16): reps feeds both
+    # pair-generation sides, so a lazy localCheckpoint halves the plan's
+    # Exchange count (14->6 single-key, 18->10 multiblock) — but a
+    # paired same-session A/B timed the checkpointed form 10-15% SLOWER
+    # at sf0.1 (best 1.14->1.33 / 0.87->0.98 over 5 runs): the two
+    # derivations are cheap map-side scans+small aggs that overlap,
+    # while the checkpoint serializes them in front of the broadcast
+    # build. The quadratic pair stage dominates at every scale, so the
+    # duplicated distinct-name derivation is noise there too.
     reps = p.groupBy("name").agg(F.min("key").alias("min_key"))
     return p, reps
 

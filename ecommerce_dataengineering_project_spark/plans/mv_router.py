@@ -95,10 +95,13 @@ def build_mv(
 
         import pyarrow.parquet as _pq
 
-        n_rows = sum(
-            _pq.read_metadata(f).num_rows
-            for f in _glob.glob(os.path.join(path, "*.parquet"))
-        )
+        # bind the glob first: an empty match (URI-style path, remote
+        # FS, unexpected part naming) must take the count() fallback,
+        # not silently report 0 rows and win every routing comparison
+        files = _glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            raise FileNotFoundError(f"no parquet footers under {path}")
+        n_rows = sum(_pq.read_metadata(f).num_rows for f in files)
     except Exception:
         n_rows = spark.read.parquet(path).count()
     return MaterializedAggregate(

@@ -73,16 +73,38 @@ EVENT_SCHEMA = StructType(
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
-def _tagged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events with a micro-batch id column: three time-ordered 10-day
+# Event-time cut points for the staged micro-batch splits. n_data=3 is
+# the original three 10-day ranges; n_data=1/2 are the CONSOLIDATED
+# stagings (guide §2.2's fewer-larger-partitions lever applied to
+# micro-batches): every batch is still a time-ordered range, so the
+# replay stays in event-time order and the watermark never drops an
+# on-time row. Only arms whose RESULT is provably independent of the
+# batch boundaries opt in (windowed aggs, joins, stateless parses, and
+# the order-insensitive stateful folds) — arms whose oracle or contract
+# encodes the batch structure (idle_timer_flush's islands oracle,
+# scd2's per-batch merge loop, the drift fixture splits) keep n_data=3.
+_DATA_CUTS = {1: (), 2: ("2024-01-21",), 3: ("2024-01-11", "2024-01-21")}
+
+
+def _tagged_events(spark: SparkSession, sf_dir: str, n_data: int = 3) -> DataFrame:
+    """Events with a micro-batch id column: ``n_data`` time-ordered
     ranges, so the bounded replay is multi-batch and in event-time
     order (the watermark never drops an on-time row)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    d11 = F.lit("2024-01-11").cast("timestamp")
-    d21 = F.lit("2024-01-21").cast("timestamp")
-    tag = F.when(F.col("ts") < d11, 0).when(F.col("ts") < d21, 1).otherwise(2)
+    cuts = _DATA_CUTS[n_data]
+    tag = F.lit(0)
+    if cuts:
+        expr = None
+        for i, cut in enumerate(cuts):
+            c = F.lit(cut).cast("timestamp")
+            expr = (
+                F.when(F.col("ts") < c, i)
+                if expr is None
+                else expr.when(F.col("ts") < c, i)
+            )
+        tag = expr.otherwise(len(cuts))
     return ev.withColumn("__batch", tag.cast("int"))
 
 
@@ -111,15 +133,48 @@ def _sf_key(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("/", 1)[-1]
 
 
-def _events_source(spark: SparkSession, sf_dir: str, n_flush: int):
+def _events_source(spark: SparkSession, sf_dir: str, n_flush: int, n_data: int = 3):
     def stage(source_dir: str):
-        tagged = _tagged_events(spark, sf_dir)
+        tagged = _tagged_events(spark, sf_dir, n_data)
         stage_source_tagged(
-            tagged, 3, source_dir, _flush_rows(n_flush) if n_flush else None
+            tagged, n_data, source_dir, _flush_rows(n_flush) if n_flush else None
         )
         return EVENT_SCHEMA
 
-    return staged_source(spark, f"events_{_sf_key(sf_dir)}_f{n_flush}", stage)
+    suffix = "" if n_data == 3 else f"_d{n_data}"
+    return staged_source(
+        spark, f"events_{_sf_key(sf_dir)}_f{n_flush}{suffix}", stage
+    )
+
+
+def _events_dup_source(spark: SparkSession, sf_dir: str, n_flush: int = 0):
+    """The double-replay source for the dedup family: the full event set
+    split in TWO time-ordered batches, then replayed whole as a THIRD
+    batch — duplicates always arrive in a later micro-batch than their
+    originals, so cross-batch exactly-once is exercised, and dedup
+    state GROWS from batch 0 to batch 1 (the statestore time-travel
+    contract, tests/test_statestore.py). Consolidated r16 from the
+    original six batches (two replays of the 3-range staging): each
+    extra micro-batch paid ~0.5-1 s of addBatch + offset/commit-log
+    fsync for no additional semantics."""
+
+    def stage(source_dir: str):
+        ev = _tagged_events(spark, sf_dir, n_data=2)
+        dup = _tagged_events(spark, sf_dir, n_data=1).withColumn(
+            "__batch", F.lit(2)
+        )
+        stage_source_tagged(
+            ev.unionByName(dup),
+            3,
+            source_dir,
+            _flush_rows(n_flush) if n_flush else None,
+        )
+        return EVENT_SCHEMA
+
+    suffix = "_flush" if n_flush else ""
+    return staged_source(
+        spark, f"events_dup3{suffix}_{_sf_key(sf_dir)}", stage
+    )
 
 
 def q_stream_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,15 +188,18 @@ def q_stream_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     aliases = {"value": ["value", "amount"]}  # drift-alias demo (cf. add_supplement(s))
 
     def stage(source_dir: str):
-        tagged = _tagged_events(spark, sf_dir)
+        # stateless parse: one consolidated micro-batch (r16 — each
+        # extra batch paid a full trigger of addBatch + commit fsync
+        # for a pipeline with no state to carry between batches)
+        tagged = _tagged_events(spark, sf_dir, n_data=1)
         data_cols = [c for c in tagged.columns if c != "__batch"]
         kafka = tagged.select(
             F.to_json(F.struct(*data_cols), opts).alias("value"), "__batch"
         )
-        stage_source_tagged(kafka, 3, source_dir)
+        stage_source_tagged(kafka, 1, source_dir)
         return kafka.drop("__batch").schema
 
-    src = staged_source(spark, f"events_kafka_{_sf_key(sf_dir)}", stage)
+    src = staged_source(spark, f"events_kafka_d1_{_sf_key(sf_dir)}", stage)
 
     def transform(stream: DataFrame) -> DataFrame:
         return parse_with_drift(stream, EVENT_SCHEMA, aliases, options=opts)
@@ -151,7 +209,7 @@ def q_stream_bronze_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 tumbling: daily revenue/count per event_type, watermarked."""
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         return tumbling_agg(stream, "ts", "1 day", ["event_type"], "value")
@@ -166,7 +224,7 @@ def q_stream_tumbling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 sliding: 24 h window every 12 h per event_type."""
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         return sliding_agg(stream, "ts", "1 day", "12 hours", ["event_type"], "value")
@@ -178,7 +236,7 @@ def q_stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 session: per-user sessions closed by 6 h of silence."""
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         return session_agg(stream, "ts", "6 hours", ["user_id"], "value")
@@ -190,7 +248,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_stream_inventory_restock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/T7: per-user stateful inventory scan with restock rule,
-    state carried across three micro-batches via GroupState.
+    state carried across micro-batches via GroupState.
 
     Cost floor (profiled r7, sf0.1, local[32]): the SAME bounded run
     with a no-op pass-through applyInPandasWithState (no scan, no
@@ -206,17 +264,23 @@ def q_stream_inventory_restock(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per batch grow — the state machinery, not the data, is the
     cost at test scale."""
     def stage(source_dir: str):
-        qty = _tagged_events(spark, sf_dir).select(
+        # TWO time-ordered batches (r16, was 3): cross-batch GroupState
+        # carry-over is still exercised across the one boundary, and
+        # the fold is order-deterministic (per-batch (ts, event_id)
+        # sort over time-range batches == the global order), so the
+        # result is identical while one whole trigger's fixed cost
+        # (addBatch + state-store commit wave + log fsyncs) is saved.
+        qty = _tagged_events(spark, sf_dir, n_data=2).select(
             "event_id",
             "ts",
             "user_id",
             (F.col("event_id") % 3 + 1).cast("int").alias("qty"),
             "__batch",
         )
-        stage_source_tagged(qty, 3, source_dir)
+        stage_source_tagged(qty, 2, source_dir)
         return qty.drop("__batch").schema
 
-    src = staged_source(spark, f"events_qty_{_sf_key(sf_dir)}", stage)
+    src = staged_source(spark, f"events_qty_d2_{_sf_key(sf_dir)}", stage)
     # Unlike the commit-bound aggregations, the restock scan does real
     # per-group Python work — give it parallelism, not fewer commits
     # (measured sf0.1: 16 partitions ~30% faster than 4 on local[32]),
@@ -239,13 +303,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that state with dropDuplicatesWithinWatermark; here the bounded
     replay checks exact-once emission across batch boundaries."""
 
-    def stage(source_dir: str):
-        ev = _tagged_events(spark, sf_dir)
-        dup = ev.withColumn("__batch", F.col("__batch") + 3)
-        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
-        return EVENT_SCHEMA
-
-    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+    src = _events_dup_source(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
         return stream.dropDuplicates(["event_id"]).select(
@@ -265,13 +323,7 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch oracle holds; in production the delay is the dedup
     horizon SLA."""
 
-    def stage(source_dir: str):
-        ev = _tagged_events(spark, sf_dir)
-        dup = ev.withColumn("__batch", F.col("__batch") + 3)
-        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
-        return EVENT_SCHEMA
-
-    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+    src = _events_dup_source(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
         return (
@@ -290,7 +342,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's clicks in the preceding hour. Both sides are watermarked so
     Spark can discard buffered rows once the interval provably passed
     — the state-bounding condition for stream-stream joins."""
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         clicks = (
@@ -462,7 +514,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch and the stream never shuffles.  LEFT join: a user with no
     dimension row passes through with NULL attributes rather than
     silently dropping the event."""
-    src = _events_source(spark, sf_dir, n_flush=0)
+    src = _events_source(spark, sf_dir, n_flush=0, n_data=1)
     dim = (
         load_table(spark, sf_dir, "customer")
         .join(
@@ -504,7 +556,8 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     opts = {"timestampFormat": _TS_FMT, "timestampNTZFormat": _TS_FMT}
 
     def stage(source_dir: str):
-        tagged = _tagged_events(spark, sf_dir)
+        # stateless corrupt-capture parse: one consolidated batch (r16)
+        tagged = _tagged_events(spark, sf_dir, n_data=1)
         data_cols = [c for c in tagged.columns if c not in ("__batch", "event_id")]
         kafka = tagged.select(
             "event_id",
@@ -516,10 +569,10 @@ def q_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
             "__batch",
         )
-        stage_source_tagged(kafka, 3, source_dir)
+        stage_source_tagged(kafka, 1, source_dir)
         return kafka.drop("__batch").schema
 
-    src = staged_source(spark, f"events_quarantine_{_sf_key(sf_dir)}", stage)
+    src = staged_source(spark, f"events_quarantine_d1_{_sf_key(sf_dir)}", stage)
     parse_schema = StructType(
         [f for f in EVENT_SCHEMA.fields if f.name != "event_id"]
     )
@@ -640,7 +693,7 @@ def q_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted artifact (the IVF-index invalidation model), so a
     mutated corpus refits instead of serving a stale fit.
     """
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
     q = drift_baseline(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
@@ -1172,13 +1225,7 @@ def q_stream_dedup_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     captured into the checkpoint at first start, so it is scoped to
     this query's run and restored after."""
 
-    def stage(source_dir: str):
-        ev = _tagged_events(spark, sf_dir)
-        dup = ev.withColumn("__batch", F.col("__batch") + 3)
-        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
-        return EVENT_SCHEMA
-
-    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+    src = _events_dup_source(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
         return stream.dropDuplicates(["event_id"]).select(
@@ -1216,13 +1263,7 @@ def q_statestore_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     get from the state reader on a checkpoint) — no reprocessing, the
     checkpoint is the source."""
 
-    def stage(source_dir: str):
-        ev = _tagged_events(spark, sf_dir)
-        dup = ev.withColumn("__batch", F.col("__batch") + 3)
-        stage_source_tagged(ev.unionByName(dup), 6, source_dir)
-        return EVENT_SCHEMA
-
-    src = staged_source(spark, f"events_dup_{_sf_key(sf_dir)}", stage)
+    src = _events_dup_source(spark, sf_dir)
 
     def transform(stream: DataFrame) -> DataFrame:
         return stream.dropDuplicates(["event_id"]).select("event_id")
@@ -1314,7 +1355,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded run emits the complete outer result; state for both sides
     is discarded as the interval provably passes (same bounding
     condition as the inner join)."""
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         # the flush rows must ride a JOIN BRANCH: Catalyst pushes each
@@ -1384,7 +1425,7 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     once the watermark passes flush_ts + 1h, so the post-join filter
     drops click-side flush emissions by their negative event_id — a
     stateless filter, invisible to the join's state bounds."""
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         wm = stream.withWatermark("ts", "1 hour")
@@ -1443,15 +1484,7 @@ def q_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows stay (correctly) unemitted. Oracle: distinct events,
     bucketed by day."""
 
-    def stage(source_dir: str):
-        ev = _tagged_events(spark, sf_dir)
-        dup = ev.withColumn("__batch", F.col("__batch") + 3)
-        stage_source_tagged(
-            ev.unionByName(dup), 6, source_dir, _flush_rows(2)
-        )
-        return EVENT_SCHEMA
-
-    src = staged_source(spark, f"events_dup_flush_{_sf_key(sf_dir)}", stage)
+    src = _events_dup_source(spark, sf_dir, n_flush=2)
 
     def transform(stream: DataFrame) -> DataFrame:
         deduped = stream.withWatermark("ts", "1 day").dropDuplicates(["event_id"])
@@ -1512,7 +1545,7 @@ def q_stream_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ecommerce_dataengineering_project_spark.streaming.stateful import timer_sessions_stream
 
-    src = _events_source(spark, sf_dir, n_flush=2)
+    src = _events_source(spark, sf_dir, n_flush=2, n_data=1)
 
     def transform(stream: DataFrame) -> DataFrame:
         return timer_sessions_stream(stream, gap="6 hours", watermark="1 hour")

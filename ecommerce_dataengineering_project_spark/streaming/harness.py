@@ -204,8 +204,26 @@ def stage_source_tagged(
     ordered micro-batch files. ``flush_rows`` (a pyarrow Table) is
     appended as one trailing single-file batch per row, written
     driver-side — a Spark job per 1-row flush file would cost more than
-    the whole stream."""
+    the whole stream.
+
+    Flush contract (ADVICE r15): with the harness default
+    ``noDataMicroBatches.enabled=false``, a watermark advance takes
+    effect one micro-batch later, so a watermark-dependent stream must
+    stage AT LEAST TWO flush batches — the first carries the far-future
+    timestamps, the second is the batch in which the advanced watermark
+    finalizes the last real windows/timers/outer-nulls. A single flush
+    row would silently drop those final emissions; the assert below
+    makes that a loud staging-time error instead.
+    """
     import pyarrow.parquet as pq
+
+    if flush_rows is not None and flush_rows.num_rows < 2:
+        raise ValueError(
+            "flush_rows must stage >= 2 rows (one batch each): with "
+            "no-data micro-batches disabled, a watermark advance lands "
+            "one batch later, so a single flush batch never finalizes "
+            "the last real emissions"
+        )
 
     shutil.rmtree(source_dir, ignore_errors=True)
     os.makedirs(source_dir, exist_ok=True)
