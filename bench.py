@@ -71,6 +71,28 @@ HEADLINE = [
     "stream_timer_sessions",
     "stream_idle_timer_flush",
     "mv_route_best",
+    # r16 (VERDICT r15 item 4): extend headline coverage to the
+    # top-of-bench arms the driver's per-query comparator was blind to
+    # — the full streaming family head plus the most recently touched
+    # paths. ADDITIVE ONLY (the driver contract forbids removing or
+    # renaming existing entries); the line stays well under the 2000
+    # char stdout-tail window (measured ~1.8 kB with 41 entries).
+    "stream_dedup_then_window",
+    "stream_stream_full_outer",
+    "stream_stream_left_join",
+    "stream_generator_ingest",
+    "stream_semantic_dedup",
+    "stream_dedup",
+    "stream_dedup_watermarked",
+    "stream_dedup_rocksdb",
+    "stream_sliding_activity",
+    "stream_session_windows",
+    "stream_tumbling_revenue",
+    "stream_drift_monitor",
+    "statestore_inspect",
+    "cogroup_asof_pandas",
+    "ivf_recenter",
+    "ivf_split_hot_cell",
 ]
 
 # Surface-exercise arms (documented, NOT headline): udtf_user_sessions

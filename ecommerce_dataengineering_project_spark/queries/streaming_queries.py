@@ -1029,17 +1029,14 @@ def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxRows", GEN_STREAM_ROWS)
         .load()
     )
-    def _sink_rows() -> int:
-        # a drain pass that races the offset prefetcher can commit
-        # nothing — then the sink dir doesn't exist yet; that pass is
-        # a no-op, not an error, so count it as 0 and keep draining
-        try:
-            return spark.read.parquet(sink).count()
-        except Exception:
-            return 0
-
     # ceil(rows/batch) productive drains, with headroom for no-op
-    # passes where availableNow snapshotted before the prefetch landed
+    # passes where availableNow snapshotted before the prefetch landed.
+    # Drain progress is read from recentProgress (driver-side, emitted
+    # per COMMITTED batch) instead of a Spark count() job over the sink
+    # after every drain — two scheduled jobs for a number the query
+    # already reported (r16, guide §5 driver work; a drain that races
+    # the prefetcher just reports 0 rows and the loop keeps draining).
+    rows_committed = 0
     for _ in range(2 * (GEN_STREAM_ROWS // GEN_STREAM_BATCH) + 4):
         q = (
             stream.writeStream.format("parquet")
@@ -1050,7 +1047,8 @@ def q_stream_generator_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(120)
         _harness_capture("stream_generator_ingest", q)
-        if _sink_rows() >= GEN_STREAM_ROWS:
+        rows_committed += sum(p.numInputRows for p in q.recentProgress)
+        if rows_committed >= GEN_STREAM_ROWS:
             break
     return spark.read.parquet(sink)
 

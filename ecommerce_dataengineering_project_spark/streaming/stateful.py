@@ -336,8 +336,14 @@ def timer_sessions_stream(
     timer-emitted final sessions.
     """
     gap_us = _interval_us(gap)
+    # Project to the columns the transition actually reads BEFORE the
+    # key shuffle and the Arrow boundary (r16, guide §4.1/§2.3):
+    # applyInPandasWithState is opaque to Catalyst, so without this the
+    # full event row — including the wide props payload — was shuffled
+    # and framed into every per-group pandas call for nothing.
     return (
-        events.withWatermark("ts", watermark)
+        events.select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             make_session_fn(gap_us),
@@ -421,7 +427,8 @@ def idle_flush_stream(events: DataFrame, idle_ms: int = 1) -> DataFrame:
     that brings the key data. No watermark: proc-time timeouts are
     wall-clock against the batch timestamp, not event-time."""
     return (
-        events.groupBy("user_id")
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
         .applyInPandasWithState(
             make_idle_flush_fn(idle_ms),
             outputStructType=IDLE_FLUSH_OUTPUT,
