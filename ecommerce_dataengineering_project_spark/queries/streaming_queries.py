@@ -496,10 +496,21 @@ def q_stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("date").alias("effective_to"),
                 F.lit(True).alias("is_current"),
             )
+        # stage-then-swap (r16, same commit as merge_upsert_path): the
+        # new dim version is computed READING the current dim_dir and
+        # written to a sibling dir, then renamed over it — one job per
+        # batch where the eager checkpoint + overwrite paid two.
         new_state = scd2_apply(
             dim, batch_df, key_cols=["c_custkey"], attr_cols=["segment"]
-        ).localCheckpoint(eager=True)
-        new_state.write.mode("overwrite").parquet(dim_dir)
+        )
+        stage = dim_dir + ".stage"
+        new_state.write.mode("overwrite").parquet(stage)
+        old = dim_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dim_dir):
+            os.rename(dim_dir, old)
+        os.rename(stage, dim_dir)
+        shutil.rmtree(old, ignore_errors=True)
 
     run_bounded_foreach(spark, name, None, lambda s: s, apply_batch, source=src)
     return spark.read.parquet(dim_dir)

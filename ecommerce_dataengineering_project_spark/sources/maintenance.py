@@ -140,16 +140,22 @@ def merge_upsert_path(
     ``updates``; later calls replace matched keys and insert the rest,
     exactly like :func:`merge_upsert`'s unpartitioned branch.
 
-    Same stage-then-overwrite commit (localCheckpoint truncates the
-    lineage so the overwrite no longer reads from the target) and the
-    same non-atomicity window as the table variant — real Delta (the
-    reference's sink, streaming_consumer.py:81-88) closes it with a
-    transaction log; parquet stand-ins can't. Existence is probed with
-    a driver-side ``os.path`` check, which pins this helper to
-    local/NFS paths; an object-store port swaps that probe for a
-    catalog or _SUCCESS-marker check.
+    Stage-then-swap commit (r16): the merged relation is written to a
+    sibling ``.stage`` directory — reading the CURRENT table while
+    writing elsewhere, so no lineage truncation is needed — and then
+    renamed over the target. One job per merge where the previous form
+    paid two (an eager localCheckpoint to cut the read-from-target
+    lineage, then an overwrite that re-read the checkpoint blocks);
+    the directory rename is also a narrower non-atomicity window than
+    overwrite-in-place. Real Delta (the reference's sink,
+    streaming_consumer.py:81-88) closes that window with a transaction
+    log; parquet stand-ins can't. Existence is probed with a
+    driver-side ``os.path`` check, which pins this helper to local/NFS
+    paths; an object-store port swaps the probe and the rename for a
+    catalog or _SUCCESS-marker commit.
     """
     import os
+    import shutil
 
     if not os.path.isdir(path):
         updates.write.mode("overwrite").parquet(path)
@@ -157,10 +163,14 @@ def merge_upsert_path(
     target = spark.read.parquet(path)
     updates = updates.select(*target.columns)
     kept = target.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    staged = (
-        kept.unionByName(updates).select(*target.columns).localCheckpoint(eager=True)
-    )
-    staged.write.mode("overwrite").parquet(path)
+    merged = kept.unionByName(updates).select(*target.columns)
+    stage = path.rstrip("/") + ".stage"
+    merged.write.mode("overwrite").parquet(stage)
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(stage, path)
+    shutil.rmtree(old, ignore_errors=True)
     return spark.read.parquet(path)
 
 
