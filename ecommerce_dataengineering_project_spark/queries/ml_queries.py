@@ -107,9 +107,15 @@ def q_anomaly_scores_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan — row-for-row equal to q_anomaly_isolation_forest
     (tests/test_ml.py pins it), structured so the scored table could be
     100 TB."""
-    daily_pd = q_daily_sales(spark, sf_dir).toPandas()
+    # one derivation of the daily aggregate for BOTH consumers (r16,
+    # guide §2.4/§5): the fit's toPandas and the scoring pass each
+    # re-ran the lineitem scan + aggregation. Lazy localCheckpoint
+    # (|days| rows — tiny at any corpus size): the toPandas fill is
+    # the one materialization, the scoring plan reads the blocks.
+    daily = q_daily_sales(spark, sf_dir).localCheckpoint(eager=False)
+    daily_pd = daily.toPandas()
     forest, _ = _fit_forest(daily_pd)
-    feats = q_daily_sales(spark, sf_dir).select(
+    feats = daily.select(
         "purchase_date",
         "daily_total_sales",
         "daily_transaction_count",
